@@ -1,0 +1,13 @@
+"""Operator modules. Importing this package registers every declared query
+in the plans registry (see plans/registry.py)."""
+
+from udacity_data_engineering_spark.operators import (  # noqa: F401
+    aggregates,
+    asof,
+    dedup,
+    joins,
+    relational,
+    similarity,
+    text,
+    windows,
+)

@@ -1,0 +1,107 @@
+"""Aggregation operators — extension inventory E1-E4 (SURVEY.md §2B).
+
+The reference itself never calls groupBy/agg (its only aggregation-like ops
+are count() at etl.py:188 and dropDuplicates at etl.py:69); these are the
+charter-mandated extensions. All are single-shuffle hash aggregates:
+Catalyst plans partial (map-side) + final aggregation automatically, which
+is the property that matters at 100 TB — the shuffle carries one row per
+(partition, group), not per input row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from udacity_data_engineering_spark.plans.registry import register
+from udacity_data_engineering_spark.session import table
+
+
+@register(
+    "q_groupby_agg",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(avg(l_discount), 6) AS avg_disc,
+               count(*) AS cnt
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="E1: multi-measure hash aggregate (TPC-H Q1 shape). Float sums are "
+    "rounded on both sides — summation order differs across engines.",
+    tags=("E1",),
+)
+def q_groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "sum_disc_price"
+        ),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+@register(
+    "q_count_distinct",
+    oracle="""
+        SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust
+        FROM orders GROUP BY o_orderstatus
+    """,
+    doc="E2: exact distinct aggregation per group. Catalyst expands this to "
+    "a two-stage aggregate (distinct on (status, custkey), then count); the "
+    "approximate variant (approx_count_distinct / HLL) is exposed in "
+    "tests for the 100 TB path where exactness isn't required.",
+    tags=("E2",),
+)
+def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.countDistinct("o_custkey").alias("n_cust"))
+    )
+
+
+@register(
+    "q_rollup",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               count(*) AS cnt
+        FROM lineitem
+        GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+    doc="E3: hierarchical rollup (grouping sets). One Expand + one hash "
+    "aggregate — grouping-set rows multiply the shuffle, not the scan.",
+    tags=("E3",),
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+@register(
+    "q_topn",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 10
+    """,
+    doc="E4: global top-k. Spark plans TakeOrderedAndProject: per-partition "
+    "heaps + a k-row driver merge, never a full global sort — the only "
+    "top-k shape that survives 100 TB.",
+    tags=("E4",),
+)
+def q_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )

@@ -1,0 +1,252 @@
+"""Similarity search + near-duplicate detection — E12 and the near-dup
+family (SURVEY.md §2B).
+
+Three tiers, by scale:
+
+1. ``q_cosine_topk`` — brute-force cosine top-k against one query vector.
+   Exact baseline; at scale the query side is a broadcast and the scan is
+   embarrassingly parallel, so brute force is actually fine for a *single*
+   query even at 100 TB.
+2. ``q_ngram_jaccard`` — exact pairwise Jaccard via an inverted
+   token index (token-equality self-join), the exact oracle for near-dup.
+   The common-token join is the scale bottleneck (stopword fan-out) —
+   which is precisely what tier 3 fixes.
+3. ``q_minhash_candidates`` — MinHash + LSH banding: per-doc signatures
+   (k permutation-hashes over shingle hashes), banded into buckets, and
+   only bucket-colliding pairs are verified. Shuffle volume is
+   O(docs × bands), independent of pairwise fan-out.
+
+All vector math stays JVM-side (zip_with / aggregate / transform over
+array columns) — no Python worker hop in any hot path.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from udacity_data_engineering_spark.plans.registry import register
+from udacity_data_engineering_spark.session import table
+
+# ---------------------------------------------------------------------------
+# vector math (JVM-side, deterministic left-to-right folds)
+# ---------------------------------------------------------------------------
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array<double> columns via zip_with + fold."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+@register(
+    "q_cosine_topk",
+    oracle="""
+        WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS q_emb
+                   FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id,
+               round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), q_emb), 6)
+                   AS cos_sim
+        FROM embeddings, q
+        WHERE vec_id <> 0
+        ORDER BY cos_sim DESC, vec_id
+        LIMIT 10
+    """,
+    doc="E12: brute-force cosine top-10 neighbours of vec_id=0. The "
+    "1-row query side is crossJoin(broadcast(...)); similarity is a "
+    "codegen'd zip_with/aggregate fold in double precision (embeddings "
+    "are float32, cast up exactly), matching DuckDB's sequential "
+    "list_cosine_similarity to well past the 6 rounded decimals.",
+    tags=("E12",),
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").withColumn(
+        "emb_d", F.col("embedding").cast("array<double>")
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("emb_d").alias("q_emb"))
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("emb_d"), F.col("q_emb")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard (the near-dup oracle)
+# ---------------------------------------------------------------------------
+
+
+def token_sets(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Distinct (doc_id, token) pairs — an inverted index."""
+    return docs.select(
+        id_col, F.explode(F.split(F.col(text_col), " ")).alias("w")
+    ).distinct()
+
+
+@register(
+    "q_ngram_jaccard",
+    oracle="""
+        WITH tok AS (
+            SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents
+        ), cnt AS (
+            SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id
+        ), inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+            FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               round(i / (ca.n + cb.n - i), 6) AS jaccard
+        FROM inter
+        JOIN cnt ca ON ca.doc_id = doc_a
+        JOIN cnt cb ON cb.doc_id = doc_b
+        WHERE i / (ca.n + cb.n - i) >= 0.5
+    """,
+    doc="Near-dup ground truth: exact token-set Jaccard >= 0.5 over all "
+    "document pairs, computed via inverted-index self-join (intersection "
+    "counts) + per-doc set sizes — never a doc×doc cross join. This is "
+    "the exactness oracle that q_minhash_candidates approximates.",
+    tags=("E12", "dedup"),
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = token_sets(table(spark, sf_dir, "documents"))
+    cnt = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = tok.alias("a")
+    b = tok.alias("b")
+    inter = (
+        a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    ca = cnt.alias("ca")
+    cb = cnt.alias("cb")
+    jac = F.col("i") / (F.col("ca.n") + F.col("cb.n") - F.col("i"))
+    return (
+        inter.join(ca, F.col("doc_a") == F.col("ca.doc_id"))
+        .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (the 100 TB near-dup path)
+# ---------------------------------------------------------------------------
+
+_MERSENNE31 = (1 << 31) - 1
+
+
+def _perm_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, _MERSENNE31), rng.randrange(0, _MERSENNE31))
+        for _ in range(num_hashes)
+    ]
+
+
+def shingles(text_col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles of a space-separated text column (JVM-side).
+
+    Falls back to the whole text when the document has fewer than n words.
+    """
+    words = F.split(text_col, " ")
+    k = F.greatest(F.size(words) - (n - 1), F.lit(0))
+    return F.when(k == 0, F.array(text_col)).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        )
+    )
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int = 32, seed: int = 42) -> Column:
+    """MinHash signature: for each of ``num_hashes`` universal-hash
+    permutations h_i(x) = (a_i*x + b_i) mod M31, the min over the doc's
+    shingle hashes. Base shingle hash is xxhash64 folded into [0, 2^31)
+    so the a*x product stays inside long range (ANSI-safe, no overflow).
+    """
+    base = F.transform(shingle_col, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE31)))
+    sig = [
+        F.array_min(
+            F.transform(base, lambda h: F.pmod(a * h + b, F.lit(_MERSENNE31)))
+        ).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(_perm_params(num_hashes, seed))
+    ]
+    return F.array(*sig)
+
+
+def minhash_candidates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH banding: docs sharing any band of their MinHash signature become
+    candidate pairs. rows = bands * r where r = num_hashes // bands.
+
+    Scale shape: explode to (doc, band_id, band_key) — O(docs × bands)
+    rows — then a groupBy on (band_id, band_key) and a within-bucket pair
+    expansion. No doc×doc comparison ever materializes.
+    """
+    r = num_hashes // bands
+    sig = docs.select(
+        F.col(id_col).alias("doc_id"),
+        minhash_signature(shingles(F.col(text_col), shingle_n), num_hashes).alias("sig"),
+    )
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band_id"),
+                    F.concat_ws(",", F.slice("sig", b * r + 1, r).cast("array<string>")).alias(
+                        "band_key"
+                    ),
+                ),
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band_id", "b.band_key")
+    lhs = banded.alias("x")
+    rhs = banded.alias("y")
+    return (
+        lhs.join(
+            rhs,
+            (F.col("x.band_id") == F.col("y.band_id"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+@register(
+    "q_minhash_candidates",
+    doc="MinHash+LSH near-dup candidate pairs (32 hashes, 8 bands of 4). "
+    "Probabilistic by construction — rows-only driver check; "
+    "tests/test_similarity.py asserts recall against the exact Jaccard "
+    "oracle (q_ngram_jaccard) at small scale.",
+    tags=("E12", "dedup"),
+)
+def q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_candidates(table(spark, sf_dir, "documents"))

@@ -1,0 +1,168 @@
+"""Text analysis — E10 + LLM-pipeline text ops (SURVEY.md §2B).
+
+Tokenization, token statistics, quality scoring, and a stopword-based
+language-ID heuristic — all pure ``pyspark.sql.functions`` array/string
+expressions (whole-stage codegen, no Python workers). ``documents.text``
+is space-separated words (FIXTURES.md), so the tokenizer is a literal
+space split; a regex tokenizer for raw prose is provided alongside.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from udacity_data_engineering_spark.plans.registry import register
+from udacity_data_engineering_spark.session import table
+
+#: Tiny per-language stopword lists for the language-ID heuristic.
+STOPWORDS = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "it", "for", "with"),
+    "fr": ("le", "la", "les", "et", "de", "un", "une", "est", "que", "pour"),
+    "es": ("el", "la", "los", "las", "y", "de", "un", "una", "es", "que"),
+    "de": ("der", "die", "das", "und", "von", "ein", "eine", "ist", "zu", "mit"),
+    "zh": ("的", "是", "了", "在", "和", "有", "我", "不", "这", "人"),
+}
+
+
+def tokens(text_col: Column) -> Column:
+    """Whitespace tokenizer (documents.text is space-separated words)."""
+    return F.split(text_col, " ")
+
+
+def regex_tokens(text_col: Column) -> Column:
+    """BPE-ish tokenizer for raw prose: word pieces OR single non-space
+    symbols — the shape a real pre-tokenizer produces."""
+    return F.regexp_extract_all(
+        text_col, F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), 0
+    )
+
+
+def lang_id(text_col: Column) -> Column:
+    """Heuristic language ID: the language whose stopword list overlaps
+    the document's token set the most (ties resolve to the greatest
+    language code; 'und' when nothing matches). Pure array expressions."""
+    toks = F.array_distinct(tokens(F.lower(text_col)))
+    scored = F.array(
+        *[
+            F.struct(
+                F.size(
+                    F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))
+                ).alias("hits"),
+                F.lit(code).alias("lang"),
+            )
+            for code, words in sorted(STOPWORDS.items())
+        ]
+    )
+    best = F.array_max(F.filter(scored, lambda s: s["hits"] > 0))
+    return F.coalesce(best["lang"], F.lit("und"))
+
+
+@register(
+    "q_text_tokens",
+    oracle="""
+        SELECT w AS word, count(*) AS n
+        FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents) t
+        GROUP BY w
+    """,
+    doc="E10: tokenize + word frequency — explode(split(lower(text))) then "
+    "a hash aggregate on the token. The canonical word-count; at scale "
+    "this is partial-aggregated map-side so the shuffle carries one row "
+    "per (partition, word).",
+    tags=("E10",),
+)
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "q_doc_stats",
+    oracle="""
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+               CAST(len(list_distinct(string_split(text, ' '))) AS INT)
+                   AS n_distinct,
+               CAST(length(text) AS INT) AS n_chars_calc
+        FROM documents
+    """,
+    doc="E10: per-document token statistics — token count, vocabulary "
+    "size, character count. All array expressions, no shuffle at all.",
+    tags=("E10",),
+)
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.length("text").alias("n_chars_calc"),
+    )
+
+
+@register(
+    "q_doc_quality",
+    oracle="""
+        SELECT doc_id,
+               round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                     / len(string_split(text, ' ')), 6) AS type_token_ratio,
+               round((length(text) - len(string_split(text, ' ')) + 1.0)
+                     / len(string_split(text, ' ')), 6) AS avg_word_len
+        FROM documents
+    """,
+    doc="E10: quality scoring — type/token ratio (lexical diversity) and "
+    "mean word length, both derived arithmetically from counts so the "
+    "oracle matches exactly. Low-TTR docs are the classic boilerplate "
+    "signal in pretraining-data filtering.",
+    tags=("E10",),
+)
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    return docs.select(
+        "doc_id",
+        F.round(F.size(F.array_distinct(toks)).cast("double") / n, 6).alias(
+            "type_token_ratio"
+        ),
+        F.round((F.length("text") - n + F.lit(1.0)) / n, 6).alias("avg_word_len"),
+    )
+
+
+@register(
+    "q_lang_dist",
+    oracle="""
+        SELECT lang, source, count(*) AS n_docs,
+               round(avg(n_chars), 2) AS avg_chars
+        FROM documents GROUP BY lang, source
+    """,
+    doc="E10: corpus composition — document counts and mean size per "
+    "(language, source), the standard pretraining-mix report.",
+    tags=("E10",),
+)
+def q_lang_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        )
+    )
+
+
+@register(
+    "q_lang_id",
+    doc="Heuristic stopword-overlap language ID over documents.text. The "
+    "heuristic has no SQL-oracle equivalent — rows-only driver check; "
+    "tests assert accuracy against the labelled documents.lang column.",
+    tags=("E10",),
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", lang_id(F.col("text")).alias("lang_pred"))

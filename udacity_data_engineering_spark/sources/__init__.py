@@ -1,0 +1,12 @@
+"""Source/sink modules. Importing registers the scan/sink declared
+queries."""
+
+from udacity_data_engineering_spark.sources import (  # noqa: F401
+    json_source,
+    parquet_source,
+)
+from udacity_data_engineering_spark.sources.json_source import (  # noqa: F401
+    SONG_SCHEMA,
+    read_log_data,
+    read_song_data,
+)

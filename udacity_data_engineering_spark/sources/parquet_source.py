@@ -1,0 +1,60 @@
+"""Parquet sink/scan round-trips — reference rows 19/20 (SURVEY.md §2A).
+
+The reference's outputs are overwrite-mode parquet (etl.py:86,120) and
+hive-partitioned parquet (partitionBy year/artist_id at etl.py:74,
+year/month at etl.py:139-140,173-174). Partitioning by low-cardinality
+time columns is exactly right at 100 TB — it is what makes partition
+pruning work on every downstream read — so we keep it verbatim.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from udacity_data_engineering_spark.plans.registry import register
+from udacity_data_engineering_spark.session import table
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
+) -> None:
+    """Hive-partitioned parquet sink (etl.py:74,139-140,173-174)."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+@register(
+    "q_parquet_roundtrip",
+    doc="Overwrite-mode parquet sink + re-scan (etl.py:86,120 then :185). "
+    "Rows-only: the driver checks the round-tripped row count.",
+    tags=("2A.19", "2A.6"),
+)
+def q_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = tempfile.mkdtemp(prefix="uds_roundtrip_")
+    nat = table(spark, sf_dir, "nation")
+    nat.write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out)
+
+
+@register(
+    "q_parquet_partitioned",
+    doc="Hive-partitioned parquet sink (partitionBy year/month, "
+    "etl.py:139-140) + partition-pruned re-read: the year=1995 predicate "
+    "prunes directories, not rows. Rows-only.",
+    tags=("2A.20",),
+)
+def q_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = tempfile.mkdtemp(prefix="uds_partitioned_")
+    orders = table(spark, sf_dir, "orders").withColumns(
+        {
+            "year": F.year("o_orderdate"),
+            "month": F.month("o_orderdate"),
+        }
+    )
+    write_partitioned(orders, out, ["year", "month"])
+    back = spark.read.parquet(out)
+    return back.filter(F.col("year") == 1995).select(
+        "o_orderkey", "o_custkey", "year", "month"
+    )
