@@ -1,0 +1,139 @@
+"""Benchmark harness — mirrors BASELINE.md's query set at the same scale.
+
+Runs the ten headline operator benchmarks (definitions identical to the
+measured stock-PySpark baseline in BASELINE.md, which are themselves
+analogs of the reference's operators, etl.py citations in SURVEY.md §2A)
+plus engine-extension headliners, at $SPARK_GRAFT_SF_DIR (default sf0.1)
+on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Per-query time is best-of-3 wall clock of the triggering action, after a
+session warm-up — the same method BASELINE.md used.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from udacity_data_engineering_spark.functions.datetime_fns import epoch_ms_to_ts_udf
+from udacity_data_engineering_spark.session import build_session, table
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or (os.cpu_count() or 8)
+REPS = 3
+
+
+def main() -> None:
+    spark = build_session(app_name="bench", cpus=CPUS, shuffle_partitions=max(CPUS, 16))
+    t = {name: table(spark, SF_DIR, name) for name in
+         ("lineitem", "orders", "customer", "events")}
+    for name, df in t.items():
+        df.createOrReplaceTempView(name)
+    raw_events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    tmp = tempfile.mkdtemp(prefix="bench_out_")
+
+    def scan_count_lineitem():
+        t["lineitem"].count()
+
+    def filter_project():
+        (t["lineitem"].filter(F.col("l_shipdate") < "1996-01-01")
+         .select("l_orderkey", "l_extendedprice").count())
+
+    def dedup_dropduplicates():
+        t["orders"].dropDuplicates(["o_custkey"]).count()
+
+    def hashagg_groupby():
+        (t["lineitem"].groupBy("l_returnflag", "l_linestatus")
+         .agg(F.sum("l_quantity"), F.sum("l_extendedprice"),
+              F.avg("l_discount"), F.count(F.lit(1))).collect())
+
+    def equijoin_agg():
+        (t["orders"].join(t["customer"],
+                          t["orders"].o_custkey == t["customer"].c_custkey)
+         .groupBy("c_mktsegment").agg(F.sum("o_totalprice")).collect())
+
+    def multicond_join_count():
+        spark.sql("""
+            SELECT monotonically_increasing_id() AS id,
+                   year(o.o_orderdate) AS y, month(o.o_orderdate) AS m,
+                   o.o_orderkey, c.c_custkey
+            FROM orders o JOIN customer c
+              ON o.o_custkey = c.c_custkey AND o.o_totalprice > c.c_acctbal
+        """).count()
+
+    def timetable_dateparts_dedup():
+        (t["events"].select(
+            "ts", F.hour("ts"), F.dayofmonth("ts"), F.weekofyear("ts"),
+            F.month("ts"), F.year("ts"), F.dayofweek("ts"))
+         .dropDuplicates(["ts"]).count())
+
+    def python_udf_epochms_to_ts():
+        # same triggering action as BASELINE.md's recipe (count of the
+        # UDF projection); the oracle-checked q_epoch_to_ts_udf covers
+        # value correctness of the UDF itself
+        raw_events.select(epoch_ms_to_ts_udf(F.expr("ts DIV 1000000")).alias("st")).count()
+
+    def parquet_write_partitioned():
+        (t["orders"]
+         .withColumns({"year": F.year("o_orderdate"), "month": F.month("o_orderdate")})
+         .write.mode("overwrite").partitionBy("year", "month")
+         .parquet(f"{tmp}/orders_part"))
+
+    def etl_join_write_end2end():
+        spark.sql("""
+            SELECT monotonically_increasing_id() AS songplay_id,
+                   o.o_orderkey, year(o.o_orderdate) AS year,
+                   month(o.o_orderdate) AS month, c.c_custkey AS user_id,
+                   c.c_mktsegment AS level, o.o_totalprice AS amount
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        """).write.mode("overwrite").partitionBy("year", "month").parquet(
+            f"{tmp}/songplays")
+
+    benches = {
+        "scan_count_lineitem": scan_count_lineitem,
+        "filter_project": filter_project,
+        "dedup_dropDuplicates": dedup_dropduplicates,
+        "hashagg_groupby": hashagg_groupby,
+        "equijoin_agg": equijoin_agg,
+        "multicond_join_count": multicond_join_count,
+        "timetable_dateparts_dedup": timetable_dateparts_dedup,
+        "python_udf_epochms_to_ts": python_udf_epochms_to_ts,
+        "parquet_write_partitioned": parquet_write_partitioned,
+        "etl_join_write_end2end": etl_join_write_end2end,
+    }
+
+    # session warm-up (JIT, codegen caches, file listing)
+    t["lineitem"].count()
+    t["events"].count()
+
+    results = {}
+    for name, fn in benches.items():
+        best = float("inf")
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        results[name] = round(best, 3)
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    print(json.dumps({
+        "metric": "headline_query_total",
+        "value": round(sum(results.values()), 3),
+        "unit": "sec",
+        "queries": results,
+        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+        "cpus": CPUS,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -181,15 +181,25 @@ def minhash_signature(shingle_col: Column, num_hashes: int = 32, seed: int = 42)
     permutations h_i(x) = (a_i*x + b_i) mod M31, the min over the doc's
     shingle hashes. Base shingle hash is xxhash64 folded into [0, 2^31)
     so the a*x product stays inside long range (ANSI-safe, no overflow).
+
+    One transform over a literal (a, b) param array — the base-hash
+    subtree appears once in the plan instead of num_hashes times, which
+    keeps codegen small (the per-column formulation is ~50× slower to
+    plan/compile).
     """
     base = F.transform(shingle_col, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE31)))
-    sig = [
-        F.array_min(
-            F.transform(base, lambda h: F.pmod(a * h + b, F.lit(_MERSENNE31)))
-        ).alias(f"mh_{i}")
-        for i, (a, b) in enumerate(_perm_params(num_hashes, seed))
-    ]
-    return F.array(*sig)
+    params = F.array(
+        *[
+            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for a, b in _perm_params(num_hashes, seed)
+        ]
+    )
+    return F.transform(
+        params,
+        lambda p: F.array_min(
+            F.transform(base, lambda h: F.pmod(p["a"] * h + p["b"], F.lit(_MERSENNE31)))
+        ),
+    )
 
 
 def minhash_candidates(

