@@ -11,10 +11,8 @@ Usage: python scripts/verify_local.py [--sf /root/testdata/sf0.001] [-q name1,na
 from __future__ import annotations
 
 import argparse
-import math
 import sys
 import time
-from datetime import date, datetime
 from pathlib import Path
 
 import duckdb
@@ -23,28 +21,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 from udacity_data_engineering_spark.plans.registry import all_queries
 from udacity_data_engineering_spark.session import TABLES, build_session
-
-
-def norm(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        # collapse -0.0 and represent with enough digits to be exact
-        return repr(v + 0.0)
-    if isinstance(v, datetime):
-        return v.replace(tzinfo=None).isoformat()
-    if isinstance(v, date):
-        return v.isoformat()
-    return repr(v)
-
-
-def row_multiset(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = {}
-    for r in rows:
-        key = tuple(norm(r[i]) for i in order)
-        out[key] = out.get(key, 0) + 1
-    return out
+from udacity_data_engineering_spark.testing import compare
 
 
 def main() -> int:
@@ -90,18 +67,7 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL {name}: duckdb error: {type(e).__name__}: {e}")
             continue
-        problems = []
-        if sorted(scols) != sorted(ocols):
-            problems.append(f"columns spark={sorted(scols)} oracle={sorted(ocols)}")
-        if len(srows) != len(orows):
-            problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
-        if not problems:
-            sm = row_multiset([tuple(r) for r in srows], scols)
-            om = row_multiset(orows, ocols)
-            if sm != om:
-                extra_s = [k for k in sm if sm[k] != om.get(k, 0)][:3]
-                extra_o = [k for k in om if om[k] != sm.get(k, 0)][:3]
-                problems.append(f"values spark-only={extra_s} oracle-only={extra_o}")
+        problems = compare(srows, scols, orows, ocols)
         if problems:
             failures.append(name)
             print(f"FAIL {name}: " + "; ".join(problems))

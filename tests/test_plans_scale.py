@@ -1,0 +1,111 @@
+"""Physical-plan guard-rails — the 100 TB design assertions.
+
+Correctness says the operator works; these tests pin the *plan shape*
+that makes it work at scale: filters pushed into scans, projections
+pruned, small dims broadcast, top-k as TakeOrderedAndProject, and no
+Python eval nodes outside the two deliberate UDF paths.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+from udacity_data_engineering_spark.plans.registry import all_queries
+from udacity_data_engineering_spark.session import table
+
+MANIFEST = all_queries()
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = plan_of(MANIFEST["q_filter_eq"].fn(spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)" in plan
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    plan = plan_of(MANIFEST["q_project"].fn(spark, sf_dir))
+    # ReadSchema must carry only the 3 projected columns
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" in read and "l_quantity" in read
+    assert "l_extendedprice" not in read and "l_shipdate" not in read
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir):
+    plan = plan_of(MANIFEST["q_sql_entry"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_topn_avoids_global_sort(spark, sf_dir):
+    plan = plan_of(MANIFEST["q_topn"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_groupby_is_partial_final(spark, sf_dir):
+    plan = plan_of(MANIFEST["q_groupby_agg"].fn(spark, sf_dir), "simple")
+    # two HashAggregate nodes around one shuffle = map-side partial agg
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange hashpartitioning" in plan
+
+
+def test_no_python_eval_outside_udf_paths(spark, sf_dir):
+    """Everything except the two deliberate UDF-parity queries must stay
+    JVM-side — a stray Python eval node is a 10-100x regression at scale."""
+    for name, q in MANIFEST.items():
+        if "udf" in name:
+            continue
+        plan = plan_of(q.fn(spark, sf_dir), "simple")
+        assert "Python" not in plan, f"{name} contains a Python eval node"
+
+
+def test_whole_stage_codegen_on_hot_path(spark, sf_dir):
+    # Under AQE codegen only shows in the *final* plan — execute, then
+    # inspect the executed plan for fused codegen stages.
+    df = MANIFEST["q_groupby_agg"].fn(spark, sf_dir)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    # '*(n)' prefixes mark WholeStageCodegen-fused operators; both the
+    # partial and final aggregate must be inside codegen stages
+    assert "*(1) HashAggregate" in final and "*(2) HashAggregate" in final
+
+
+def test_dedup_compiles_to_single_shuffle(spark, sf_dir):
+    plan = plan_of(MANIFEST["q_dedup_key"].fn(spark, sf_dir), "simple")
+    assert plan.count("Exchange") == 1
+
+
+def test_synthetic_ids_unique(spark, sf_dir):
+    df = MANIFEST["q_synthetic_id"].fn(spark, sf_dir)
+    assert df.select("songplay_id").distinct().count() == df.count()
+
+
+def test_broadcast_hint_respected(spark, sf_dir):
+    plan = plan_of(MANIFEST["q_join_broadcast_agg"].fn(spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_asof_join_has_no_cartesian(spark, sf_dir):
+    """The union-merge as-of join must not plan a nested-loop/cartesian —
+    that is the O(n*m) trap the implementation exists to avoid."""
+    plan = plan_of(MANIFEST["q_asof_join"].fn(spark, sf_dir), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_partition_pruning_on_partitioned_output(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "lake")
+    orders = table(spark, sf_dir, "orders").withColumns(
+        {"year": F.year("o_orderdate"), "month": F.month("o_orderdate")}
+    )
+    orders.write.mode("overwrite").partitionBy("year", "month").parquet(out)
+    pruned = spark.read.parquet(out).filter(F.col("year") == 1995)
+    plan = plan_of(pruned)
+    assert "PartitionFilters: [isnotnull(year" in plan

@@ -1,0 +1,90 @@
+"""Property-based tests (SURVEY.md §5.4): dedup determinism under input
+permutation, epoch<->timestamp round-trips, date-part consistency with
+Python's datetime."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta, timezone
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+SLOW = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),  # key (collisions likely)
+        st.integers(min_value=0, max_value=10**6),  # ordering value
+        st.text("abc", min_size=0, max_size=4),  # payload
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(rows=rows_strategy, seed=st.integers(0, 5))
+@SLOW
+def test_dedup_deterministic_under_permutation(spark, rows, seed):
+    """dedup_by semantics: same survivor multiset for any input order."""
+    import random
+
+    shuffled = rows[:]
+    random.Random(seed).shuffle(shuffled)
+    out = []
+    for data in (rows, shuffled):
+        df = spark.createDataFrame(data, "k int, v long, payload string")
+        w = Window.partitionBy("k").orderBy(
+            F.col("v").desc(), F.col("payload").desc()
+        )
+        survivors = (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter("rn = 1")
+            .drop("rn")
+            .collect()
+        )
+        out.append(sorted(map(tuple, survivors)))
+    assert out[0] == out[1]
+
+
+@given(ms=st.integers(min_value=0, max_value=4102444800000))  # 1970..2100
+@SLOW
+def test_epoch_ms_roundtrip(spark, ms):
+    """builtin + UDF agree with exact integer datetime arithmetic."""
+    from udacity_data_engineering_spark.functions.datetime_fns import (
+        epoch_ms_to_ts,
+        epoch_ms_to_ts_udf,
+    )
+
+    df = spark.createDataFrame([(ms,)], "ms long").select(
+        epoch_ms_to_ts(F.col("ms")).cast("timestamp_ntz").alias("b"),
+        epoch_ms_to_ts_udf(F.col("ms")).cast("timestamp_ntz").alias("u"),
+    )
+    row = df.collect()[0]
+    expected = datetime(1970, 1, 1) + timedelta(milliseconds=ms)
+    assert row.b == expected
+    assert row.u == expected
+
+
+@given(
+    ts=st.datetimes(
+        min_value=datetime(1971, 1, 1), max_value=datetime(2099, 12, 31)
+    )
+)
+@SLOW
+def test_dateparts_match_python(spark, ts):
+    ts = ts.replace(microsecond=0)
+    df = spark.createDataFrame([(ts,)], "t timestamp_ntz").select(
+        F.hour("t"), F.dayofmonth("t"), F.month("t"), F.year("t"),
+        F.weekofyear("t"), F.dayofweek("t"),
+    )
+    h, d, m, y, w, dow = df.collect()[0]
+    assert (h, d, m, y) == (ts.hour, ts.day, ts.month, ts.year)
+    assert w == ts.isocalendar()[1]
+    assert dow == (ts.isoweekday() % 7) + 1  # Spark: 1=Sunday..7=Saturday

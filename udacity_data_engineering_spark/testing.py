@@ -1,0 +1,49 @@
+"""Shared helpers for oracle comparison (used by scripts/verify_local.py
+and tests/) — mirrors the driver's t2 comparison: row count + sorted
+column names + order-insensitive multiset of normalized rows."""
+
+from __future__ import annotations
+
+import math
+from datetime import date, datetime
+
+
+def norm_value(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v + 0.0)  # collapse -0.0
+    if isinstance(v, datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, date):
+        return v.isoformat()
+    return repr(v)
+
+
+def row_multiset(rows, cols) -> dict:
+    """Multiset of rows, each normalized and column-name-sorted."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out: dict = {}
+    for r in rows:
+        key = tuple(norm_value(r[i]) for i in order)
+        out[key] = out.get(key, 0) + 1
+    return out
+
+
+def compare(spark_rows, spark_cols, oracle_rows, oracle_cols) -> list[str]:
+    """Return a list of mismatch descriptions (empty == match)."""
+    problems = []
+    if sorted(spark_cols) != sorted(oracle_cols):
+        problems.append(
+            f"columns spark={sorted(spark_cols)} oracle={sorted(oracle_cols)}"
+        )
+    if len(spark_rows) != len(oracle_rows):
+        problems.append(f"rowcount spark={len(spark_rows)} oracle={len(oracle_rows)}")
+    if not problems:
+        sm = row_multiset([tuple(r) for r in spark_rows], spark_cols)
+        om = row_multiset(oracle_rows, oracle_cols)
+        if sm != om:
+            extra_s = [k for k in sm if sm[k] != om.get(k, 0)][:3]
+            extra_o = [k for k in om if om[k] != sm.get(k, 0)][:3]
+            problems.append(f"values spark-only={extra_s} oracle-only={extra_o}")
+    return problems
