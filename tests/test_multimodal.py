@@ -1,0 +1,81 @@
+"""E15 multimodal plumbing tests: binaryFile scan, Arrow-batched decode
+(deterministic fake kernel), frame sampling, and the explicit real-decode
+stub contract."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+from udacity_data_engineering_spark.operators.multimodal import (
+    MEDIA_DIR,
+    decode_fake,
+    decode_media,
+    decode_real,
+    frame_sample,
+    read_media,
+)
+
+
+def test_binary_scan_schema(spark):
+    df = read_media(spark)
+    assert dict(df.dtypes)["content"] == "binary"
+    assert df.count() == 6
+
+
+def test_decode_matches_fixture_headers(spark):
+    rows = decode_media(read_media(spark)).collect()
+    assert len(rows) == 6
+    for r in rows:
+        raw = open(r.path.removeprefix("file:"), "rb").read()
+        w, h = struct.unpack(">II", raw[:8])
+        assert (r.meta.width, r.meta.height) == (w, h)
+        assert r.meta.format == "img"
+        assert len(r.features) == 8
+        assert abs(sum(r.features) - 1.0) < 1e-6  # normalized histogram
+        assert r.n_bytes == len(raw)
+
+
+def test_decode_real_is_marked_stub():
+    with pytest.raises(NotImplementedError):
+        decode_real(b"\x00" * 16)
+
+
+def test_frame_sample_partitions_payload(spark):
+    df = frame_sample(read_media(spark), n_frames=4)
+    rows = df.collect()
+    assert len(rows) == 24  # 6 files x 4 frames
+    per_path = {}
+    for r in rows:
+        per_path.setdefault(r.path, []).append(r)
+    for path, frames in per_path.items():
+        raw = open(path.removeprefix("file:"), "rb").read()
+        got = b"".join(f.frame for f in sorted(frames, key=lambda f: f.frame_id))
+        # frames tile the payload (integer division may drop a tail byte)
+        assert got == raw[8 : 8 + len(got)]
+        assert len(got) >= len(raw) - 8 - 4
+
+
+def test_zscore_pandas_vs_builtin(spark, sf_dir):
+    """applyInPandas kernel agrees with the pure-SQL window formulation."""
+    from udacity_data_engineering_spark.operators.pandas_ops import group_zscore
+    from udacity_data_engineering_spark.session import table
+
+    ev = table(spark, sf_dir, "events")
+    got = {r.event_id: r.zscore for r in group_zscore(ev).collect()}
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("event_type")
+    want = {
+        r.event_id: r.z
+        for r in ev.select(
+            "event_id",
+            F.round(
+                (F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w),
+                4,
+            ).alias("z"),
+        ).collect()
+    }
+    assert got == want

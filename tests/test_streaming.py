@@ -1,0 +1,57 @@
+"""E14: batch/stream parity. The streaming execution of the event-time
+windows must produce exactly the batch results when replaying the same
+files (availableNow trigger, no late data)."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from udacity_data_engineering_spark.plans.registry import all_queries
+from udacity_data_engineering_spark.streaming import (
+    run_available_now,
+    sessionized_counts,
+    stream_events,
+    windowed_counts,
+)
+
+MANIFEST = all_queries()
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir, tmp_path_factory):
+    """Stage the events table as a 4-file directory so the stream sees
+    multiple input splits."""
+    out = str(tmp_path_factory.mktemp("events_stream_in"))
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    raw.repartition(4).write.mode("overwrite").parquet(out)
+    yield out
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def _norm(rows):
+    return sorted(tuple(r) for r in rows)
+
+
+def test_tumbling_stream_matches_batch(spark, sf_dir, events_dir, tmp_path):
+    stream = windowed_counts(stream_events(spark, events_dir))
+    assert stream.isStreaming
+    run_available_now(stream, "tumbling_sink", str(tmp_path / "ckpt1"))
+    got = spark.sql("SELECT * FROM tumbling_sink").collect()
+    want = MANIFEST["q_tumbling_agg"].fn(spark, sf_dir).collect()
+    assert _norm(got) == _norm(want)
+
+
+def test_session_stream_matches_batch(spark, sf_dir, events_dir, tmp_path):
+    stream = sessionized_counts(stream_events(spark, events_dir))
+    run_available_now(stream, "session_sink", str(tmp_path / "ckpt2"))
+    got = spark.sql("SELECT * FROM session_sink").collect()
+    want = MANIFEST["q_session_window"].fn(spark, sf_dir).collect()
+    assert _norm(got) == _norm(want)
+
+
+def test_watermark_present_in_plan(spark, events_dir):
+    stream = windowed_counts(stream_events(spark, events_dir), watermark="45 minutes")
+    assert "45 minutes" in stream._jdf.queryExecution().analyzed().toString()

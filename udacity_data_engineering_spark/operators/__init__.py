@@ -6,6 +6,8 @@ from udacity_data_engineering_spark.operators import (  # noqa: F401
     asof,
     dedup,
     joins,
+    multimodal,
+    pandas_ops,
     relational,
     similarity,
     text,

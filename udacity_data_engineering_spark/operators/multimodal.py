@@ -1,0 +1,151 @@
+"""Multimodal columns — E15 (SURVEY.md §2B).
+
+Images/audio/video travel as opaque ``binary`` columns with typed struct
+metadata; per-row media work (decode, feature-extract, resize,
+frame-sample) runs as Arrow-batched Pandas functions over
+``mapInPandas`` so bytes move JVM→Python once per batch, never per row.
+
+The container has no image/audio libraries, so the *decode kernel* is
+stubbed two ways (charter-mandated): ``decode_real`` raises
+NotImplementedError (the marked integration point for PIL/ffmpeg), and
+``decode_fake`` deterministically parses our fixture header (8 bytes:
+width,height as uint32-BE) — making all Spark-side plumbing (schema,
+partitioning, UDF signature, Arrow batch shape) real and testable.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from udacity_data_engineering_spark.plans.registry import register
+from udacity_data_engineering_spark.sources.json_source import FIXTURES
+
+MEDIA_DIR = str(FIXTURES.parent / "media")
+
+#: Output schema of the decode stage: metadata struct + fixed-length
+#: feature vector. At scale the features column is what flows on to
+#: similarity search (operators/similarity.py) — bytes stay columnar.
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("format", T.StringType()),
+                ]
+            ),
+        ),
+        T.StructField("features", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def decode_real(content: bytes) -> tuple[int, int, list[float]]:
+    """Real decode hook — wire PIL/torchvision/ffmpeg here.
+
+    Deliberately unimplemented in this container (no media libs baked
+    in); the pipeline around it is fully functional via decode_fake.
+    """
+    raise NotImplementedError(
+        "media decoding requires an image library not present in this "
+        "environment; use decode_fake for the deterministic test path"
+    )
+
+
+def decode_fake(content: bytes) -> tuple[int, int, list[float]]:
+    """Deterministic stand-in decode: header = width,height uint32-BE;
+    features = normalized byte histogram over 8 buckets of the payload."""
+    if len(content) < 8:
+        return 0, 0, [0.0] * 8
+    w, h = struct.unpack(">II", content[:8])
+    hist = [0] * 8
+    payload = content[8:]
+    for b in payload:
+        hist[b >> 5] += 1
+    n = max(len(payload), 1)
+    return w, h, [c / n for c in hist]
+
+
+def read_media(spark: SparkSession, path: str = MEDIA_DIR) -> DataFrame:
+    """binaryFile source: (path, modificationTime, length, content).
+    Spark never parses the bytes — scans stay columnar and the payload
+    column is only materialized where referenced."""
+    return spark.read.format("binaryFile").load(f"{path}/*.img")
+
+
+def decode_media(df: DataFrame, decoder=decode_fake) -> DataFrame:
+    """mapInPandas decode stage: one Arrow batch in, one out. The
+    iterator-of-frames signature is the 100 TB shape — constant memory
+    per batch regardless of partition size."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            decoded = [decoder(c) for c in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "path": pdf["path"],
+                    "n_bytes": pdf["length"],
+                    "meta": [
+                        {"width": w, "height": h, "format": "img"}
+                        for w, h, _ in decoded
+                    ],
+                    "features": [f for _, _, f in decoded],
+                }
+            )
+
+    return df.mapInPandas(batches, DECODED_SCHEMA)
+
+
+def frame_sample(df: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Frame sampling for chunked payloads, pure JVM-side: slice the
+    binary into n equal 'frames' with substring and explode — one row
+    per (path, frame_id, frame_bytes). No Python hop at all."""
+    frame_len = (F.length("content") - F.lit(8)) / n_frames
+    frames = F.transform(
+        F.sequence(F.lit(0), F.lit(n_frames - 1)),
+        lambda i: F.struct(
+            i.cast("int").alias("frame_id"),
+            F.substring(
+                F.col("content"),
+                (F.lit(9) + (i * frame_len).cast("int")),
+                F.greatest(frame_len.cast("int"), F.lit(1)),
+            ).alias("frame"),
+        ),
+    )
+    return df.select("path", F.explode(frames).alias("f")).select(
+        "path", "f.frame_id", "f.frame"
+    )
+
+
+@register(
+    "q_multimodal_decode",
+    doc="E15: binaryFile scan -> Arrow-batched mapInPandas decode "
+    "(deterministic fake kernel) -> metadata struct + feature vector. "
+    "Rows-only (binary fixtures live outside the oracle's parquet "
+    "views); tests assert exact decoded values.",
+    tags=("E15",),
+)
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return decode_media(read_media(spark)).select(
+        "path", "n_bytes", "meta.width", "meta.height", "features"
+    )
+
+
+@register(
+    "q_multimodal_frames",
+    doc="E15: frame sampling over binary payloads via substring+explode "
+    "(JVM-side, no Python). Rows-only.",
+    tags=("E15",),
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return frame_sample(read_media(spark))

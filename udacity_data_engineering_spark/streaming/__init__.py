@@ -1,3 +1,6 @@
-"""Structured Streaming layer (E14) — populated in a later round; the
-batch event-time window operators in operators/windows.py are written so
-the identical expressions run under readStream + watermark."""
+from udacity_data_engineering_spark.streaming.event_stream import (  # noqa: F401
+    sessionized_counts,
+    stream_events,
+    run_available_now,
+    windowed_counts,
+)

@@ -1,0 +1,106 @@
+"""Structured Streaming execution of the event-time operators — E14
+(SURVEY.md §2B).
+
+The reference is batch-only (SURVEY §1.1); this is the charter-mandated
+streaming extension. Design rule: the *same expressions* used by the
+batch operators (operators/windows.py ``F.window`` / ``F.session_window``
+aggregations) run here under ``readStream`` — batch/stream parity holds
+by construction, and tests/test_streaming.py asserts it by executing both
+paths over the same files.
+
+Late data: ``withWatermark`` bounds state; events older than the
+watermark are dropped at the aggregation. In ``availableNow`` replays
+(as used in tests) nothing is late, so parity with batch is exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from udacity_data_engineering_spark.session import configure
+
+#: Declared schema for the events stream — file streams require one
+#: (schema inference is off in production streaming, and at 100 TB you
+#: never want it anyway). ``ts`` arrives as int64 nanos via the
+#: nanosAsLong shim (SURVEY §7.2).
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, path: str) -> DataFrame:
+    """File-based event stream: each parquet file under ``path`` is a
+    micro-batch input. Same ts normalization as the batch loader
+    (session.table), so downstream expressions are shared verbatim."""
+    configure(spark)
+    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(path)
+    # watermarks require TIMESTAMP (not NTZ); session tz is pinned UTC so
+    # the wall-clock values match the batch loader's NTZ — outputs cast
+    # back to NTZ below for exact batch parity
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+
+
+def windowed_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling event-time aggregate with late-data bound — the streaming
+    execution of q_tumbling_agg (operators/windows.py)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+def sessionized_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Session-window aggregate (merging interval state) — the streaming
+    execution of q_session_window."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame, sink_table: str, checkpoint: str
+) -> None:
+    """Execute a streaming query over all currently-available input
+    (Trigger.AvailableNow), write complete results to an in-memory sink
+    table, and block until done. The replay path used by tests and by
+    batch-backfill jobs; a production deployment points the same
+    DataFrame at a kafka/delta sink with a real trigger instead."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
