@@ -1,0 +1,92 @@
+"""SimHash + embedding LSH near-dup tests: exact detection of planted
+near-identical items (the operating regime), plus measured recall on the
+driver's uniform-random embeddings."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from udacity_data_engineering_spark.operators.neardup import (
+    NEARDUP_THRESHOLD,
+    embedding_neardup_lsh,
+    hamming,
+    simhash32,
+    simhash_candidates,
+)
+
+
+def test_simhash_identical_docs_distance_zero(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta")],
+        "doc_id long, text string",
+    )
+    sigs = df.select(simhash32(F.col("text")).alias("s")).collect()
+    assert sigs[0].s == sigs[1].s
+    pairs = simhash_candidates(df).collect()
+    assert [(p.doc_a, p.doc_b, p.hamming) for p in pairs] == [(1, 2, 0)]
+
+
+def test_simhash_near_identical_docs_detected(spark):
+    base = ("w%d " * 60) % tuple(range(60))
+    docs = [
+        (1, base.strip()),
+        (2, (base + "extra").strip()),  # one extra token
+        (3, " ".join(f"z{i}" for i in range(60))),  # unrelated
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pairs = {(p.doc_a, p.doc_b) for p in simhash_candidates(df).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_hamming_column(spark):
+    df = spark.createDataFrame(
+        [([1, 0, 1, 0], [1, 1, 0, 0])], "a array<int>, b array<int>"
+    ).select(hamming(F.col("a"), F.col("b")).alias("h"))
+    assert df.collect()[0].h == 2
+
+
+def test_lsh_full_recall_on_planted_neardups(spark):
+    """Planted pairs at cosine ~0.99 (LSH's actual regime): every one
+    must be found by the 12x4 OR-amplified bucketing."""
+    rng = random.Random(3)
+    rows = []
+    vid = 0
+    planted = []
+    for _ in range(15):
+        v = [rng.gauss(0, 1) for _ in range(64)]
+        w = [x + rng.gauss(0, 0.02) for x in v]  # near-duplicate
+        rows += [(vid, v), (vid + 1, w)]
+        planted.append((vid, vid + 1))
+        vid += 2
+    for _ in range(70):  # background noise
+        rows.append((vid, [rng.gauss(0, 1) for _ in range(64)]))
+        vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_neardup_lsh(df, threshold=0.95).collect()
+    }
+    missed = set(planted) - got
+    assert not missed, f"LSH missed planted near-dups: {missed}"
+
+
+def test_lsh_recall_on_driver_embeddings(spark, sf_dir):
+    """On uniform-random data (theta ~66 deg) sign-LSH is out of its
+    regime; assert the measured recall stays above the analytic floor
+    1-(1-p^4)^12 with p = 1 - 66/180 ~ 0.63 -> ~0.87, minus slack."""
+    from udacity_data_engineering_spark.plans.registry import all_queries
+
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in all_queries()["q_embedding_neardup"].fn(spark, sf_dir).collect()
+    }
+    approx = {
+        (r.vec_a, r.vec_b)
+        for r in all_queries()["q_embedding_neardup_lsh"].fn(spark, sf_dir).collect()
+    }
+    assert approx <= exact  # candidates are verified with true cosine
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.6, f"recall {recall:.2f} below floor"

@@ -7,9 +7,11 @@ from udacity_data_engineering_spark.operators import (  # noqa: F401
     dedup,
     joins,
     multimodal,
+    neardup,
     pandas_ops,
     relational,
     similarity,
+    sql_surface,
     text,
     windows,
 )
