@@ -3,6 +3,7 @@ in the plans registry (see plans/registry.py)."""
 
 from udacity_data_engineering_spark.operators import (  # noqa: F401
     aggregates,
+    analytics,
     asof,
     dedup,
     joins,

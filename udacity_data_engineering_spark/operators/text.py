@@ -167,6 +167,72 @@ def q_lang_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_token_count_regex",
+    oracle=r"""
+        SELECT doc_id,
+               CAST(length(regexp_extract_all(
+                   text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS INT)
+                   AS n_bpe_tokens
+        FROM documents
+    """,
+    doc="E10: BPE-ish token counting via regexp_extract_all — word "
+    "pieces / digit runs / single symbols, the shape a real "
+    "pre-tokenizer produces. The pattern is Java-regex / RE2 compatible "
+    "so both engines count identically.",
+    tags=("E10",),
+)
+def q_token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), 0)
+        ).alias("n_bpe_tokens"),
+    )
+
+
+def rolling_hash(text_col: Column) -> Column:
+    """Polynomial rolling hash over characters: h = (h*31 + code) mod M31.
+
+    Pure fold over the char array (JVM-side); operands stay < 2^36 so
+    ANSI overflow checking never trips. The canonical cheap document
+    fingerprint when cryptographic strength isn't needed.
+    """
+    codes = F.transform(
+        F.filter(F.split(text_col, ""), lambda c: c != ""),
+        lambda c: F.ascii(c).cast("long"),
+    )
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, x: F.pmod(acc * 31 + x, F.lit((1 << 31) - 1)),
+    )
+
+
+@register(
+    "q_rolling_hash",
+    oracle="""
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(
+                       CAST(0 AS BIGINT),
+                       list_transform(
+                           list_filter(string_split(text, ''), c -> c != ''),
+                           c -> CAST(unicode(c) AS BIGINT))),
+                   (acc, x) -> (acc * 31 + x) % 2147483647) AS fp
+        FROM documents
+    """,
+    doc="E10: rolling-hash document fingerprint — identical polynomial "
+    "fold expressed as aggregate() in Spark and list_reduce() in the "
+    "oracle (0 prepended so both folds start from the same seed).",
+    tags=("E10", "dedup"),
+)
+def q_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.select("doc_id", rolling_hash(F.col("text")).alias("fp"))
+
+
+@register(
     "q_lang_id",
     doc="Heuristic stopword-overlap language ID over documents.text. The "
     "heuristic has no SQL-oracle equivalent — rows-only driver check; "
