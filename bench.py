@@ -124,12 +124,32 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         results[name] = round(best, 3)
 
+    # engine-extension headliners (no BASELINE counterpart — reported
+    # separately so the headline metric stays comparable to BASELINE.md)
+    from udacity_data_engineering_spark.plans.registry import all_queries
+
+    manifest = all_queries()
+    extensions = {}
+    for name in (
+        "q_window_rank", "q_asof_join", "q_tumbling_agg", "q_session_window",
+        "q_cosine_topk", "q_minhash_candidates", "q_text_tokens",
+        "q_doc_dedup", "q_group_zscore", "q_shipping_priority",
+        "q_local_supplier_volume", "q_embedding_neardup_lsh",
+    ):
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            manifest[name].fn(spark, SF_DIR).count()
+            best = min(best, time.perf_counter() - t0)
+        extensions[name] = round(best, 3)
+
     shutil.rmtree(tmp, ignore_errors=True)
     print(json.dumps({
         "metric": "headline_query_total",
         "value": round(sum(results.values()), 3),
         "unit": "sec",
         "queries": results,
+        "extensions": extensions,
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
         "cpus": CPUS,
     }))

@@ -1,0 +1,77 @@
+"""Bucketing + salting: the plan must show the scale property (no
+exchange on bucketed joins; salted results identical to plain)."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+from udacity_data_engineering_spark.operators.physical import (
+    salted_agg,
+    salted_join,
+    write_bucketed,
+)
+from udacity_data_engineering_spark.session import table
+
+
+def _final_plan(df) -> str:
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    write_bucketed(orders, "orders_b", ["o_custkey"], 8, sort_cols=["o_custkey"])
+    write_bucketed(customer, "cust_b", ["c_custkey"], 8, sort_cols=["c_custkey"])
+    ob, cb = spark.table("orders_b"), spark.table("cust_b")
+    # disable broadcast so the join must co-partition — bucketing should
+    # satisfy the requirement with zero runtime exchanges
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = ob.join(cb, ob.o_custkey == cb.c_custkey).select("o_orderkey", "c_name")
+        plan = _final_plan(j)
+        assert "Exchange" not in plan, plan
+        assert j.count() == 15000 or j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_salted_join_matches_plain(spark, sf_dir):
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    plain = orders.join(customer, orders.o_custkey == customer.c_custkey).select(
+        "o_orderkey", "c_mktsegment"
+    )
+    salted = salted_join(
+        orders.withColumnRenamed("o_custkey", "c_custkey"), customer, "c_custkey"
+    ).select("o_orderkey", "c_mktsegment")
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_salted_agg_matches_plain(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    plain = {
+        (r.l_returnflag): (round(r.s, 2), r.c)
+        for r in li.groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("s"), F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    salted = {
+        (r.l_returnflag): (round(r.sum_l_quantity, 2), r.count_l_linenumber)
+        for r in salted_agg(
+            li, "l_returnflag", {"l_quantity": "sum", "l_linenumber": "count"}
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_agg_rejects_nondecomposable():
+    import pytest
+
+    with pytest.raises(ValueError):
+        salted_agg(None, "k", {"x": "avg"})

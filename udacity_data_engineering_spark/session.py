@@ -83,6 +83,11 @@ def build_session(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # catalog-table writes (bucketed tables) land in /tmp, not the repo
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_WAREHOUSE_DIR", "/tmp/uds_warehouse"),
+        )
     )
     for key, value in RUNTIME_CONFS.items():
         builder = builder.config(key, value)
