@@ -56,11 +56,22 @@ def test_groupby_is_partial_final(spark, sf_dir):
     assert "Exchange hashpartitioning" in plan
 
 
+#: Queries whose Python boundary is deliberate (UDF parity path, Pandas
+#: kernels, UDTF) — everything else must stay JVM-side.
+PYTHON_PATH_QUERIES = {
+    "q_epoch_to_ts_udf",
+    "q_udtf_ngrams",
+    "q_pandas_udaf_median",
+    "q_group_zscore",
+    "q_multimodal_decode",
+}
+
+
 def test_no_python_eval_outside_udf_paths(spark, sf_dir):
-    """Everything except the two deliberate UDF-parity queries must stay
+    """Everything except the deliberate Python-path queries must stay
     JVM-side — a stray Python eval node is a 10-100x regression at scale."""
     for name, q in MANIFEST.items():
-        if "udf" in name:
+        if name in PYTHON_PATH_QUERIES:
             continue
         plan = plan_of(q.fn(spark, sf_dir), "simple")
         assert "Python" not in plan, f"{name} contains a Python eval node"

@@ -1,0 +1,34 @@
+from __future__ import annotations
+
+from udacity_data_engineering_spark.etl.upsert import merge_into
+
+
+def test_merge_updates_and_inserts(spark, tmp_path):
+    target = str(tmp_path / "users")
+    spark.createDataFrame(
+        [(1, "ann", "free"), (2, "bo", "free"), (3, "cy", "paid")],
+        "user_id long, name string, level string",
+    ).write.parquet(target)
+
+    updates = spark.createDataFrame(
+        [(2, "bo", "paid"), (4, "di", "free")],
+        "user_id long, name string, level string",
+    )
+    n = merge_into(spark, target, updates, ["user_id"])
+    assert n == 4
+    rows = {r.user_id: (r.name, r.level) for r in spark.read.parquet(target).collect()}
+    assert rows == {
+        1: ("ann", "free"),
+        2: ("bo", "paid"),  # updated
+        3: ("cy", "paid"),
+        4: ("di", "free"),  # inserted
+    }
+
+
+def test_merge_is_idempotent(spark, tmp_path):
+    target = str(tmp_path / "t")
+    spark.createDataFrame([(1, "x")], "k long, v string").write.parquet(target)
+    up = spark.createDataFrame([(1, "y")], "k long, v string")
+    assert merge_into(spark, target, up, ["k"]) == 1
+    assert merge_into(spark, target, up, ["k"]) == 1
+    assert spark.read.parquet(target).collect()[0].v == "y"

@@ -14,5 +14,6 @@ from udacity_data_engineering_spark.operators import (  # noqa: F401
     similarity,
     sql_surface,
     text,
+    udf_surface,
     windows,
 )

@@ -29,6 +29,7 @@ def write_bucketed(
     paid once at write. This is the canonical layout for a fact table
     joined on the same key by every downstream query.
     """
+    df.sparkSession.sql(f"DROP TABLE IF EXISTS {table_name}")
     writer = df.write.mode("overwrite").format("parquet").bucketBy(
         num_buckets, *bucket_cols
     )

@@ -83,10 +83,14 @@ def build_session(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # catalog-table writes (bucketed tables) land in /tmp, not the repo
+        # catalog-table writes (bucketed tables) land in /tmp, not the
+        # repo; per-process dir so stale files from a previous session
+        # can't collide with managed-table locations
         .config(
             "spark.sql.warehouse.dir",
-            os.environ.get("SPARK_WAREHOUSE_DIR", "/tmp/uds_warehouse"),
+            os.environ.get(
+                "SPARK_WAREHOUSE_DIR", f"/tmp/uds_warehouse_{os.getpid()}"
+            ),
         )
     )
     for key, value in RUNTIME_CONFS.items():
