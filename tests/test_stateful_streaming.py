@@ -1,0 +1,110 @@
+"""applyInPandasWithState + foreachBatch: the custom stateful operator's
+replay result must equal the batch aggregate, and state must carry
+across micro-batches."""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import functions as F
+
+from udacity_data_engineering_spark.session import table
+from udacity_data_engineering_spark.streaming.event_stream import stream_events
+from udacity_data_engineering_spark.streaming.stateful import (
+    running_user_totals,
+    write_stream_parquet,
+)
+
+
+def test_stateful_totals_match_batch(spark, sf_dir, tmp_path):
+    src = str(tmp_path / "in")
+    spark.read.parquet(f"{sf_dir}/events.parquet").repartition(3).write.parquet(src)
+
+    out = running_user_totals(stream_events(spark, src))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("totals_sink")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update mode may emit a row per micro-batch per user: keep the last
+    got = {
+        r.user_id: (r.n_events, r.sum_value)
+        for r in spark.sql(
+            """SELECT user_id, n_events, sum_value FROM (
+                   SELECT *, row_number() OVER (
+                       PARTITION BY user_id ORDER BY n_events DESC) rn
+                   FROM totals_sink) WHERE rn = 1"""
+        ).collect()
+    }
+    want = {
+        r.user_id: (r.n, round(r.s, 2))
+        for r in table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_state_carries_across_batches(spark, tmp_path):
+    """Two availableNow replays over a growing directory: the second run
+    resumes from the checkpoint and its state includes the first run's
+    rows."""
+    src = str(tmp_path / "grow")
+    ckpt = str(tmp_path / "ckpt2")
+    spark.createDataFrame([(1, 10.0), (1, 5.0)], "user_id long, value double").write.mode(
+        "append"
+    ).parquet(src)
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+
+    sink_dir = str(tmp_path / "sink")
+
+    def run_once():
+        # memory sink can't recover from a checkpoint; foreachBatch can —
+        # which is also the production restart story
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            running_user_totals(stream)
+            .writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(sink_dir)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    first = spark.read.parquet(sink_dir).orderBy(F.col("n_events").desc()).collect()
+    assert first[0].n_events == 2
+
+    spark.createDataFrame([(1, 1.0)], "user_id long, value double").write.mode(
+        "append"
+    ).parquet(src)
+    run_once()
+    final = spark.read.parquet(sink_dir).orderBy(F.col("n_events").desc()).collect()
+    assert final[0].n_events == 3  # 2 from run 1's state + 1 new
+    assert final[0].sum_value == 16.0
+
+
+def test_foreachbatch_parquet_sink(spark, sf_dir, tmp_path):
+    src = str(tmp_path / "in2")
+    spark.read.parquet(f"{sf_dir}/events.parquet").limit(100).write.parquet(src)
+    out = str(tmp_path / "out")
+    stream = stream_events(spark, src).select("event_id", "user_id", "value")
+    write_stream_parquet(stream, out, str(tmp_path / "ckpt3"))
+    assert spark.read.parquet(out).count() == 100
+    shutil.rmtree(src, ignore_errors=True)

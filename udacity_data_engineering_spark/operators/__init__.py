@@ -13,6 +13,7 @@ from udacity_data_engineering_spark.operators import (  # noqa: F401
     relational,
     similarity,
     sql_surface,
+    sql_surface2,
     text,
     udf_surface,
     windows,

@@ -1,0 +1,69 @@
+"""Custom stateful streaming operators — applyInPandasWithState (E14).
+
+For semantics the built-in windowed aggregations can't express (running
+per-key accumulators, custom eviction, cross-batch logic), Structured
+Streaming's arbitrary-state API is the tool: state lives in the state
+store per group, each micro-batch's rows arrive as Arrow-backed pandas
+frames, and the kernel decides what to emit and what to keep.
+
+``running_user_totals`` is deliberately simple (cumulative count/sum per
+user) so its single-replay result is exactly checkable against a batch
+groupBy — the same batch/stream parity discipline as event_stream.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = "user_id long, n_events long, sum_value double"
+STATE_SCHEMA = "n long, s double"
+
+
+def _totals_kernel(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    n, s = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        s += float(pdf["value"].sum())
+    state.update((n, s))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "sum_value": [round(s, 2)]}
+    )
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Cumulative per-user event count + value sum across micro-batches.
+    Emits the updated totals for every user seen in the batch (update
+    output mode); state is one (long, double) pair per user — constant
+    per key, no growth over time."""
+    return events.select("user_id", "value").groupBy("user_id").applyInPandasWithState(
+        _totals_kernel,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def write_stream_parquet(
+    stream_df: DataFrame, out_path: str, checkpoint: str
+) -> None:
+    """foreachBatch parquet sink: each micro-batch lands as an idempotent
+    overwrite-by-batch-id append. The pattern for sinks Spark lacks a
+    native streaming writer for (JDBC, upsert targets, ...)."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_path)
+
+    q = (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
