@@ -1,0 +1,109 @@
+"""Scale probe: measure how the core operator shapes scale from sf0.1
+(600k lineitem rows) to a 10x replica (6M rows) built in /tmp.
+
+Near-1x time ratios per row (i.e. total time ratio near 10x or below on
+a machine with idle cores) indicate the shape is shuffle/scan-bound the
+way it should be; super-linear ratios flag a shape that would not
+survive a cluster scale-up. Results are recorded in SCALE.md.
+
+Usage: python scripts/scale_probe.py [replication_factor]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from udacity_data_engineering_spark.session import build_session, table
+
+SF_DIR = "/root/testdata/sf0.1"
+FACTOR = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+BASE = f"/tmp/scale_probe_x{FACTOR}"
+
+
+def build_replica(spark) -> None:
+    if os.path.exists(f"{BASE}/_done"):
+        return
+    for name, key_cols in (
+        ("lineitem", ["l_orderkey"]),
+        ("orders", ["o_orderkey", "o_custkey"]),
+        ("events", ["event_id", "user_id"]),
+    ):
+        df = table(spark, SF_DIR, name)
+        parts = []
+        for i in range(FACTOR):
+            shifted = df
+            for k in key_cols:
+                shifted = shifted.withColumn(k, F.col(k) + F.lit(i * 10_000_000))
+            parts.append(shifted)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.repartition(32).write.mode("overwrite").parquet(f"{BASE}/{name}")
+    Path(f"{BASE}/_done").touch()
+
+
+def main() -> None:
+    spark = build_session(app_name="scale-probe", cpus=32)
+    build_replica(spark)
+    small = {n: table(spark, SF_DIR, n) for n in ("lineitem", "orders", "events", "customer")}
+    big = {
+        "lineitem": spark.read.parquet(f"{BASE}/lineitem"),
+        "orders": spark.read.parquet(f"{BASE}/orders"),
+        "events": spark.read.parquet(f"{BASE}/events"),
+        "customer": small["customer"],  # dims stay dim-sized
+    }
+
+    def shapes(t):
+        return {
+            "scan_count": lambda: t["lineitem"].count(),
+            "filter_project": lambda: t["lineitem"]
+            .filter(F.col("l_shipdate") < "1996-01-01")
+            .select("l_orderkey", "l_extendedprice")
+            .count(),
+            "groupby_agg": lambda: t["lineitem"]
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum("l_quantity"), F.avg("l_discount"))
+            .collect(),
+            "dedup_key": lambda: t["orders"].dropDuplicates(["o_custkey"]).count(),
+            "join_agg": lambda: t["orders"]
+            .join(small["customer"], t["orders"].o_custkey % 10_000_000 == small["customer"].c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(F.sum("o_totalprice"))
+            .collect(),
+            "window_rank": lambda: t["orders"]
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    __import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy(
+                        "o_custkey"
+                    ).orderBy(F.col("o_totalprice").desc())
+                ),
+            )
+            .filter("rn = 1")
+            .count(),
+        }
+
+    results = {}
+    for label, t in (("1x", small), ("%dx" % FACTOR, big)):
+        for name, fn in shapes(t).items():
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn()
+                best = min(best, time.perf_counter() - t0)
+            results.setdefault(name, {})[label] = round(best, 3)
+    for name, r in results.items():
+        r["ratio"] = round(r[f"{FACTOR}x"] / max(r["1x"], 1e-9), 2)
+    print(json.dumps({"factor": FACTOR, "shapes": results}))
+
+
+if __name__ == "__main__":
+    main()

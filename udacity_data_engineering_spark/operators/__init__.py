@@ -10,6 +10,7 @@ from udacity_data_engineering_spark.operators import (  # noqa: F401
     multimodal,
     neardup,
     pandas_ops,
+    product_analytics,
     relational,
     similarity,
     sql_surface,

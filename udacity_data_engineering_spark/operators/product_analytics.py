@@ -1,0 +1,107 @@
+"""Event-stream product analytics: funnel conversion and retention
+cohorts — the standard activity-log workloads for an events table (the
+reference's log dataset is exactly this shape, README.md:33; it only ever
+filters it, etl.py:109 — these are the analyses a drop-in engine owes).
+
+Both are two-phase aggregations over one table: groupBy-min to anchor
+each user (signup time / cohort week), then a join back and a second
+aggregate. Anchors are user-cardinality (small); Catalyst broadcasts
+them, so the events fact streams through exactly once per phase.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from udacity_data_engineering_spark.plans.registry import register
+from udacity_data_engineering_spark.session import table
+
+
+@register(
+    "q_funnel",
+    oracle="""
+        WITH s AS (
+            SELECT user_id, min(ts) AS signup_ts
+            FROM events WHERE event_type = 'signup' GROUP BY user_id
+        ), p AS (
+            SELECT e.user_id, min(e.ts) AS first_purchase_ts
+            FROM events e JOIN s ON e.user_id = s.user_id
+                               AND e.ts >= s.signup_ts
+            WHERE e.event_type = 'purchase'
+            GROUP BY e.user_id
+        )
+        SELECT s.user_id, s.signup_ts, p.first_purchase_ts,
+               CAST(p.user_id IS NOT NULL AS BOOLEAN) AS converted
+        FROM s LEFT JOIN p ON s.user_id = p.user_id
+    """,
+    doc="Funnel: signup -> first subsequent purchase per user, with a "
+    "conversion flag. Two min-aggregations + a broadcast-able left join.",
+    tags=("analytics", "events"),
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(signups, "user_id")
+        .filter(F.col("ts") >= F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase_ts"))
+    )
+    return (
+        signups.join(purchases, "user_id", "left")
+        .select(
+            "user_id",
+            "signup_ts",
+            "first_purchase_ts",
+            F.col("first_purchase_ts").isNotNull().alias("converted"),
+        )
+    )
+
+
+@register(
+    "q_retention_cohorts",
+    oracle="""
+        WITH first AS (
+            SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+            FROM events GROUP BY user_id
+        ), act AS (
+            SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week
+            FROM events
+        )
+        SELECT f.cohort_week,
+               CAST(date_diff('day', f.cohort_week, a.active_week) / 7 AS INT)
+                   AS week_offset,
+               count(DISTINCT a.user_id) AS n_users
+        FROM act a JOIN first f ON a.user_id = f.user_id
+        GROUP BY 1, 2
+    """,
+    doc="Retention triangle: users bucketed by first-activity week "
+    "(cohort), counted per subsequent active week. Both engines truncate "
+    "weeks to ISO Monday, so offsets are exact multiples of 7 days.",
+    tags=("analytics", "events"),
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    # cast to DATE: Spark date_trunc yields timestamp, DuckDB yields DATE
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    act = ev.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("active_week")
+    ).distinct()
+    return (
+        act.join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("active_week", "cohort_week") / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
