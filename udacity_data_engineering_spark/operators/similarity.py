@@ -283,6 +283,39 @@ def minhash_candidates(
 
 
 @register(
+    "q_neardup_pipeline",
+    doc="End-to-end near-dup pipeline: MinHash-LSH candidate generation "
+    "-> exact token-set Jaccard verification on candidates only -> "
+    "confirmed pairs (jaccard >= 0.7). The production composition: "
+    "verification cost is O(candidates), never O(pairs). Probabilistic "
+    "candidate stage -> rows-only check.",
+    tags=("E12", "dedup"),
+)
+def q_neardup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    cand = minhash_candidates(docs)
+    tok = token_sets(docs)
+    cnt = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # intersection counts per candidate pair, then exact jaccard
+    inter = (
+        cand.join(tok.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(
+            tok.selectExpr("doc_id AS doc_b", "w"),
+            ["doc_b", "w"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(cnt.selectExpr("doc_id AS doc_a", "n AS na"), "doc_a")
+        .join(cnt.selectExpr("doc_id AS doc_b", "n AS nb"), "doc_b")
+        .filter(jac >= 0.7)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@register(
     "q_minhash_candidates",
     doc="MinHash+LSH near-dup candidate pairs (32 hashes, 8 bands of 4). "
     "Probabilistic by construction — rows-only driver check; "

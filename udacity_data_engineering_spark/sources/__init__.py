@@ -2,6 +2,7 @@
 queries."""
 
 from udacity_data_engineering_spark.sources import (  # noqa: F401
+    csv_source,
     json_source,
     parquet_source,
 )
