@@ -54,6 +54,7 @@ def register(
 def all_queries() -> dict[str, Query]:
     """Import every operator module (triggering registration) and return
     the full manifest."""
+    import udacity_data_engineering_spark.etl.sparkify_queries  # noqa: F401
     import udacity_data_engineering_spark.functions  # noqa: F401
     import udacity_data_engineering_spark.operators  # noqa: F401
     import udacity_data_engineering_spark.sources  # noqa: F401

@@ -4,6 +4,9 @@ from udacity_data_engineering_spark.streaming.event_stream import (  # noqa: F40
     run_available_now,
     windowed_counts,
 )
+from udacity_data_engineering_spark.streaming.joins import (  # noqa: F401
+    purchases_after_signup,
+)
 from udacity_data_engineering_spark.streaming.stateful import (  # noqa: F401
     running_user_totals,
     write_stream_parquet,
