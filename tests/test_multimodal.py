@@ -53,9 +53,7 @@ def test_frame_sample_partitions_payload(spark):
     for path, frames in per_path.items():
         raw = open(path.removeprefix("file:"), "rb").read()
         got = b"".join(f.frame for f in sorted(frames, key=lambda f: f.frame_id))
-        # frames tile the payload (integer division may drop a tail byte)
-        assert got == raw[8 : 8 + len(got)]
-        assert len(got) >= len(raw) - 8 - 4
+        assert got == raw[8:]  # frames tile the payload exactly — no gaps/tail loss
 
 
 def test_zscore_pandas_vs_builtin(spark, sf_dir):

@@ -75,3 +75,22 @@ def test_salted_agg_rejects_nondecomposable():
 
     with pytest.raises(ValueError):
         salted_agg(None, "k", {"x": "avg"})
+
+
+def test_salted_join_rejects_replica_breaking_types(spark):
+    """right/full/anti joins over the replicated side would emit
+    spurious replica rows — must be rejected, not silently wrong."""
+    import pytest
+
+    df = spark.range(1)
+    for how in ("right", "full", "left_anti"):
+        with pytest.raises(ValueError):
+            salted_join(df, df, "id", how=how)
+
+
+def test_salted_left_join_preserves_unmatched(spark):
+    large = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    small = spark.createDataFrame([(1, "x")], "k long, w string")
+    got = sorted(map(tuple, salted_join(large, small, "k", how="left").collect()))
+    want = sorted(map(tuple, large.join(small, "k", "left").collect()))
+    assert got == want

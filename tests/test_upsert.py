@@ -25,6 +25,23 @@ def test_merge_updates_and_inserts(spark, tmp_path):
     }
 
 
+def test_merge_duplicate_keys_require_order_col(spark, tmp_path):
+    import pytest
+
+    target = str(tmp_path / "d")
+    spark.createDataFrame([(1, "x", 0)], "k long, v string, seq long").write.parquet(
+        target
+    )
+    dup = spark.createDataFrame(
+        [(1, "first", 1), (1, "second", 2)], "k long, v string, seq long"
+    )
+    with pytest.raises(ValueError):
+        merge_into(spark, target, dup, ["k"])
+    # with an order column the greatest value wins
+    assert merge_into(spark, target, dup, ["k"], order_col="seq") == 1
+    assert spark.read.parquet(target).collect()[0].v == "second"
+
+
 def test_merge_is_idempotent(spark, tmp_path):
     target = str(tmp_path / "t")
     spark.createDataFrame([(1, "x")], "k long, v string").write.parquet(target)

@@ -21,44 +21,36 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from udacity_data_engineering_spark.functions.datetime_fns import epoch_ms_to_ts
+from udacity_data_engineering_spark.operators.dedup import keep_first
 from udacity_data_engineering_spark.sources.json_source import (
     read_log_data,
     read_song_data,
 )
 
 
-def dedup_latest(df: DataFrame, key: str, order_cols: list) -> DataFrame:
-    """Deterministic dropDuplicates (B7 fix): keep the first row per key
-    under an explicit total order (etl.py:69,82,116,135 intent)."""
-    w = Window.partitionBy(key).orderBy(*order_cols)
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
-
-
 def build_songs(song_df: DataFrame) -> DataFrame:
-    """songs dim (etl.py:65-70): natural song_id kept (B1/B2 fixed)."""
-    return dedup_latest(
+    """songs dim (etl.py:65-70): natural song_id kept (B1/B2 fixed).
+    Every non-key column participates in the dedup order — a partial
+    order (title alone) would tie on same-title duplicates and
+    reintroduce B7's nondeterminism."""
+    return keep_first(
         song_df.select("song_id", "title", "artist_id", "year", "duration"),
-        "song_id",
-        [F.col("title")],
+        ["song_id"],
+        ["title", "artist_id", "year", "duration"],
     )
 
 
 def build_artists(song_df: DataFrame) -> DataFrame:
-    """artists dim (etl.py:78-82)."""
-    return dedup_latest(
+    """artists dim (etl.py:78-82); total-order dedup as in build_songs."""
+    return keep_first(
         song_df.select(
             "artist_id", "artist_name", "artist_location",
             "artist_latitude", "artist_longitude",
         ),
-        "artist_id",
-        [F.col("artist_name")],
+        ["artist_id"],
+        ["artist_name", "artist_location", "artist_latitude", "artist_longitude"],
     )
 
 
@@ -73,7 +65,9 @@ def build_users(log_df: DataFrame) -> DataFrame:
         "level",
         "ts",
     )
-    return dedup_latest(users, "user_id", [F.col("ts").desc()]).drop("ts")
+    return keep_first(
+        users, ["user_id"], [F.col("ts").desc(), F.col("level"), F.col("gender")]
+    ).drop("ts")
 
 
 def build_time(log_df: DataFrame) -> DataFrame:

@@ -24,15 +24,38 @@ def merge_into(
     target_path: str,
     updates: DataFrame,
     key_cols: list[str],
+    order_col: str | None = None,
 ) -> int:
     """Upsert ``updates`` into the parquet directory at ``target_path``
     keyed on ``key_cols``; returns the new row count.
+
+    Duplicate keys within ``updates`` (a normal CDC batch): pass
+    ``order_col`` and the greatest value wins per key; without it,
+    duplicate keys raise — silently keeping both would break the
+    one-row-per-key merge contract.
 
     Plan shape: one anti-join (broadcast when updates are small — the
     normal incremental case) + union + full rewrite of the target. The
     rewrite cost is the honest price of parquet immutability; partition
     the target and merge only affected partitions to bound it at scale.
     """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    if order_col is not None:
+        w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).desc())
+        updates = (
+            updates.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    else:
+        n, nk = updates.count(), updates.select(*key_cols).distinct().count()
+        if n != nk:
+            raise ValueError(
+                f"updates contain {n - nk} duplicate-key rows; pass "
+                "order_col to pick a winner per key"
+            )
     staged = f"{target_path}__stage_{int(time.time() * 1000)}"
     target = spark.read.parquet(target_path)
     merged = target.join(updates, key_cols, "left_anti").unionByName(updates)

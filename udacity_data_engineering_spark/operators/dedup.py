@@ -24,16 +24,25 @@ def content_fingerprint(col: Column | str) -> Column:
     return F.sha2(F.col(col) if isinstance(col, str) else col, 256)
 
 
-def dedup_exact(df: DataFrame, text_col: str, order_cols: list[str]) -> DataFrame:
-    """Keep one deterministic survivor per exact text value (keeps the
-    first row under ``order_cols``). The intended semantics of the
-    reference's dropDuplicates with bug B7 fixed (etl.py:69,116)."""
-    w = Window.partitionBy(content_fingerprint(text_col)).orderBy(*order_cols)
+def keep_first(df: DataFrame, partition_cols: list, order_cols: list) -> DataFrame:
+    """Deterministic dedup primitive: one survivor per partition key,
+    first row under ``order_cols``. ``order_cols`` should be a total
+    order within each key — ties reintroduce exactly the
+    partitioning-dependent nondeterminism this helper exists to remove
+    (reference bug B7, SURVEY §3.4)."""
+    w = Window.partitionBy(*partition_cols).orderBy(*order_cols)
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def dedup_exact(df: DataFrame, text_col: str, order_cols: list[str]) -> DataFrame:
+    """Keep one deterministic survivor per exact text value (keeps the
+    first row under ``order_cols``). The intended semantics of the
+    reference's dropDuplicates with bug B7 fixed (etl.py:69,116)."""
+    return keep_first(df, [content_fingerprint(text_col)], order_cols)
 
 
 @register(

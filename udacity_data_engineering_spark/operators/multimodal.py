@@ -108,17 +108,20 @@ def decode_media(df: DataFrame, decoder=decode_fake) -> DataFrame:
 
 def frame_sample(df: DataFrame, n_frames: int = 4) -> DataFrame:
     """Frame sampling for chunked payloads, pure JVM-side: slice the
-    binary into n equal 'frames' with substring and explode — one row
-    per (path, frame_id, frame_bytes). No Python hop at all."""
-    frame_len = (F.length("content") - F.lit(8)) / n_frames
+    binary into n frames with substring and explode — one row per
+    (path, frame_id, frame_bytes). Frame i covers payload bytes
+    [i*L DIV n, (i+1)*L DIV n): integer boundaries that tile the payload
+    exactly — no gaps, no lost tail bytes. No Python hop at all."""
+    payload_len = F.length("content") - F.lit(8)
     frames = F.transform(
         F.sequence(F.lit(0), F.lit(n_frames - 1)),
         lambda i: F.struct(
             i.cast("int").alias("frame_id"),
             F.substring(
                 F.col("content"),
-                (F.lit(9) + (i * frame_len).cast("int")),
-                F.greatest(frame_len.cast("int"), F.lit(1)),
+                F.lit(9) + ((i * payload_len) / n_frames).cast("int"),
+                (((i + 1) * payload_len) / n_frames).cast("int")
+                - ((i * payload_len) / n_frames).cast("int"),
             ).alias("frame"),
         ),
     )

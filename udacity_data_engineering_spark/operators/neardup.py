@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from udacity_data_engineering_spark.operators.similarity import (
+    band_explode,
     bucket_pairs,
     cosine,
     dot,
@@ -90,19 +91,7 @@ def simhash_candidates(
         F.col(id_col).alias("doc_id"), simhash32(F.col(text_col)).alias("sig")
     )
     banded = sig.select(
-        "doc_id",
-        "sig",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band_id"),
-                    F.concat_ws(",", F.slice("sig", b * r + 1, r).cast("array<string>")).alias(
-                        "band_key"
-                    ),
-                ),
-            )
-        ).alias("b"),
+        "doc_id", "sig", band_explode(F.col("sig"), bands, r).alias("b")
     ).select("doc_id", "sig", "b.band_id", "b.band_key")
     pairs = bucket_pairs(
         banded, ["band_id", "band_key"], F.struct("doc_id", "sig")

@@ -38,11 +38,11 @@ def write_bucketed(
     writer.saveAsTable(table_name)
 
 
-def salted_key(key: Column, n_salts: int) -> Column:
-    """Deterministic per-row salt in [0, n_salts) — spreads a hot key
-    across n_salts reducers. Derived from a hash of the whole row id via
-    monotonically_increasing_id so repeated runs co-partition the same
-    way within a job."""
+def salted_key(n_salts: int) -> Column:
+    """Per-row salt in [0, n_salts) — spreads a hot key across n_salts
+    reducers. Derived from monotonically_increasing_id (row placement,
+    NOT the key: same-key rows deliberately get different salts — that
+    is the whole point)."""
     return F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)).cast("int")
 
 
@@ -58,11 +58,21 @@ def salted_join(
     becomes (key, salt). Output == plain join, but each hot key now
     occupies n_salts shuffle partitions instead of one.
 
+    Only 'inner' and 'left' are valid: with the small side replicated,
+    right/full/anti joins would surface the unmatched replicas as
+    spurious rows. For those, salt the other way around or use AQE skew
+    handling.
+
     Use when one side is modest (replication cost = n_salts x small) and
     AQE skew splitting isn't available/enough. For tiny dims prefer
     broadcast — salting is for the mid-size skewed case.
     """
-    salted_large = large.withColumn("__salt", salted_key(F.col(key), n_salts))
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left' only, got {how!r}: "
+            "replicated-side join types would emit spurious replica rows"
+        )
+    salted_large = large.withColumn("__salt", salted_key(n_salts))
     replicated_small = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     ).withColumn("__salt", F.col("__salt").cast("int"))
@@ -84,7 +94,7 @@ def salted_agg(
     bad = set(agg_exprs.values()) - allowed
     if bad:
         raise ValueError(f"non-decomposable aggregates for salting: {bad}")
-    salted = df.withColumn("__salt", salted_key(F.col(key), n_salts))
+    salted = df.withColumn("__salt", salted_key(n_salts))
     partial = salted.groupBy(key, "__salt").agg(
         *[
             getattr(F, fn)(c).alias(f"__p_{c}")

@@ -215,10 +215,14 @@ def bucket_pairs(bucketed: DataFrame, bucket_cols: list[str], payload: Column, c
     """Within-bucket candidate-pair expansion via ONE scan: group to a
     per-bucket member array, then explode the triangular pairs. Avoids
     the self-join (which would recompute the signature subtree for both
-    sides). Buckets above ``cap`` members are dropped — a hot bucket
-    means near-identical content better handled by exact dedup first
-    (q_doc_dedup); dropped buckets are counted in the `capped` column of
-    aggregates when needed."""
+    sides).
+
+    Buckets above ``cap`` members are DROPPED from pair generation (a
+    hot bucket is near-identical content that exact dedup — q_doc_dedup
+    — should consume first, and its quadratic pair explosion would
+    dominate the job). This is a silent cap on the DataFrame itself;
+    when accounting matters, run ``capped_buckets`` alongside and
+    surface its count."""
     members = bucketed.groupBy(*bucket_cols).agg(
         F.collect_list(payload).alias("ms")
     )
@@ -235,6 +239,37 @@ def bucket_pairs(bucketed: DataFrame, bucket_cols: list[str], payload: Column, c
         members.filter((F.size("ms") >= 2) & (F.size("ms") <= cap))
         .select(F.explode(pairs).alias("p"))
         .select("p.a", "p.b")
+    )
+
+
+def capped_buckets(
+    bucketed: DataFrame, bucket_cols: list[str], cap: int = 100
+) -> DataFrame:
+    """Accounting companion to bucket_pairs: the buckets (with member
+    counts) whose pairs were dropped by the cap — surface this count in
+    any job where silent truncation would be misread as full coverage."""
+    return (
+        bucketed.groupBy(*bucket_cols)
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .filter(F.col("n_members") > cap)
+    )
+
+
+def band_explode(sig_col: Column, bands: int, r: int) -> Column:
+    """LSH banding: explode a length-(bands*r) signature array into
+    (band_id, band_key) structs — band i's key is the comma-joined
+    values of rows [i*r, (i+1)*r). Shared by the MinHash and SimHash
+    candidate paths."""
+    return F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.struct(
+                b.alias("band_id"),
+                F.concat_ws(
+                    ",", F.slice(sig_col, b * r + 1, r).cast("array<string>")
+                ).alias("band_key"),
+            ),
+        )
     )
 
 
@@ -260,18 +295,7 @@ def minhash_candidates(
         minhash_signature(shingles(F.col(text_col), shingle_n), num_hashes).alias("sig"),
     )
     banded = sig.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band_id"),
-                    F.concat_ws(",", F.slice("sig", b * r + 1, r).cast("array<string>")).alias(
-                        "band_key"
-                    ),
-                ),
-            )
-        ).alias("b"),
+        "doc_id", band_explode(F.col("sig"), bands, r).alias("b")
     ).select("doc_id", "b.band_id", "b.band_key")
     return (
         bucket_pairs(banded, ["band_id", "band_key"], F.col("doc_id"))

@@ -88,17 +88,23 @@ def sessionized_counts(
 
 
 def run_available_now(
-    stream_df: DataFrame, sink_table: str, checkpoint: str
+    stream_df: DataFrame,
+    sink_table: str,
+    checkpoint: str,
+    output_mode: str = "complete",
 ) -> None:
     """Execute a streaming query over all currently-available input
-    (Trigger.AvailableNow), write complete results to an in-memory sink
-    table, and block until done. The replay path used by tests and by
-    batch-backfill jobs; a production deployment points the same
-    DataFrame at a kafka/delta sink with a real trigger instead."""
+    (Trigger.AvailableNow), write results to an in-memory sink table,
+    and block until done. ``output_mode`` must match the stream's shape:
+    'complete' for full aggregations (the default), 'update' for
+    stateful operators, 'append' for watermarked joins/projections.
+    The replay path used by tests and by batch-backfill jobs; a
+    production deployment points the same DataFrame at a kafka/delta
+    sink with a real trigger instead."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(sink_table)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()

@@ -53,12 +53,24 @@ def running_user_totals(events: DataFrame) -> DataFrame:
 def write_stream_parquet(
     stream_df: DataFrame, out_path: str, checkpoint: str
 ) -> None:
-    """foreachBatch parquet sink: each micro-batch lands as an idempotent
-    overwrite-by-batch-id append. The pattern for sinks Spark lacks a
-    native streaming writer for (JDBC, upsert targets, ...)."""
+    """foreachBatch parquet sink, idempotent under replay: each batch
+    writes into its own batch_id= partition with dynamic partition
+    overwrite, so a batch re-delivered after a crash-before-checkpoint
+    replaces its partition instead of appending duplicates. The pattern
+    for sinks Spark lacks a native streaming writer for (JDBC, upsert
+    targets, ...)."""
+    import pyspark.sql.functions as F
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(out_path)
+        spark = batch_df.sparkSession
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "overwrite"
+            ).partitionBy("batch_id").parquet(out_path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
     q = (
         stream_df.writeStream.foreachBatch(sink)
