@@ -15,6 +15,7 @@ from udacity_data_engineering_spark.operators import (  # noqa: F401
     similarity,
     sql_surface,
     sql_surface2,
+    stats,
     text,
     udf_surface,
     windows,
