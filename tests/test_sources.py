@@ -58,3 +58,25 @@ def test_approx_count_distinct_accuracy(spark, sf_dir):
     exact = o.select(F.countDistinct("o_custkey")).collect()[0][0]
     approx = o.select(F.approx_count_distinct("o_custkey", rsd=0.05)).collect()[0][0]
     assert abs(approx - exact) / exact < 0.15
+
+
+def test_orc_roundtrip_fidelity(spark, sf_dir, tmp_path):
+    from udacity_data_engineering_spark.sources.orc_source import read_orc, write_orc
+
+    sup = table(spark, sf_dir, "supplier")
+    out = str(tmp_path / "supplier_orc")
+    write_orc(sup, out)
+    back = read_orc(spark, out)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, sup.collect()))
+    assert back.schema == sup.schema
+
+
+def test_orc_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    from udacity_data_engineering_spark.sources.orc_source import read_orc, write_orc
+
+    sup = table(spark, sf_dir, "supplier")
+    out = str(tmp_path / "supplier_orc_part")
+    write_orc(sup, out, partition_by=["s_nationkey"])
+    one = read_orc(spark, out).filter(F.col("s_nationkey") == 1)
+    exp = sup.filter(F.col("s_nationkey") == 1).count()
+    assert one.count() == exp

@@ -4,6 +4,7 @@ in the plans registry (see plans/registry.py)."""
 from udacity_data_engineering_spark.operators import (  # noqa: F401
     aggregates,
     analytics,
+    ann,
     asof,
     dedup,
     joins,
@@ -15,6 +16,7 @@ from udacity_data_engineering_spark.operators import (  # noqa: F401
     similarity,
     sql_surface,
     sql_surface2,
+    sql_surface3,
     stats,
     text,
     udf_surface,

@@ -121,3 +121,114 @@ def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
+
+
+@register(
+    "q_order_priority",
+    oracle="""
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1997-01-01'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > TIMESTAMP '1997-06-01')
+        GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape: order counts per priority for orders with at "
+    "least one late-shipped line. The correlated EXISTS plans as a "
+    "left-semi join (never duplicates orders, never materializes the "
+    "match), with the date filters pushed into both scans.",
+    tags=("analytics", "E7"),
+)
+def q_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    late = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1997-06-01")
+    return (
+        o.join(late, o.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@register(
+    "q_promo_revenue",
+    oracle="""
+        SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                                      THEN l.l_extendedprice * (1 - l.l_discount)
+                                      ELSE 0 END)
+                     / sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+                   AS promo_pct
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l.l_shipdate < TIMESTAMP '1997-02-01'
+    """,
+    doc="TPC-H Q14 shape: promo revenue share for one ship month — a "
+    "fact ⋈ broadcast-dim join feeding a single conditional-aggregate "
+    "ratio. The month predicate prunes lineitem before the join; part "
+    "is explicitly broadcast so the fact never shuffles.",
+    tags=("analytics",),
+)
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-02-01")
+    )
+    p = table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(p), p.p_partkey == l.l_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_pct")
+        )
+    )
+
+
+@register(
+    "q_large_orders",
+    oracle="""
+        SELECT c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+               round(sum(l.l_quantity), 2) AS total_qty
+        FROM customer c
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+                               GROUP BY l_orderkey
+                               HAVING sum(l_quantity) > 200)
+        GROUP BY c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+        ORDER BY o.o_totalprice DESC, o.o_orderkey
+        LIMIT 20
+    """,
+    doc="TPC-H Q18 shape: large-quantity orders — an IN-subquery over a "
+    "grouped HAVING feeding a 3-way join + re-aggregation + top-20. "
+    "Catalyst rewrites the IN to a left-semi join against the "
+    "pre-aggregated keys; only qualifying orders reach the wide join.",
+    tags=("analytics", "E1"),
+)
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 200)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(big.withColumnRenamed("l_orderkey", "big_key"),
+               F.col("o_orderkey") == F.col("big_key"), "left_semi")
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )

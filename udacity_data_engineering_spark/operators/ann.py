@@ -1,0 +1,125 @@
+"""IVF (inverted-file) approximate nearest-neighbour search — the
+clustered scale path for E12 similarity search (SURVEY.md §2B), the
+partition-pruning complement to the LSH path in ``neardup.py``.
+
+Shape: a one-off k-means build pass assigns every vector to its nearest
+centroid (the "inverted lists"); a query then scores only the ``nprobe``
+lists whose centroids are nearest to it — scanning nprobe/k of the data
+instead of all of it. The centroid table is model *metadata* (k × dim
+floats, a few KB) and lives on the driver / in broadcasts; the vectors
+themselves never leave executors.
+
+At 100 TB: persist the assignment as a parquet lake partitioned by
+``cluster`` — a probe then becomes static partition pruning (only the
+probed directories are listed, let alone read), and the per-list scan is
+the same codegen'd zip_with/aggregate fold as brute force. Training
+reads a sample, not the full corpus; assignment is one embarrassingly
+parallel pass.
+
+Vectors are L2-normalized before clustering so euclidean k-means
+approximates spherical (cosine) clustering; on unit vectors
+``argmin ||x-c||`` == ``argmax cos(x,c)``.
+
+KMeans is seeded but iterative — cluster ids are not oracle-comparable,
+so the declared query is rows-only; exactness of the *verification*
+stage and recall floors are asserted in tests/test_ann.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from udacity_data_engineering_spark.operators.similarity import cosine, l2_norm
+from udacity_data_engineering_spark.plans.registry import register
+from udacity_data_engineering_spark.session import table
+
+
+def ivf_assign(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 16,
+    seed: int = 7,
+    max_iter: int = 8,
+):
+    """Train seeded k-means on L2-normalized vectors and assign every row
+    to its nearest centroid.
+
+    Returns ``(assigned, centers)``: the input plus ``emb_d`` (the
+    double-cast vector) and ``cluster`` columns, and the centroid list
+    (k × dim Python floats — model metadata, driver-sized by design).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb_d = F.col(vec_col).cast("array<double>")
+    unit = F.transform(emb_d, lambda x: x / l2_norm(emb_d))
+    prepped = emb.withColumn("emb_d", emb_d).withColumn(
+        "_features", array_to_vector(unit)
+    )
+    model = KMeans(
+        k=k, seed=seed, maxIter=max_iter, featuresCol="_features",
+        predictionCol="cluster",
+    ).fit(prepped)
+    assigned = model.transform(prepped).drop("_features")
+    centers = [[float(x) for x in c] for c in model.clusterCenters()]
+    return assigned, centers
+
+
+def _probe_ids(query_vec: list[float], centers: list[list[float]], nprobe: int) -> list[int]:
+    """The nprobe cluster ids whose centroids are most cosine-similar to
+    the query. Pure driver-side arithmetic over model metadata."""
+
+    def cos(a: list[float], b: list[float]) -> float:
+        dot = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(x * x for x in b) ** 0.5
+        return dot / (na * nb) if na and nb else 0.0
+
+    ranked = sorted(range(len(centers)), key=lambda i: -cos(query_vec, centers[i]))
+    return ranked[:nprobe]
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k_neighbors: int = 10,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    exclude_vec_id: int | None = None,
+) -> DataFrame:
+    """Approximate cosine top-k: score only the nprobe nearest inverted
+    lists, exact cosine within them. Result columns match q_cosine_topk
+    (vec_id, cos_sim)."""
+    assigned, centers = ivf_assign(emb, k=n_clusters)
+    probes = _probe_ids(query_vec, centers, nprobe)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cand = assigned.filter(F.col("cluster").isin(probes))
+    if exclude_vec_id is not None:
+        cand = cand.filter(F.col("vec_id") != exclude_vec_id)
+    return (
+        cand.select(
+            "vec_id", F.round(cosine(F.col("emb_d"), q), 6).alias("cos_sim")
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(k_neighbors)
+    )
+
+
+@register(
+    "q_ivf_topk",
+    doc="E12 scale path: IVF approximate top-10 neighbours of vec_id=0 — "
+    "seeded k-means inverted lists (k=16), probe the 4 nearest lists, "
+    "exact cosine verification inside them (~4/16 of the corpus "
+    "scanned). Iterative clustering => rows-only; recall vs the "
+    "brute-force baseline is asserted in tests/test_ann.py.",
+    tags=("E12", "ann"),
+)
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    # the query vector is a parameter of the search, not data — one row
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").head().embedding
+    ]
+    return ivf_topk(emb, qvec, exclude_vec_id=0)
