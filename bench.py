@@ -135,6 +135,7 @@ def main() -> None:
         "q_cosine_topk", "q_minhash_candidates", "q_text_tokens",
         "q_doc_dedup", "q_group_zscore", "q_shipping_priority",
         "q_local_supplier_volume", "q_embedding_neardup_lsh",
+        "q_ivf_topk", "q_large_orders", "q_correlated_subquery",
     ):
         best = float("inf")
         for _ in range(2):

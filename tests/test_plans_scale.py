@@ -120,3 +120,29 @@ def test_partition_pruning_on_partitioned_output(spark, sf_dir, tmp_path):
     pruned = spark.read.parquet(out).filter(F.col("year") == 1995)
     plan = plan_of(pruned)
     assert "PartitionFilters: [isnotnull(year" in plan
+
+
+def test_order_priority_plans_semi_join(spark, sf_dir):
+    plan = plan_of(MANIFEST["q_order_priority"].fn(spark, sf_dir))
+    assert "LeftSemi" in plan
+
+
+def test_promo_revenue_broadcasts_part(spark, sf_dir):
+    plan = plan_of(MANIFEST["q_promo_revenue"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    # the ship-month predicate reaches the lineitem scan
+    assert "l_shipdate" in "".join(
+        l for l in plan.splitlines() if "PushedFilters" in l
+    )
+
+
+def test_correlated_subquery_decorrelates(spark, sf_dir):
+    """No per-row subquery survives optimization — the correlated scalar
+    subquery must plan as aggregate + join, one extra shuffle."""
+    plan = plan_of(MANIFEST["q_correlated_subquery"].fn(spark, sf_dir), "simple")
+    assert "Join" in plan and "HashAggregate" in plan
+
+
+def test_cube_is_single_expand_single_agg_pair(spark, sf_dir):
+    plan = plan_of(MANIFEST["q_cube"].fn(spark, sf_dir), "simple")
+    assert plan.count("Expand") == 1

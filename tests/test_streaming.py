@@ -55,3 +55,24 @@ def test_session_stream_matches_batch(spark, sf_dir, events_dir, tmp_path):
 def test_watermark_present_in_plan(spark, events_dir):
     stream = windowed_counts(stream_events(spark, events_dir), watermark="45 minutes")
     assert "45 minutes" in stream._jdf.queryExecution().analyzed().toString()
+
+
+def test_stream_dedup_within_watermark(spark, sf_dir, tmp_path):
+    """Redelivered events (same event_id, same micro-batch window) are
+    dropped exactly once; survivors match batch distinct-by-key."""
+    from udacity_data_engineering_spark.streaming import deduped_events
+
+    src = str(tmp_path / "dup_in")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    raw.write.mode("overwrite").parquet(src)
+    # simulate at-least-once redelivery: a second file with 20% of rows
+    raw.sample(0.2, seed=1).write.mode("append").parquet(src)
+
+    stream = deduped_events(stream_events(spark, src))
+    assert stream.isStreaming
+    run_available_now(
+        stream, "dedup_sink", str(tmp_path / "ckpt"), output_mode="append"
+    )
+    got = spark.table("dedup_sink")
+    assert got.count() == raw.count()
+    assert got.select("event_id").distinct().count() == raw.count()

@@ -1,4 +1,5 @@
 from udacity_data_engineering_spark.streaming.event_stream import (  # noqa: F401
+    deduped_events,
     sessionized_counts,
     stream_events,
     run_available_now,

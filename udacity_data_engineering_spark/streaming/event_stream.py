@@ -110,3 +110,18 @@ def run_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def deduped_events(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming ingest dedup: drop redelivered events (same event_id)
+    arriving within the watermark of each other —
+    ``dropDuplicatesWithinWatermark``, the exactly-once repair for
+    at-least-once sources (kafka redelivery, file-replay overlap).
+
+    Unlike streaming ``dropDuplicates``, state for a key is evicted once
+    the watermark passes it, so state size is bounded by the watermark
+    window's event volume, not the corpus — the property that keeps this
+    runnable forever at 100 TB/day. Append output mode."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
