@@ -1,0 +1,60 @@
+"""Sampling contracts: hash sampling is reproducible under any
+partitioning (the property RNG sampling lacks); approx distinct stays
+inside its error bound; stratified RNG rates land near nominal."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from udacity_data_engineering_spark.operators.sampling import (
+    deterministic_sample,
+    stratified_by,
+)
+from udacity_data_engineering_spark.plans.registry import all_queries
+from udacity_data_engineering_spark.session import table
+
+
+def test_hash_sample_invariant_under_repartition(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    a = {r.doc_id for r in deterministic_sample(docs, "doc_id", 30).collect()}
+    b = {
+        r.doc_id
+        for r in deterministic_sample(docs.repartition(17), "doc_id", 30).collect()
+    }
+    assert a == b
+    n = docs.count()
+    assert 0.15 * n < len(a) < 0.45 * n  # ~30% of a uniform key
+
+
+def test_hash_sample_is_monotone_in_rate(spark, sf_dir):
+    """A 10% cut is a subset of the 50% cut — rate increases only add
+    rows, never swap them (the property that lets a corpus grow its
+    sample without resampling history)."""
+    docs = table(spark, sf_dir, "documents")
+    small = {r.doc_id for r in deterministic_sample(docs, "doc_id", 10).collect()}
+    big = {r.doc_id for r in deterministic_sample(docs, "doc_id", 50).collect()}
+    assert small <= big
+
+
+def test_approx_distinct_within_error_bound(spark, sf_dir):
+    qs = all_queries()
+    exact = {
+        r.o_orderstatus: r.n_cust
+        for r in qs["q_count_distinct"].fn(spark, sf_dir).collect()
+    }
+    approx = {
+        r.o_orderstatus: r.n_cust_approx
+        for r in qs["q_approx_distinct"].fn(spark, sf_dir).collect()
+    }
+    assert set(exact) == set(approx)
+    for k, v in exact.items():
+        assert abs(approx[k] - v) <= max(2, 0.05 * v), (k, v, approx[k])
+
+
+def test_stratified_rng_rates_near_nominal(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    langs = [r.lang for r in docs.select("lang").distinct().collect()]
+    fractions = {lang: 0.5 for lang in langs}
+    got = stratified_by(docs, "lang", fractions).count()
+    n = docs.count()
+    assert 0.3 * n < got < 0.7 * n

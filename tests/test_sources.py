@@ -80,3 +80,28 @@ def test_orc_partitioned_write_prunes(spark, sf_dir, tmp_path):
     one = read_orc(spark, out).filter(F.col("s_nationkey") == 1)
     exp = sup.filter(F.col("s_nationkey") == 1).count()
     assert one.count() == exp
+
+
+def test_compact_produces_exact_file_count(spark, sf_dir, tmp_path):
+    from udacity_data_engineering_spark.sources.parquet_source import compact
+
+    frag = str(tmp_path / "frag")
+    out = str(tmp_path / "compacted")
+    orders = table(spark, sf_dir, "orders")
+    orders.repartition(32).write.parquet(frag)
+    compact(spark.read.parquet(frag), out, target_files=3)
+    import pathlib
+
+    files = list(pathlib.Path(out).glob("*.parquet"))
+    assert len(files) == 3
+    assert spark.read.parquet(out).count() == orders.count()
+
+
+def test_schema_evolution_nulls_old_rows(spark, sf_dir, tmp_path):
+    from udacity_data_engineering_spark.plans.registry import all_queries
+
+    df = all_queries()["q_schema_evolution"].fn(spark, sf_dir)
+    assert "iso_code" in df.columns
+    n = table(spark, sf_dir, "nation").count()
+    assert df.count() == 2 * n
+    assert df.filter(F.col("iso_code").isNull()).count() == n

@@ -13,6 +13,7 @@ from udacity_data_engineering_spark.operators import (  # noqa: F401
     pandas_ops,
     product_analytics,
     relational,
+    sampling,
     similarity,
     sql_surface,
     sql_surface2,

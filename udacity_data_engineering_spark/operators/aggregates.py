@@ -105,3 +105,20 @@ def q_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(10)
     )
+
+
+@register(
+    "q_approx_distinct",
+    doc="E2 scale path: approx_count_distinct (HyperLogLog++) per order "
+    "status — constant memory per group vs the exact variant's "
+    "per-group key set, the only distinct-count that fits at 100 TB. "
+    "Sketch values are algorithm-specific => rows-only; the <=5% "
+    "relative-error contract vs exact is asserted in tests.",
+    tags=("E2",),
+)
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.approx_count_distinct("o_custkey", rsd=0.02).alias("n_cust_approx"))
+    )

@@ -121,3 +121,64 @@ def q_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   WHERE o2.o_custkey = o.o_custkey)
         """
     )
+
+
+@register(
+    "q_higher_order_funcs",
+    oracle="""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+        SELECT doc_id,
+               CAST(list_transform(words, w -> length(w))[1:5] AS INT[])
+                   AS first5_lengths,
+               CAST(len(list_filter(words, w -> length(w) > 6)) AS INT)
+                   AS n_long_words,
+               CAST(len(list_filter(words, w -> w = 'the')) > 0 AS BOOLEAN)
+                   AS has_the,
+               CAST(list_sum(list_transform(words, w -> length(w))) AS BIGINT)
+                   AS total_chars
+        FROM t
+    """,
+    doc="Higher-order array functions — transform/filter/exists/"
+    "aggregate with lambda expressions. These run inside codegen on the "
+    "JVM (Catalyst compiles the lambdas), which is why array-heavy "
+    "pipelines never need a Python UDF. DuckDB's list_* lambdas mirror "
+    "them one-to-one.",
+    tags=("sql-surface", "E10"),
+)
+def q_higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    lengths = F.transform(words, F.length)
+    return docs.select(
+        "doc_id",
+        F.slice(lengths, 1, 5).alias("first5_lengths"),
+        F.size(F.filter(words, lambda w: F.length(w) > 6)).alias("n_long_words"),
+        F.exists(words, lambda w: w == "the").alias("has_the"),
+        F.aggregate(
+            lengths, F.lit(0).cast("bigint"), lambda acc, x: acc + x
+        ).alias("total_chars"),
+    )
+
+
+@register(
+    "q_map_funcs",
+    oracle="""
+        SELECT doc_id, 'lang' AS k, lang AS v FROM documents
+        UNION ALL
+        SELECT doc_id, 'source' AS k, source AS v FROM documents
+    """,
+    doc="Map column construction + explosion: map_from_arrays -> "
+    "map_keys/map_values -> explode into (key, value) rows. The oracle "
+    "is the equivalent row expansion (DuckDB maps exist but the "
+    "contract under test is Spark's map type round-tripping to rows). "
+    "Map explode is the standard shape for attribute tables at scale — "
+    "rows, not ever-wider columns.",
+    tags=("sql-surface",),
+)
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    m = F.map_from_arrays(
+        F.array(F.lit("lang"), F.lit("source")),
+        F.array(F.col("lang"), F.col("source")),
+    )
+    return docs.select("doc_id", F.explode(m).alias("k", "v"))

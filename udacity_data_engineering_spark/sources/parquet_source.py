@@ -58,3 +58,49 @@ def q_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.filter(F.col("year") == 1995).select(
         "o_orderkey", "o_custkey", "year", "month"
     )
+
+
+def compact(df: DataFrame, path: str, target_files: int) -> None:
+    """Small-files compaction: rewrite a dataset into ``target_files``
+    equal-size files. The lake maintenance op — streaming sinks and
+    over-parallel writes leave thousands of KB-sized files whose
+    per-file open/footer cost dominates scans; compaction restores
+    ~128 MB objects. ``repartition`` (round-robin shuffle) gives equal
+    sizes; coalesce would skip the shuffle but inherit skew."""
+    df.repartition(target_files).write.mode("overwrite").parquet(path)
+
+
+@register(
+    "q_compact_small_files",
+    doc="Small-files repair: explode the orders table into 64 tiny "
+    "files, compact to 4, re-scan. Row fidelity is the declared check; "
+    "the file-count contract (4 data files exactly) is asserted in "
+    "tests/test_sources.py.",
+    tags=("sources",),
+)
+def q_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    frag = tempfile.mkdtemp(prefix="uds_frag_")
+    out = tempfile.mkdtemp(prefix="uds_compact_")
+    orders = table(spark, sf_dir, "orders")
+    orders.repartition(64).write.mode("overwrite").parquet(frag)
+    compact(spark.read.parquet(frag), out, target_files=4)
+    return spark.read.parquet(out)
+
+
+@register(
+    "q_schema_evolution",
+    doc="Schema evolution on read: two parquet batches with different "
+    "schemas (the second adds a column) unify under mergeSchema=true — "
+    "old rows surface NULL for the new column. The lake-append pattern "
+    "when upstream adds fields; at scale, pin mergeSchema to explicit "
+    "maintenance reads (schema merging lists every file's footer).",
+    tags=("sources",),
+)
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = tempfile.mkdtemp(prefix="uds_evolve_")
+    nat = table(spark, sf_dir, "nation")
+    nat.write.mode("overwrite").parquet(out)
+    nat.withColumn("iso_code", F.upper(F.substring("n_name", 1, 3))).write.mode(
+        "append"
+    ).parquet(out)
+    return spark.read.option("mergeSchema", "true").parquet(out)
