@@ -146,3 +146,36 @@ def test_correlated_subquery_decorrelates(spark, sf_dir):
 def test_cube_is_single_expand_single_agg_pair(spark, sf_dir):
     plan = plan_of(MANIFEST["q_cube"].fn(spark, sf_dir), "simple")
     assert plan.count("Expand") == 1
+
+
+def test_forecast_revenue_is_scan_only(spark, sf_dir):
+    """TPC-H Q6: all three predicates reach the parquet scan and the
+    single-row aggregate never hash-shuffles data rows."""
+    plan = plan_of(MANIFEST["q_forecast_revenue"].fn(spark, sf_dir))
+    pushed = "".join(l for l in plan.splitlines() if "PushedFilters" in l)
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_parts_supplier_cnt_plans_anti_join(spark, sf_dir):
+    plan = plan_of(MANIFEST["q_parts_supplier_cnt"].fn(spark, sf_dir))
+    assert "LeftAnti" in plan
+
+
+def test_waiting_suppliers_semi_plus_anti(spark, sf_dir):
+    """Q21's EXISTS/NOT EXISTS pair must plan as left-semi + left-anti,
+    never a materialized subquery per row."""
+    plan = plan_of(MANIFEST["q_waiting_suppliers"].fn(spark, sf_dir), "simple")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_cust_order_distribution_keeps_outer_join(spark, sf_dir):
+    """Q13: zero-order customers must survive -> LeftOuter in the plan
+    (an optimizer 'simplification' to inner would drop them)."""
+    plan = plan_of(MANIFEST["q_cust_order_distribution"].fn(spark, sf_dir), "simple")
+    assert "LeftOuter" in plan
+
+
+def test_top_supplier_scalar_max_broadcasts(spark, sf_dir):
+    plan = plan_of(MANIFEST["q_top_supplier"].fn(spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan

@@ -4,6 +4,7 @@ in the plans registry (see plans/registry.py)."""
 from udacity_data_engineering_spark.operators import (  # noqa: F401
     aggregates,
     analytics,
+    analytics2,
     ann,
     asof,
     dedup,
