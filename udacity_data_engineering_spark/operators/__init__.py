@@ -19,6 +19,7 @@ from udacity_data_engineering_spark.operators import (  # noqa: F401
     sql_surface,
     sql_surface2,
     sql_surface3,
+    sql_surface4,
     stats,
     text,
     udf_surface,
