@@ -179,3 +179,36 @@ def test_cust_order_distribution_keeps_outer_join(spark, sf_dir):
 def test_top_supplier_scalar_max_broadcasts(spark, sf_dir):
     plan = plan_of(MANIFEST["q_top_supplier"].fn(spark, sf_dir), "simple")
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_min_cost_supplier_single_fact_shuffle(spark, sf_dir):
+    """Q2: the offer aggregate shuffles lineitem on l_partkey once; the
+    min-per-part window must reuse that partitioning (no second
+    hash-exchange of the fact), and every dim broadcasts."""
+    plan = plan_of(MANIFEST["q_min_cost_supplier"].fn(spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") <= 2  # agg + window key swap
+
+
+def test_important_parts_reaggregates_small_side(spark, sf_dir):
+    """Q11: the global threshold is computed from the cached per-part
+    aggregate (|parts| rows), never by recomputing the lineitem
+    scan+shuffle — both consumers must read the InMemoryRelation."""
+    plan = plan_of(MANIFEST["q_important_parts"].fn(spark, sf_dir), "simple")
+    assert plan.count("InMemoryTableScan") >= 2
+
+
+def test_priority_shipclass_partial_agg(spark, sf_dir):
+    """Q12: conditional counts partial-aggregate map-side and the date
+    range reaches the lineitem scan."""
+    plan = plan_of(MANIFEST["q_priority_shipclass"].fn(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2
+    pushed = "".join(l for l in plan.splitlines() if "PushedFilters" in l)
+    assert "l_shipdate" in pushed
+
+
+def test_excess_share_suppliers_semi_join(spark, sf_dir):
+    """Q20: both INs plan as semi-joins (part-family prune broadcast,
+    supplier qualification), never a materialized IN-list per row."""
+    plan = plan_of(MANIFEST["q_excess_share_suppliers"].fn(spark, sf_dir), "simple")
+    assert "LeftSemi" in plan

@@ -5,6 +5,7 @@ from udacity_data_engineering_spark.operators import (  # noqa: F401
     aggregates,
     analytics,
     analytics2,
+    analytics3,
     ann,
     asof,
     dedup,
