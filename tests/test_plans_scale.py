@@ -64,6 +64,12 @@ PYTHON_PATH_QUERIES = {
     "q_pandas_udaf_median",
     "q_group_zscore",
     "q_multimodal_decode",
+    # Arrow-batched numpy kernels where interpreted lambda HOFs lose to
+    # BLAS/vectorized int64 math (see minhash_signature, lsh_bucket_keys,
+    # embedding_neardup_lsh) — deliberate, measured ~4-5x faster:
+    "q_minhash_candidates",
+    "q_neardup_pipeline",
+    "q_embedding_neardup_lsh",
 }
 
 
