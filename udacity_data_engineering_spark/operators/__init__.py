@@ -13,6 +13,7 @@ from udacity_data_engineering_spark.operators import (  # noqa: F401
     multimodal,
     neardup,
     pandas_ops,
+    physical,
     product_analytics,
     relational,
     sampling,
