@@ -90,3 +90,20 @@ def test_lsh_recall_on_driver_embeddings(spark, sf_dir):
     assert approx <= exact  # candidates are verified with true cosine
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.6, f"recall {recall:.2f} below floor"
+
+
+def test_oracle_scale_guard_fires(spark, sf_dir, monkeypatch):
+    """q_embedding_neardup / q_ngram_jaccard refuse large inputs instead
+    of building quadratic plans (VERDICT r1 'What's wrong' #3)."""
+    import pytest
+
+    from udacity_data_engineering_spark.plans.registry import all_queries
+
+    monkeypatch.setenv("SPARK_GRAFT_ORACLE_MAX_ROWS", "10")
+    for name in ("q_embedding_neardup", "q_ngram_jaccard"):
+        with pytest.raises(RuntimeError, match="oracle-only"):
+            all_queries()[name].fn(spark, sf_dir)
+
+    monkeypatch.delenv("SPARK_GRAFT_ORACLE_MAX_ROWS")
+    # within the default ceiling both still run
+    assert all_queries()["q_embedding_neardup"].fn(spark, sf_dir).count() > 0

@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, StringType
 
+from udacity_data_engineering_spark.operators.guards import oracle_scale_guard
 from udacity_data_engineering_spark.operators.similarity import (
     band_explode,
     bucket_pairs,
@@ -186,13 +187,16 @@ NEARDUP_THRESHOLD = 0.4
     """,
     doc="Exact embedding-cosine near-dup pairs — the ground truth the "
     "LSH path approximates. All-pairs is the oracle shape only; at "
-    "scale q_embedding_neardup_lsh replaces it.",
-    tags=("E12", "dedup"),
+    "scale q_embedding_neardup_lsh replaces it. Guarded: refuses inputs "
+    "above the oracle row ceiling.",
+    tags=("E12", "dedup", "oracle_only"),
 )
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("e")
-    )
+    emb = oracle_scale_guard(
+        table(spark, sf_dir, "embeddings"),
+        "q_embedding_neardup",
+        "q_embedding_neardup_lsh",
+    ).select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
     a, b = emb.alias("a"), emb.alias("b")
     sim = cosine(F.col("a.e"), F.col("b.e"))
     return (

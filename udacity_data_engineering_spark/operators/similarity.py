@@ -33,6 +33,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
 
+from udacity_data_engineering_spark.operators.guards import oracle_scale_guard
 from udacity_data_engineering_spark.plans.registry import register
 from udacity_data_engineering_spark.session import table
 
@@ -151,11 +152,16 @@ def shingle_sets(
     "Jaccard marks ~40% of ALL pairs 'similar' (shared tiny vocabulary) "
     "while 3-grams isolate the true near-dups. This is the exactness "
     "oracle that q_minhash_candidates approximates — and matches its "
-    "candidate set 1:1 on the driver corpus (100% recall).",
-    tags=("E12", "dedup"),
+    "candidate set 1:1 on the driver corpus (100% recall). Guarded: "
+    "refuses inputs above the oracle row ceiling (hot-shingle fan-out "
+    "is quadratic in the worst case).",
+    tags=("E12", "dedup", "oracle_only"),
 )
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tok = shingle_sets(spread(table(spark, sf_dir, "documents")))
+    docs = oracle_scale_guard(
+        table(spark, sf_dir, "documents"), "q_ngram_jaccard", "q_minhash_candidates"
+    )
+    tok = shingle_sets(spread(docs))
     cnt = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = tok.alias("a")
     b = tok.alias("b")

@@ -51,12 +51,81 @@ def register(
     return deco
 
 
+# Driver-facing manifest order. The driver's correctness window checks the
+# FIRST 50 entries in insertion order, so the front of this list must cover
+# every SURVEY §2A parity operator plus at least one query per §2B extension
+# family; everything not listed keeps its module-import registration order
+# after these. A name listed here but not registered is a hard error (catches
+# renames going stale).
+DRIVER_PRIORITY: tuple[str, ...] = (
+    # --- §2A reference-parity core (relational / datetime / SQL entry) ---
+    "q_scan_count",          # 2A.6 parquet scan + 2A.22 count
+    "q_project",             # 2A.7
+    "q_project_rename",      # 2A.8
+    "q_filter_eq",           # 2A.9
+    "q_dedup_key",           # 2A.10 deterministic key-subset dedup
+    "q_dedup_any",           # 2A.10 dropDuplicates parity
+    "q_dateparts",           # 2A.14 + 2A.11 derived columns
+    "q_synthetic_id",        # 2A.12 monotonically_increasing_id
+    "q_join_multikey",       # 2A.17 3-key composite equi-join
+    "q_sql_entry",           # 2A.15/16/18 temp view + SQL + aliasing
+    "q_epoch_to_ts",         # 2A.13 builtin
+    "q_epoch_to_ts_udf",     # 2A.13 reference-parity Python UDF
+    "q_limit",               # 2A.21
+    "q_date_format",         # 2A dead-import parity (etl.py date_format)
+    # --- §2A sources / sinks ---
+    "q_scan_glob",           # 2A.3
+    "q_json_schema_scan",    # 2A.4
+    "q_json_infer_scan",     # 2A.5
+    "q_parquet_roundtrip",   # 2A.19 + 2A.6
+    "q_parquet_partitioned", # 2A.20 hive-partitioned sink + pruned re-read
+    # --- Sparkify 5-table ETL (the reference's whole program) ---
+    "q_sparkify_songs",
+    "q_sparkify_users",
+    "q_sparkify_time",
+    "q_sparkify_songplays",
+    # --- §2B: one-two per extension family ---
+    "q_groupby_agg",           # E1
+    "q_count_distinct",        # E2
+    "q_rollup",                # E3
+    "q_topn",                  # E4
+    "q_window_rank",           # E5
+    "q_window_running",        # E5
+    "q_setops",                # E6
+    "q_join_semi",             # E7
+    "q_join_broadcast_agg",    # E7
+    "q_asof_join",             # E8
+    "q_json_extract",          # E9
+    "q_text_tokens",           # E10
+    "q_doc_quality",           # E10
+    "q_doc_fingerprint",       # E11
+    "q_doc_dedup_survivors",   # E11
+    "q_cosine_topk",           # E12 exact top-k
+    "q_embedding_neardup_lsh", # E12 scale path
+    "q_simhash_candidates",    # E12/dedup
+    "q_minhash_candidates",    # E12/dedup
+    "q_ivf_topk",              # ANN scale path
+    "q_tumbling_agg",          # E13
+    "q_session_window",        # E13
+    "q_multimodal_decode",     # E15
+    "q_salted_agg",            # physical/skew
+    "q_salted_join",           # physical/skew
+    "q_stratified_mix",        # sampling / corpus mixing
+    "q_shipping_priority",     # flagship TPC-H analytic (bench headline)
+)
+
+
 def all_queries() -> dict[str, Query]:
     """Import every operator module (triggering registration) and return
-    the full manifest."""
+    the full manifest, reordered so ``DRIVER_PRIORITY`` comes first."""
     import udacity_data_engineering_spark.etl.sparkify_queries  # noqa: F401
     import udacity_data_engineering_spark.functions  # noqa: F401
     import udacity_data_engineering_spark.operators  # noqa: F401
     import udacity_data_engineering_spark.sources  # noqa: F401
 
-    return dict(_REGISTRY)
+    missing = [n for n in DRIVER_PRIORITY if n not in _REGISTRY]
+    if missing:
+        raise RuntimeError(f"DRIVER_PRIORITY names not registered: {missing}")
+    ordered = {n: _REGISTRY[n] for n in DRIVER_PRIORITY}
+    ordered.update({n: q for n, q in _REGISTRY.items() if n not in ordered})
+    return ordered
