@@ -110,3 +110,17 @@ def test_partitioning_layout(outputs):
     assert years, "songs not partitioned by year"
     months = [d for d in os.listdir(f"{out}/time/year=2018")]
     assert any(m.startswith("month=") for m in months)
+
+
+def test_cli_main_runs_pipeline(tmp_path):
+    """The reference's primary UX: a runnable script (etl.py:190-203)."""
+    from udacity_data_engineering_spark.etl.sparkify import main
+
+    counts = main(
+        [
+            "--song-path", "fixtures/sparkify/song_data/*/*/*/*.json",
+            "--log-path", "fixtures/sparkify/log_data/*/*/*.json",
+            "--output", str(tmp_path / "out"),
+        ]
+    )
+    assert counts == {"songs": 8, "artists": 6, "users": 4, "time": 55, "songplays": 27}

@@ -159,3 +159,51 @@ def run(spark: SparkSession, song_path: str, log_path: str, output_path: str) ->
         for name in ("songs", "artists", "users", "time", "songplays")
     }
     return counts
+
+
+def main(argv: list[str] | None = None) -> dict:
+    """CLI entry point — the reference's primary UX (etl.py:190-203 main()
+    hardcodes s3a:// paths; we take them as arguments, with an optional
+    dl.cfg-style credentials file for object-store paths).
+
+    python -m udacity_data_engineering_spark.etl.sparkify \
+        --song-path fixtures/sparkify/song_data/*/*/*/*.json \
+        --log-path fixtures/sparkify/log_data/*/*/*.json \
+        --output /tmp/sparkify_out [--aws-cfg dl.cfg]
+    """
+    import argparse
+
+    from udacity_data_engineering_spark.session import (
+        build_session,
+        configure_object_store,
+    )
+
+    p = argparse.ArgumentParser(
+        prog="python -m udacity_data_engineering_spark.etl.sparkify",
+        description="Sparkify song/log ETL -> 5 parquet tables",
+    )
+    p.add_argument("--song-path", required=True, help="song_data JSON glob")
+    p.add_argument("--log-path", required=True, help="log_data JSON glob")
+    p.add_argument("--output", required=True, help="output directory/URI")
+    p.add_argument("--aws-cfg", default=None, help="dl.cfg-style credentials file")
+    args = p.parse_args(argv)
+
+    object_store = args.aws_cfg or any(
+        str(path).startswith(("s3a://", "s3://"))
+        for path in (args.song_path, args.log_path, args.output)
+    )
+    # "" = object-store on with env-var credentials (no cfg file)
+    spark = build_session(
+        app_name="sparkify-etl",
+        object_store_cfg=(args.aws_cfg or "") if object_store else None,
+    )
+    if object_store:
+        configure_object_store(spark, args.aws_cfg)
+    counts = run(spark, args.song_path, args.log_path, args.output)
+    for name, n in counts.items():
+        print(f"{name}: {n} rows")
+    return counts
+
+
+if __name__ == "__main__":  # pragma: no cover - exercised via subprocess test
+    main()

@@ -63,10 +63,116 @@ def configure(spark: SparkSession) -> SparkSession:
     return spark
 
 
+# --------------------------------------------------------------------------
+# Object-store (S3A) wiring — reference parity for etl.py:12-16,26-29 +
+# dl.cfg. The reference exports dl.cfg's [AWS] keys into the environment and
+# pulls org.apache.hadoop:hadoop-aws; we map the same credential file onto
+# fs.s3a.* confs (builder-time) or the live Hadoop configuration
+# (runtime, for a session we did not build).
+# --------------------------------------------------------------------------
+
+#: hadoop-aws matching the Hadoop 3.4 line bundled with Spark 4.x.
+S3A_PACKAGE = "org.apache.hadoop:hadoop-aws:3.4.1"
+
+
+def load_credentials(cfg_path: str | None = None) -> dict[str, str]:
+    """Read AWS credentials from a dl.cfg-style file, else the environment.
+
+    Mirrors reference etl.py:12-16 (configparser over a ``[AWS]`` section)
+    but strips surrounding quotes — the reference's dl.cfg quotes its
+    values, which configparser returns verbatim and S3A then rejects.
+    Returns possibly-empty strings; callers decide whether anonymous
+    access is acceptable.
+    """
+    import configparser
+
+    creds = {
+        "access_key": os.environ.get("AWS_ACCESS_KEY_ID", ""),
+        "secret_key": os.environ.get("AWS_SECRET_ACCESS_KEY", ""),
+        "session_token": os.environ.get("AWS_SESSION_TOKEN", ""),
+    }
+    if cfg_path:
+        cfg = configparser.ConfigParser()
+        if not cfg.read(cfg_path):
+            raise FileNotFoundError(f"credentials file not found: {cfg_path}")
+        aws = cfg["AWS"] if "AWS" in cfg else cfg["DEFAULT"]
+
+        def clean(v: str) -> str:
+            return v.strip().strip("'\"")
+
+        creds["access_key"] = clean(aws.get("AWS_ACCESS_KEY_ID", creds["access_key"]))
+        creds["secret_key"] = clean(aws.get("AWS_SECRET_ACCESS_KEY", creds["secret_key"]))
+        creds["session_token"] = clean(aws.get("AWS_SESSION_TOKEN", creds["session_token"]))
+    return creds
+
+
+def s3a_confs(
+    creds: dict[str, str] | None = None,
+    endpoint: str | None = None,
+) -> dict[str, str]:
+    """``spark.hadoop.fs.s3a.*`` confs for object-store reads/writes.
+
+    Beyond credentials, sets the 100 TB-posture knobs: the magic committer
+    (task commit via S3 multipart completion instead of O(data) directory
+    renames), fast upload, and a realistic connection pool.
+    """
+    confs = {
+        "spark.hadoop.fs.s3a.impl": "org.apache.hadoop.fs.s3a.S3AFileSystem",
+        "spark.hadoop.fs.s3a.fast.upload": "true",
+        "spark.hadoop.fs.s3a.connection.maximum": "96",
+        "spark.hadoop.fs.s3a.threads.max": "64",
+        # Safe cloud-native commit path: no rename-based commit on S3.
+        "spark.hadoop.fs.s3a.committer.name": "magic",
+        "spark.hadoop.fs.s3a.committer.magic.enabled": "true",
+        "spark.sql.parquet.output.committer.class": "org.apache.spark.internal.io.cloud.BindingParquetOutputCommitter",
+        "spark.sql.sources.commitProtocolClass": "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol",
+    }
+    if creds:
+        if creds.get("access_key"):
+            confs["spark.hadoop.fs.s3a.access.key"] = creds["access_key"]
+        if creds.get("secret_key"):
+            confs["spark.hadoop.fs.s3a.secret.key"] = creds["secret_key"]
+        if creds.get("session_token"):
+            confs["spark.hadoop.fs.s3a.session.token"] = creds["session_token"]
+            confs["spark.hadoop.fs.s3a.aws.credentials.provider"] = (
+                "org.apache.hadoop.fs.s3a.TemporaryAWSCredentialsProvider"
+            )
+    if endpoint:
+        confs["spark.hadoop.fs.s3a.endpoint"] = endpoint
+        confs["spark.hadoop.fs.s3a.path.style.access"] = "true"
+    return confs
+
+
+def configure_object_store(
+    spark: SparkSession,
+    cfg_path: str | None = None,
+    endpoint: str | None = None,
+) -> SparkSession:
+    """Wire S3A credentials into a LIVE session (driver-owned sessions).
+
+    ``spark.hadoop.*`` confs are builder-time only, but the underlying
+    Hadoop configuration is mutable at runtime — new filesystem instances
+    pick the values up. The hadoop-aws jar itself must already be on the
+    classpath (builder-time ``spark.jars.packages``; see build_session).
+    """
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    for key, value in s3a_confs(load_credentials(cfg_path), endpoint).items():
+        if key.startswith("spark.hadoop."):
+            hconf.set(key[len("spark.hadoop."):], value)
+        else:
+            try:
+                spark.conf.set(key, value)
+            except Exception:  # pragma: no cover - static SQL conf locked
+                pass
+    return spark
+
+
 def build_session(
     app_name: str = "udacity-data-engineering-spark",
     cpus: int | None = None,
     shuffle_partitions: int | None = None,
+    object_store_cfg: str | None = None,
+    s3a_endpoint: str | None = None,
 ) -> SparkSession:
     """Create a local session tuned for this box (reference: etl.py:26-29).
 
@@ -95,6 +201,15 @@ def build_session(
     )
     for key, value in RUNTIME_CONFS.items():
         builder = builder.config(key, value)
+    if object_store_cfg is not None or s3a_endpoint is not None:
+        # Reference parity (etl.py:26-29): pull hadoop-aws and wire
+        # dl.cfg credentials. Requires network for ivy resolution, so it
+        # is strictly opt-in; None/"" object_store_cfg means env creds.
+        builder = builder.config("spark.jars.packages", S3A_PACKAGE)
+        for key, value in s3a_confs(
+            load_credentials(object_store_cfg or None), s3a_endpoint
+        ).items():
+            builder = builder.config(key, value)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return configure(spark)
