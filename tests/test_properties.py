@@ -88,3 +88,16 @@ def test_dateparts_match_python(spark, ts):
     assert (h, d, m, y) == (ts.hour, ts.day, ts.month, ts.year)
     assert w == ts.isocalendar()[1]
     assert dow == (ts.isoweekday() % 7) + 1  # Spark: 1=Sunday..7=Saturday
+
+
+def test_asof_right_tiebreak_deterministic(spark):
+    """Duplicate right timestamps per key resolve to the greatest
+    tiebreak value on every run (ADVICE r1)."""
+    from udacity_data_engineering_spark.operators.asof import asof_join
+
+    right_rows = [(1, 10, i) for i in range(50)]  # 50 ties at ts=10
+    left = spark.createDataFrame([(1, 15)], "k long, ts long")
+    for nparts in (1, 8):
+        right = spark.createDataFrame(right_rows, "k long, ts long, rid long").repartition(nparts)
+        out = asof_join(left, right, on="k", right_cols=("rid",), right_tiebreak="rid")
+        assert [r.rid_matched for r in out.collect()] == [49]

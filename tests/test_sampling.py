@@ -58,3 +58,21 @@ def test_stratified_rng_rates_near_nominal(spark, sf_dir):
     got = stratified_by(docs, "lang", fractions).count()
     n = docs.count()
     assert 0.3 * n < got < 0.7 * n
+
+
+def test_hash_pct_no_overflow_above_2_32(spark):
+    """Keys above ~3.5e9 used to overflow int64 in key*KNUTH (ADVICE r1);
+    folding first keeps the product exact and matches DuckDB's arithmetic."""
+    import duckdb
+
+    from udacity_data_engineering_spark.operators.sampling import hash_pct
+
+    keys = [0, 1, 97, 2**31 - 1, 2**31, 2**40, 2**62, 2**63 - 1]
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = {r.k: r.b for r in df.select("k", hash_pct(F.col("k")).alias("b")).collect()}
+    con = duckdb.connect()
+    for k in keys:
+        want = con.execute(
+            f"SELECT ((({k} % 2147483648) * 2654435761) % 4294967296) % 100"
+        ).fetchone()[0]
+        assert got[k] == want, (k, got[k], want)

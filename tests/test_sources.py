@@ -105,3 +105,21 @@ def test_schema_evolution_nulls_old_rows(spark, sf_dir, tmp_path):
     n = table(spark, sf_dir, "nation").count()
     assert df.count() == 2 * n
     assert df.filter(F.col("iso_code").isNull()).count() == n
+
+
+def test_scratch_dirs_are_reused_not_leaked(spark, sf_dir):
+    """Sink round-trip queries rewrite one deterministic directory per
+    query instead of leaking a fresh mkdtemp per invocation (ADVICE r1)."""
+    import os
+
+    from udacity_data_engineering_spark.plans.registry import all_queries
+    from udacity_data_engineering_spark.sources.parquet_source import scratch_dir
+
+    q = all_queries()["q_parquet_roundtrip"].fn
+    q(spark, sf_dir).count()
+    path = scratch_dir("roundtrip")
+    before = sorted(os.listdir(path))
+    root_before = sorted(os.listdir(os.path.dirname(path)))
+    q(spark, sf_dir).count()
+    assert sorted(os.listdir(os.path.dirname(path))) == root_before
+    assert len(os.listdir(path)) == len(before)

@@ -49,3 +49,34 @@ def test_merge_is_idempotent(spark, tmp_path):
     assert merge_into(spark, target, up, ["k"]) == 1
     assert merge_into(spark, target, up, ["k"]) == 1
     assert spark.read.parquet(target).collect()[0].v == "y"
+
+
+def test_failed_swap_restores_target(spark, tmp_path, monkeypatch):
+    """A crash between the two swap renames must not leave the target
+    path empty (ADVICE r1): the old directory is restored."""
+    import os as _os
+
+    import pytest
+
+    from udacity_data_engineering_spark.etl.upsert import merge_into
+
+    target = str(tmp_path / "t")
+    spark.createDataFrame([(1, "a")], "k long, v string").write.parquet(target)
+    real_rename = _os.rename
+    calls = {"n": 0}
+
+    def flaky_rename(src, dst):
+        calls["n"] += 1
+        if calls["n"] == 2:  # the staged->target promotion
+            raise OSError("simulated crash mid-swap")
+        real_rename(src, dst)
+
+    monkeypatch.setattr("udacity_data_engineering_spark.etl.upsert.os.rename", flaky_rename)
+    up = spark.createDataFrame([(1, "b")], "k long, v string")
+    with pytest.raises(OSError, match="mid-swap"):
+        merge_into(spark, target, up, ["k"])
+    monkeypatch.undo()
+    # target restored with the PRE-merge contents; no stage/old leftovers
+    assert [tuple(r) for r in spark.read.parquet(target).collect()] == [(1, "a")]
+    leftovers = [p for p in _os.listdir(tmp_path) if p != "t"]
+    assert leftovers == [], leftovers

@@ -35,7 +35,6 @@ def scd2_apply(
     attrs = attrs or [
         c for c in changes.columns if c not in (key, ts_col)
     ]
-    w = Window.partitionBy(key).orderBy(ts_col)
     versions = changes.select(
         key, *attrs, F.col(ts_col).alias("valid_from")
     ).withColumn(

@@ -3,8 +3,11 @@
 The reference's lake is overwrite-only (etl.py:74,86,120). Real pipelines
 need incremental upserts; without a transactional table format the
 parquet-native equivalent is: anti-join the target against the update
-keys, union the updates, stage to a fresh directory, swap. The swap is
-atomic per-directory rename on posix/HDFS; on object stores or for
+keys, union the updates, stage to a fresh directory, swap. Each rename
+is atomic on posix/HDFS, but the swap is TWO renames (target->old,
+staged->target): a crash exactly between them leaves no directory at
+the target until the recovery below restores the old one. Readers
+concurrent with the swap can also see the gap. On object stores or for
 concurrent writers use a transactional format (Delta/Iceberg) — this
 module is the dependency-free fallback with the same logical semantics
 as MERGE ... WHEN MATCHED UPDATE WHEN NOT MATCHED INSERT.
@@ -59,10 +62,21 @@ def merge_into(
     staged = f"{target_path}__stage_{int(time.time() * 1000)}"
     target = spark.read.parquet(target_path)
     merged = target.join(updates, key_cols, "left_anti").unionByName(updates)
-    merged.write.mode("overwrite").parquet(staged)
-    n = spark.read.parquet(staged).count()
+    try:
+        merged.write.mode("overwrite").parquet(staged)
+        n = spark.read.parquet(staged).count()
+    except BaseException:
+        shutil.rmtree(staged, ignore_errors=True)
+        raise
     old = f"{target_path}__old_{int(time.time() * 1000)}"
     os.rename(target_path, old)
-    os.rename(staged, target_path)
+    try:
+        os.rename(staged, target_path)
+    except BaseException:
+        # restore the pre-merge target so a failed swap never leaves the
+        # path empty; the staged dir is removed, not promoted
+        os.rename(old, target_path)
+        shutil.rmtree(staged, ignore_errors=True)
+        raise
     shutil.rmtree(old, ignore_errors=True)
     return n

@@ -26,20 +26,23 @@ def asof_join(
     left_ts: str = "ts",
     right_ts: str = "ts",
     right_cols: tuple[str, ...] = (),
+    right_tiebreak: str | None = None,
 ) -> DataFrame:
     """For each left row, attach the latest right row with
     ``right.ts <= left.ts`` and the same ``on`` key (inclusive as-of).
 
     Scales as one shuffle on ``on`` + per-partition sort; no pairwise
-    blow-up. Right-side ties on (key, ts) resolve to the row last in the
-    union sort order — give ``right`` a deterministic unique ts per key
-    (or add a tiebreak column to ``right_ts``) for reproducibility.
+    blow-up. Right-side ties on (key, ts) are partition-order-dependent
+    unless ``right_tiebreak`` names a right column: then the greatest
+    tiebreak value wins deterministically on every run (ADVICE r1 —
+    required whenever right timestamps are not unique per key).
     """
     rcols = list(right_cols)
     r = right.select(
         F.col(on),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
+        (F.col(right_tiebreak) if right_tiebreak else F.lit(0)).alias("__tb"),
         *[F.col(c).alias(f"__r_{c}") for c in rcols],
         *[
             F.lit(None).cast(dict(left.dtypes)[c]).alias(f"__l_{c}")
@@ -51,12 +54,15 @@ def asof_join(
         F.col(on),
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
+        F.lit(None)
+        .cast(dict(right.dtypes)[right_tiebreak] if right_tiebreak else "int")
+        .alias("__tb"),
         *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__r_{c}") for c in rcols],
         *[F.col(c).alias(f"__l_{c}") for c in left.columns if c != on],
     )
     w = (
         Window.partitionBy(on)
-        .orderBy("__ts", "__side")
+        .orderBy("__ts", "__side", F.asc_nulls_first("__tb"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = r.unionByName(l).select(

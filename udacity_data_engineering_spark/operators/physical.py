@@ -86,28 +86,32 @@ def salted_join(
 def salted_agg(
     df: DataFrame,
     key: str,
-    agg_exprs: dict[str, str],
+    aggs: list[tuple[str, str]] | dict[str, str],
     n_salts: int = 8,
 ) -> DataFrame:
     """Two-stage skew-resistant aggregation: partial aggregate on
     (key, salt), then final aggregate on key. Only decomposable
     aggregates (sum/count/min/max) are supported — exactly the ones
-    whose partial+final split is lossless."""
+    whose partial+final split is lossless.
+
+    ``aggs`` is a sequence of ``(column, fn)`` pairs so the same column
+    can appear under several aggregates (e.g. min AND max of one price
+    column) in a single two-stage pass; a ``{column: fn}`` dict is still
+    accepted. Output columns are aliased ``{fn}_{column}``.
+    """
+    pairs = list(aggs.items()) if isinstance(aggs, dict) else list(aggs)
     allowed = {"sum", "count", "min", "max"}
-    bad = set(agg_exprs.values()) - allowed
+    bad = {fn for _, fn in pairs} - allowed
     if bad:
         raise ValueError(f"non-decomposable aggregates for salting: {bad}")
     salted = df.withColumn("__salt", salted_key(n_salts))
     partial = salted.groupBy(key, "__salt").agg(
-        *[
-            getattr(F, fn)(c).alias(f"__p_{c}")
-            for c, fn in agg_exprs.items()
-        ]
+        *[getattr(F, fn)(c).alias(f"__p_{i}") for i, (c, fn) in enumerate(pairs)]
     )
     finals = []
-    for c, fn in agg_exprs.items():
+    for i, (c, fn) in enumerate(pairs):
         refn = "sum" if fn in ("count", "sum") else fn
-        finals.append(getattr(F, refn)(f"__p_{c}").alias(f"{fn}_{c}"))
+        finals.append(getattr(F, refn)(f"__p_{i}").alias(f"{fn}_{c}"))
     return partial.groupBy(key).agg(*finals)
 
 
@@ -136,22 +140,20 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = salted_agg(
         l,
         "l_returnflag",
-        {"l_quantity": "sum", "l_linenumber": "count",
-         "l_extendedprice": "min"},
+        [
+            ("l_quantity", "sum"),
+            ("l_linenumber", "count"),
+            ("l_extendedprice", "min"),
+            ("l_extendedprice", "max"),
+        ],
         n_salts=8,
     )
-    # max via a second decomposable column set would collide on the same
-    # source column; compute it in the same two-stage shape inline
-    mx = salted_agg(l, "l_returnflag", {"l_extendedprice": "max"}, n_salts=8)
-    return (
-        out.join(mx, "l_returnflag")
-        .select(
-            "l_returnflag",
-            F.round("sum_l_quantity", 2).alias("sum_qty"),
-            F.col("count_l_linenumber").alias("cnt"),
-            F.round("min_l_extendedprice", 2).alias("min_price"),
-            F.round("max_l_extendedprice", 2).alias("max_price"),
-        )
+    return out.select(
+        "l_returnflag",
+        F.round("sum_l_quantity", 2).alias("sum_qty"),
+        F.col("count_l_linenumber").alias("cnt"),
+        F.round("min_l_extendedprice", 2).alias("min_price"),
+        F.round("max_l_extendedprice", 2).alias("max_price"),
     )
 
 

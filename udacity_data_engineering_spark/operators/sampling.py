@@ -32,8 +32,15 @@ KNUTH = 2654435761
 
 
 def hash_pct(key: Column) -> Column:
-    """Deterministic per-row percentile bucket in [0, 100)."""
-    return (key * F.lit(KNUTH)) % F.lit(4294967296) % F.lit(100)
+    """Deterministic per-row percentile bucket in [0, 100).
+
+    The key is folded into [0, 2^31) BEFORE the Knuth multiply so the
+    product stays below 2^62 — no int64 overflow for any key (overflow
+    errors under Spark ANSI mode and silently diverges from DuckDB's
+    hugeint promotion). Non-negative keys hash identically on every
+    engine with 64-bit integer math.
+    """
+    return (F.pmod(key, F.lit(2147483648)) * F.lit(KNUTH)) % F.lit(4294967296) % F.lit(100)
 
 
 def deterministic_sample(df: DataFrame, key: str, pct: int) -> DataFrame:
@@ -56,7 +63,7 @@ def stratified_by(
     oracle="""
         SELECT doc_id, lang, source
         FROM documents
-        WHERE (doc_id * 2654435761) % 4294967296 % 100 <
+        WHERE ((doc_id % 2147483648) * 2654435761) % 4294967296 % 100 <
               CASE lang WHEN 'en' THEN 60 WHEN 'de' THEN 30 ELSE 10 END
     """,
     doc="Deterministic corpus mixing: per-language sampling rates "

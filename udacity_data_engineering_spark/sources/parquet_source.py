@@ -9,13 +9,28 @@ pruning work on every downstream read — so we keep it verbatim.
 
 from __future__ import annotations
 
-import tempfile
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from udacity_data_engineering_spark.plans.registry import register
 from udacity_data_engineering_spark.session import table
+
+
+def scratch_dir(name: str) -> str:
+    """Deterministic scratch path for sink round-trip queries.
+
+    mkdtemp-per-invocation leaked a fresh orders copy on every bench /
+    verify run (ADVICE r1); a fixed per-name path under one root gets
+    rewritten in place by overwrite-mode writes instead. Override the
+    root with SPARK_GRAFT_SCRATCH for concurrent runs that must not
+    share sink directories.
+    """
+    root = os.environ.get("SPARK_GRAFT_SCRATCH", "/tmp/uds_scratch")
+    path = os.path.join(root, name)
+    os.makedirs(path, exist_ok=True)
+    return path
 
 
 def write_partitioned(
@@ -32,7 +47,7 @@ def write_partitioned(
     tags=("2A.19", "2A.6"),
 )
 def q_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = tempfile.mkdtemp(prefix="uds_roundtrip_")
+    out = scratch_dir("roundtrip")
     nat = table(spark, sf_dir, "nation")
     nat.write.mode("overwrite").parquet(out)
     return spark.read.parquet(out)
@@ -46,7 +61,7 @@ def q_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("2A.20",),
 )
 def q_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = tempfile.mkdtemp(prefix="uds_partitioned_")
+    out = scratch_dir("partitioned")
     orders = table(spark, sf_dir, "orders").withColumns(
         {
             "year": F.year("o_orderdate"),
@@ -79,8 +94,8 @@ def compact(df: DataFrame, path: str, target_files: int) -> None:
     tags=("sources",),
 )
 def q_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
-    frag = tempfile.mkdtemp(prefix="uds_frag_")
-    out = tempfile.mkdtemp(prefix="uds_compact_")
+    frag = scratch_dir("frag")
+    out = scratch_dir("compact")
     orders = table(spark, sf_dir, "orders")
     orders.repartition(64).write.mode("overwrite").parquet(frag)
     compact(spark.read.parquet(frag), out, target_files=4)
@@ -97,7 +112,7 @@ def q_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("sources",),
 )
 def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = tempfile.mkdtemp(prefix="uds_evolve_")
+    out = scratch_dir("evolve")
     nat = table(spark, sf_dir, "nation")
     nat.write.mode("overwrite").parquet(out)
     nat.withColumn("iso_code", F.upper(F.substring("n_name", 1, 3))).write.mode(
