@@ -77,3 +77,40 @@ def test_zscore_pandas_vs_builtin(spark, sf_dir):
         ).collect()
     }
     assert got == want
+
+
+def test_decode_real_raises_cleanly_without_pil():
+    """The integration hook must fail loudly, not silently fake."""
+    import pytest
+
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL present; covered by test_decode_real_with_pil")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError, match="image library"):
+        decode_real(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
+
+
+def test_decode_real_with_pil(spark):
+    """Exercises the REAL kernel end-to-end through decode_media wherever
+    PIL exists (skipped in this container — no media libs baked in)."""
+    import pytest
+
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("L", (12, 7), color=200).save(buf, format="PNG")
+    png = buf.getvalue()
+    df = spark.createDataFrame(
+        [("mem://a.img", None, len(png), bytearray(png))],
+        "path string, modificationTime timestamp, length long, content binary",
+    )
+    out = decode_media(df, decoder=decode_real).collect()
+    assert out[0].meta.width == 12 and out[0].meta.height == 7
+    assert abs(sum(out[0].features) - 1.0) < 1e-6
+    assert out[0].features[200 >> 5] == 1.0  # constant-gray image

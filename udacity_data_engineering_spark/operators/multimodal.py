@@ -51,15 +51,32 @@ DECODED_SCHEMA = T.StructType(
 
 
 def decode_real(content: bytes) -> tuple[int, int, list[float]]:
-    """Real decode hook — wire PIL/torchvision/ffmpeg here.
+    """Real decode kernel: PIL when available, NotImplementedError here.
 
-    Deliberately unimplemented in this container (no media libs baked
-    in); the pipeline around it is fully functional via decode_fake.
+    This container has no media libs, so the import gate raises and the
+    deterministic ``decode_fake`` is the test path. With PIL installed
+    (a real deployment) this decodes any PIL-supported format and emits
+    the same shape as decode_fake: (width, height, 8-bucket normalized
+    luminance histogram) — the skip-marked test in tests/test_multimodal
+    exercises it wherever PIL exists.
     """
-    raise NotImplementedError(
-        "media decoding requires an image library not present in this "
-        "environment; use decode_fake for the deterministic test path"
-    )
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError as e:  # pragma: no cover - no media libs here
+        raise NotImplementedError(
+            "media decoding requires an image library not present in this "
+            "environment; use decode_fake for the deterministic test path"
+        ) from e
+    with Image.open(io.BytesIO(content)) as img:
+        w, h = img.size
+        pixels = list(img.convert("L").getdata())
+    hist = [0] * 8
+    for p in pixels:
+        hist[p >> 5] += 1
+    n = max(len(pixels), 1)
+    return w, h, [c / n for c in hist]
 
 
 def decode_fake(content: bytes) -> tuple[int, int, list[float]]:
