@@ -13,9 +13,21 @@ from pyspark.sql import functions as F
 from udacity_data_engineering_spark.etl import sparkify
 from udacity_data_engineering_spark.plans.registry import register
 from udacity_data_engineering_spark.sources.json_source import (
+    FIXTURES,
+    LOG_COLS_DUCK,
+    SONG_COLS_DUCK,
     read_log_data,
     read_song_data,
 )
+
+#: Shared oracle CTE: the NextSong log scan. ignore_errors drops the one
+#: malformed fixture line that Spark's PERMISSIVE scan keeps as a
+#: corrupt-record row — identical survivors once page='NextSong' filters.
+_LOG_CTE = f"""
+    log AS (SELECT * FROM read_json('{FIXTURES}/log_data/*/*/*.json',
+                columns={LOG_COLS_DUCK}, ignore_errors=true)
+            WHERE page = 'NextSong')
+"""
 
 
 def _log_nextsong(spark: SparkSession) -> DataFrame:
@@ -24,8 +36,18 @@ def _log_nextsong(spark: SparkSession) -> DataFrame:
 
 @register(
     "q_sparkify_songs",
+    oracle=f"""
+        SELECT song_id, title, artist_id, year, duration FROM (
+            SELECT song_id, title, artist_id, year, duration,
+                   row_number() OVER (PARTITION BY song_id
+                       ORDER BY title, artist_id, year, duration) AS rn
+            FROM read_json('{FIXTURES}/song_data/*/*/*/*.json',
+                           columns={SONG_COLS_DUCK})
+        ) WHERE rn = 1
+    """,
     doc="songs dim (etl.py:65-74 intent): declared-schema JSON scan -> "
-    "project -> deterministic dedup on the natural song_id (B1/B2).",
+    "project -> deterministic dedup on the natural song_id (B1/B2). "
+    "Value-hash proven against the same dedup in DuckDB.",
     tags=("2A", "etl"),
 )
 def q_sparkify_songs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -34,8 +56,19 @@ def q_sparkify_songs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_sparkify_users",
+    oracle=f"""
+        WITH {_LOG_CTE}
+        SELECT user_id, first_name, last_name, gender, level FROM (
+            SELECT userId AS user_id, firstName AS first_name,
+                   lastName AS last_name, gender, level,
+                   row_number() OVER (PARTITION BY userId
+                       ORDER BY ts DESC, level, gender) AS rn
+            FROM log WHERE userId <> ''
+        ) WHERE rn = 1
+    """,
     doc="users dim (etl.py:112-116): rename-project + latest-by-ts dedup "
-    "(B7 fixed — a free->paid flipper resolves to paid).",
+    "(B7 fixed — a free->paid flipper resolves to paid). Value-hash "
+    "proven against the same latest-wins dedup in DuckDB.",
     tags=("2A", "etl"),
 )
 def q_sparkify_users(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -44,8 +77,20 @@ def q_sparkify_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_sparkify_time",
+    oracle=f"""
+        WITH {_LOG_CTE}, t AS (SELECT DISTINCT ts FROM log)
+        SELECT ts, make_timestamp(ts * 1000) AS start_time,
+               CAST(hour(make_timestamp(ts*1000)) AS INT) AS hour,
+               CAST(day(make_timestamp(ts*1000)) AS INT) AS day,
+               CAST(weekofyear(make_timestamp(ts*1000)) AS INT) AS week,
+               CAST(month(make_timestamp(ts*1000)) AS INT) AS month,
+               CAST(year(make_timestamp(ts*1000)) AS INT) AS year,
+               CAST(dayofweek(make_timestamp(ts*1000)) + 1 AS INT) AS weekday
+        FROM t
+    """,
     doc="time dim (etl.py:124-135): epoch-ms -> timestamp + six date "
-    "parts + dedup on ts.",
+    "parts + dedup on ts. Value-hash proven in DuckDB (dayofweek+1 "
+    "aligns DuckDB's Sunday=0 with Spark's Sunday=1).",
     tags=("2A", "etl"),
 )
 def q_sparkify_time(spark: SparkSession, sf_dir: str) -> DataFrame:

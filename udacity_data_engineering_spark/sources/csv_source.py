@@ -8,12 +8,11 @@ lake stays parquet (SCALE.md).
 
 from __future__ import annotations
 
-import tempfile
-
 from pyspark.sql import DataFrame, SparkSession
 
 from udacity_data_engineering_spark.plans.registry import register
 from udacity_data_engineering_spark.session import table
+from udacity_data_engineering_spark.sources.parquet_source import scratch_dir
 
 
 def write_csv(df: DataFrame, path: str) -> None:
@@ -26,13 +25,14 @@ def read_csv(spark: SparkSession, path: str, schema) -> DataFrame:
 
 @register(
     "q_csv_roundtrip",
-    doc="CSV sink + declared-schema re-scan of the nation dim. "
-    "Rows-only (CSV fixtures live outside the oracle's parquet views); "
-    "value fidelity asserted in tests/test_sources.py.",
+    oracle="SELECT * FROM nation",
+    doc="CSV sink + declared-schema re-scan of the nation dim; the "
+    "text round-trip must reproduce the table exactly, so the oracle "
+    "is the table itself.",
     tags=("sources",),
 )
 def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = tempfile.mkdtemp(prefix="uds_csv_")
+    out = scratch_dir("csv_roundtrip")
     nat = table(spark, sf_dir, "nation")
     write_csv(nat, out)
     return read_csv(spark, out, nat.schema)

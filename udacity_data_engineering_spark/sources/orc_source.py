@@ -10,13 +10,12 @@ value fidelity is asserted in tests/test_sources.py instead.
 
 from __future__ import annotations
 
-import tempfile
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from udacity_data_engineering_spark.plans.registry import register
 from udacity_data_engineering_spark.session import table
+from udacity_data_engineering_spark.sources.parquet_source import scratch_dir
 
 
 def write_orc(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
@@ -32,14 +31,14 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
 
 @register(
     "q_orc_roundtrip",
+    oracle="SELECT * FROM supplier WHERE s_acctbal > 0",
     doc="ORC sink + re-scan of the supplier dim, with a pushed filter on "
     "the re-read (s_acctbal > 0 reaches the ORC reader as a search "
-    "argument). Rows-only; value fidelity vs the parquet original is "
-    "asserted in tests/test_sources.py.",
+    "argument). Value-hash proven against filtering the source table.",
     tags=("sources",),
 )
 def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = tempfile.mkdtemp(prefix="uds_orc_")
+    out = scratch_dir("orc_roundtrip")
     sup = table(spark, sf_dir, "supplier")
     write_orc(sup, out)
     return read_orc(spark, out).filter(F.col("s_acctbal") > 0)

@@ -42,8 +42,10 @@ def write_partitioned(
 
 @register(
     "q_parquet_roundtrip",
+    oracle="SELECT * FROM nation",
     doc="Overwrite-mode parquet sink + re-scan (etl.py:86,120 then :185). "
-    "Rows-only: the driver checks the round-tripped row count.",
+    "The round-trip must reproduce the nation table bit-exactly, so the "
+    "oracle is the table itself — a full value-hash check of the sink.",
     tags=("2A.19", "2A.6"),
 )
 def q_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -55,9 +57,16 @@ def q_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_parquet_partitioned",
+    oracle="""
+        SELECT o_orderkey, o_custkey,
+               CAST(year(o_orderdate) AS INT) AS year,
+               CAST(month(o_orderdate) AS INT) AS month
+        FROM orders WHERE year(o_orderdate) = 1995
+    """,
     doc="Hive-partitioned parquet sink (partitionBy year/month, "
     "etl.py:139-140) + partition-pruned re-read: the year=1995 predicate "
-    "prunes directories, not rows. Rows-only.",
+    "prunes directories, not rows. Value-hash proven against computing "
+    "the same projection directly from the source table.",
     tags=("2A.20",),
 )
 def q_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -91,6 +100,7 @@ def compact(df: DataFrame, path: str, target_files: int) -> None:
     "files, compact to 4, re-scan. Row fidelity is the declared check; "
     "the file-count contract (4 data files exactly) is asserted in "
     "tests/test_sources.py.",
+    oracle="SELECT * FROM orders",
     tags=("sources",),
 )
 def q_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -109,6 +119,11 @@ def q_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     "old rows surface NULL for the new column. The lake-append pattern "
     "when upstream adds fields; at scale, pin mergeSchema to explicit "
     "maintenance reads (schema merging lists every file's footer).",
+    oracle="""
+        SELECT *, CAST(NULL AS VARCHAR) AS iso_code FROM nation
+        UNION ALL
+        SELECT *, upper(substr(n_name, 1, 3)) AS iso_code FROM nation
+    """,
     tags=("sources",),
 )
 def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
