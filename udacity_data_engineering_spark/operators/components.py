@@ -1,0 +1,194 @@
+"""Connected components + dedup survivor selection — the transitive-
+closure step of near-duplicate deduplication (charter: dedup family).
+
+Near-dup pairs form a graph; a dedup pipeline must keep ONE survivor per
+connected component (pair-at-a-time removal either under-deletes or
+cascades). This module provides:
+
+- ``connected_components``: iterative min-label propagation over a
+  DataFrame edge list. Each iteration is one join + one min-aggregate
+  (both decomposable, map-side combinable); lineage is cut per iteration
+  with localCheckpoint. Converges in O(graph diameter) iterations —
+  near-dup clusters are star-like (diameter 2-4), so this beats the
+  O(log n) star algorithms in practice while never materializing a
+  neighbor list (no collect_list hot-node blowup).
+- ``q_dedup_components``: components over the EXACT Jaccard pair graph,
+  value-hash-proven against a DuckDB recursive-CTE transitive closure —
+  the hard proof that the iterative algorithm labels every vertex with
+  its component minimum. Exact pair generation is the quadratic oracle
+  shape, so this query is guarded + tagged oracle_only like
+  q_ngram_jaccard.
+- ``q_minhash_dedup_survivors``: the 100 TB path — MinHash-LSH
+  candidates -> exact-Jaccard verification on candidates only ->
+  components -> keep the min doc_id per component. Deterministic
+  (seeded signatures) but not SQL-reproducible -> rows-only; pytest
+  asserts survivor-set equality against a union-find ground truth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from udacity_data_engineering_spark.operators.guards import oracle_scale_guard
+from udacity_data_engineering_spark.operators.similarity import (
+    minhash_candidates,
+    shingle_sets,
+    spread,
+)
+from udacity_data_engineering_spark.plans.registry import register
+from udacity_data_engineering_spark.session import table
+
+#: Verification threshold for the survivor pipeline (matches
+#: q_neardup_pipeline's confirmed-pair threshold).
+NEARDUP_JACCARD = 0.7
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 25
+) -> DataFrame:
+    """Label every vertex of the (undirected) edge list with the minimum
+    vertex id of its connected component. Returns (id, comp).
+
+    Min-label propagation: comp starts as the vertex's own id; each
+    round takes the min over the neighborhood. Monotone + bounded below
+    -> the label sum strictly decreases until fixpoint, which is the
+    convergence test (one cheap scalar agg per round — no row-level
+    diffing). Every round is shuffle-bounded by the edge count; no
+    per-vertex neighbor lists are ever collected.
+    """
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = sym.union(
+        sym.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    labels = (
+        sym.select(F.col("a").alias("id")).distinct().withColumn("comp", F.col("id"))
+    )
+    prev = None
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels, sym["b"] == labels["id"])
+            .groupBy("a")
+            .agg(F.min("comp").alias("m"))
+        )
+        labels = (
+            labels.join(nbr, labels["id"] == nbr["a"], "left")
+            .select(
+                labels["id"],
+                F.least(F.col("comp"), F.coalesce("m", "comp")).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        total = labels.agg(F.sum("comp")).first()[0]
+        if total == prev:
+            break
+        prev = total
+    return labels
+
+
+def _exact_pairs(spark: SparkSession, sf_dir: str, threshold: float) -> DataFrame:
+    """Exact 3-gram-Jaccard pair graph (ground-truth shape, guarded)."""
+    docs = oracle_scale_guard(
+        table(spark, sf_dir, "documents"),
+        "q_dedup_components",
+        "q_minhash_dedup_survivors",
+    )
+    tok = shingle_sets(spread(docs))
+    cnt = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = tok.alias("a"), tok.alias("b")
+    inter = (
+        a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(cnt.selectExpr("doc_id AS doc_a", "n AS na"), "doc_a")
+        .join(cnt.selectExpr("doc_id AS doc_b", "n AS nb"), "doc_b")
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b")
+    )
+
+
+@register(
+    "q_dedup_components",
+    oracle=f"""
+        WITH RECURSIVE tok AS (
+            SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS w
+            FROM (SELECT doc_id, string_split(text, ' ') AS words
+                  FROM documents),
+                 LATERAL (SELECT unnest(
+                     range(1, greatest(len(words) - 2, 0) + 1)) AS i)
+        ), cnt AS (
+            SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id
+        ), pair AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+            FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ), edge AS (
+            SELECT doc_a AS a, doc_b AS b FROM pair
+            JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
+            WHERE i / (ca.n + cb.n - i) >= {NEARDUP_JACCARD}
+        ), sym AS (
+            SELECT a, b FROM edge UNION SELECT b, a FROM edge
+        ), walk(id, comp) AS (
+            SELECT a, a FROM sym
+            UNION
+            SELECT s.a, w.comp FROM sym s JOIN walk w ON s.b = w.id
+        )
+        SELECT id, min(comp) AS comp FROM walk GROUP BY id
+    """,
+    doc="Connected components of the exact near-dup pair graph "
+    "(3-gram Jaccard >= 0.7): iterative min-label propagation on Spark, "
+    "value-hash-proven against a DuckDB recursive-CTE transitive "
+    "closure. Guarded oracle shape (exact pair generation is quadratic) "
+    "— the scale path is q_minhash_dedup_survivors.",
+    tags=("E11", "E12", "dedup", "oracle_only"),
+)
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _exact_pairs(spark, sf_dir, NEARDUP_JACCARD)
+    return connected_components(edges, "doc_a", "doc_b")
+
+
+def neardup_survivors(
+    docs: DataFrame, threshold: float = NEARDUP_JACCARD
+) -> DataFrame:
+    """Full scale-path dedup: LSH candidates -> exact verification on
+    candidates only -> components -> min-doc_id survivor per component.
+    Docs in no verified pair survive unconditionally."""
+    cand = minhash_candidates(docs)
+    tok = shingle_sets(spread(docs))
+    cnt = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        cand.join(tok.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(tok.selectExpr("doc_id AS doc_b", "w"), ["doc_b", "w"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    verified = (
+        inter.join(cnt.selectExpr("doc_id AS doc_a", "n AS na"), "doc_a")
+        .join(cnt.selectExpr("doc_id AS doc_b", "n AS nb"), "doc_b")
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b")
+    )
+    comp = connected_components(verified, "doc_a", "doc_b")
+    return (
+        docs.join(comp, docs["doc_id"] == comp["id"], "left")
+        .filter(F.col("comp").isNull() | (F.col("comp") == F.col("doc_id")))
+        .select("doc_id", "lang", "source")
+    )
+
+
+@register(
+    "q_minhash_dedup_survivors",
+    doc="End-to-end near-dup dedup at the 100 TB shape: MinHash-LSH "
+    "candidates (O(docs x bands) shuffle), exact Jaccard verification "
+    "on candidates only, connected components, keep min doc_id per "
+    "component. Deterministic seeded signatures but not "
+    "SQL-reproducible -> rows-only; tests assert survivor-set equality "
+    "vs a union-find over the exact pair graph.",
+    tags=("E11", "E12", "dedup"),
+)
+def q_minhash_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return neardup_survivors(table(spark, sf_dir, "documents"))

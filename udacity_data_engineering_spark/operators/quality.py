@@ -1,0 +1,161 @@
+"""Pretraining-corpus quality filters — the document-level rule filters a
+large-scale training-data pipeline runs before dedup (charter: text
+analysis / quality scoring).
+
+Rule set follows the public Gopher heuristics (Rae et al. 2021,
+"Scaling Language Models", §A1.1: word-count bounds, mean-word-length
+bounds, stopword presence, repetition ratios), with thresholds adapted to
+the synthetic corpus so every rule is non-degenerate at all scale factors.
+
+Scale shape: every signal here is computed per-row from the token array
+with JVM array expressions — zero shuffles, embarrassingly parallel,
+perfect linear scaling to 100 TB. The per-row lambda cost is bounded by
+document length, not corpus size. (The DuckDB oracles compute the same
+values via explode/GROUP BY — different plan, same numbers — which is
+exactly what makes them independent checks.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from udacity_data_engineering_spark.plans.registry import register
+from udacity_data_engineering_spark.session import table
+
+#: Stopword probe list (Gopher uses a similar tiny list). Presence of
+#: common function words is a cheap fluency signal.
+STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "it")
+
+#: Rule thresholds (corpus-adapted; Gopher's originals in parens).
+MIN_WORDS, MAX_WORDS = 5, 2000          # (50, 100k)
+MIN_MEAN_WLEN, MAX_MEAN_WLEN = 2.0, 12.0  # (3, 10)
+MIN_STOPWORD_FRAC = 0.01                 # (two stopwords per doc)
+MAX_TOP_TOKEN_FRAC = 0.5                 # repetition cap
+
+
+def _toks(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def gopher_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality signals + keep decision, all JVM-side."""
+    toks = _toks(F.col(text_col))
+    n = F.size(toks)
+    mean_wlen = (F.length(text_col) - n + F.lit(1.0)) / n
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    stop_frac = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))) / n
+    # mode frequency from the distinct-token list: O(distinct x n) per
+    # row, bounded by doc length — no shuffle, unlike explode+groupBy
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda d: F.size(F.filter(toks, lambda t: t == d)),
+        )
+    )
+    sig = docs.select(
+        "doc_id",
+        n.alias("n_words"),
+        F.round(mean_wlen, 6).alias("mean_word_len"),
+        F.round(stop_frac, 6).alias("stopword_frac"),
+        F.round(top_cnt / n, 6).alias("top_token_frac"),
+    )
+    keep = (
+        F.col("n_words").between(MIN_WORDS, MAX_WORDS)
+        & F.col("mean_word_len").between(MIN_MEAN_WLEN, MAX_MEAN_WLEN)
+        & (F.col("stopword_frac") >= MIN_STOPWORD_FRAC)
+        & (F.col("top_token_frac") <= MAX_TOP_TOKEN_FRAC)
+    )
+    return sig.withColumn("keep", keep)
+
+
+@register(
+    "q_gopher_rules",
+    oracle=f"""
+        WITH sig AS (
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS n_words,
+                   round((length(text) - len(string_split(text, ' ')) + 1.0)
+                         / len(string_split(text, ' ')), 6) AS mean_word_len,
+                   round(CAST(len(list_filter(string_split(text, ' '),
+                         t -> list_contains({list(STOPWORDS)}, t))) AS DOUBLE)
+                         / len(string_split(text, ' ')), 6) AS stopword_frac,
+                   round(CAST(list_max(list_transform(
+                         list_distinct(string_split(text, ' ')),
+                         d -> len(list_filter(string_split(text, ' '),
+                                  t -> t = d)))) AS DOUBLE)
+                         / len(string_split(text, ' ')), 6) AS top_token_frac
+            FROM documents
+        )
+        SELECT doc_id, CAST(n_words AS INT) AS n_words, mean_word_len,
+               stopword_frac, top_token_frac,
+               (n_words BETWEEN {MIN_WORDS} AND {MAX_WORDS}
+                AND mean_word_len BETWEEN {MIN_MEAN_WLEN} AND {MAX_MEAN_WLEN}
+                AND stopword_frac >= {MIN_STOPWORD_FRAC}
+                AND top_token_frac <= {MAX_TOP_TOKEN_FRAC}) AS keep
+        FROM sig
+    """,
+    doc="Gopher-style pretraining quality rules (word-count bounds, mean "
+    "word length, stopword fraction, top-token repetition cap) computed "
+    "per-row with array expressions — zero shuffles. Oracle recomputes "
+    "every signal independently in DuckDB.",
+    tags=("E10", "quality"),
+)
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = gopher_signals(table(spark, sf_dir, "documents"))
+    return sig.withColumn("n_words", F.col("n_words").cast("int"))
+
+
+def repetition_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Duplicate-token fraction + top-bigram coverage, per-row JVM-side."""
+    toks = _toks(F.col(text_col))
+    n = F.size(toks)
+    bigrams = F.transform(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        lambda t, i: F.concat_ws(" ", t, F.element_at(toks, i + 2)),
+    )
+    top_big = F.array_max(
+        F.transform(
+            F.array_distinct(bigrams),
+            lambda d: F.size(F.filter(bigrams, lambda g: g == d)),
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.round(F.lit(1.0) - F.size(F.array_distinct(toks)) / n.cast("double"), 6).alias(
+            "dup_token_frac"
+        ),
+        F.round(top_big / (n - F.lit(1)).cast("double"), 6).alias("top_bigram_frac"),
+    )
+
+
+@register(
+    "q_repetition_filter",
+    oracle="""
+        WITH big AS (
+            SELECT doc_id, array_to_string(words[i:i+1], ' ') AS g
+            FROM (SELECT doc_id, string_split(text, ' ') AS words
+                  FROM documents),
+                 LATERAL (SELECT unnest(
+                     range(1, greatest(len(words) - 1, 0) + 1)) AS i)
+        ), topb AS (
+            SELECT doc_id, max(c) AS mx FROM (
+                SELECT doc_id, g, count(*) AS c FROM big GROUP BY 1, 2)
+            GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               round(1.0 - CAST(len(list_distinct(string_split(d.text, ' '))) AS DOUBLE)
+                     / len(string_split(d.text, ' ')), 6) AS dup_token_frac,
+               round(CAST(topb.mx AS DOUBLE)
+                     / (len(string_split(d.text, ' ')) - 1), 6) AS top_bigram_frac
+        FROM documents d JOIN topb ON d.doc_id = topb.doc_id
+    """,
+    doc="Repetition filters (Gopher/C4 lineage): duplicate-token "
+    "fraction and most-frequent-bigram coverage. Spark computes both "
+    "per-row from the token array (no shuffle); the oracle recomputes "
+    "the bigram mode via explode + GROUP BY — independent plans, same "
+    "numbers.",
+    tags=("E10", "quality"),
+)
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return repetition_signals(table(spark, sf_dir, "documents"))

@@ -90,15 +90,15 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_rollup",                # E3
     "q_topn",                  # E4
     "q_window_rank",           # E5
-    "q_window_running",        # E5
     "q_setops",                # E6
     "q_join_semi",             # E7
     "q_join_broadcast_agg",    # E7
     "q_asof_join",             # E8
     "q_json_extract",          # E9
     "q_text_tokens",           # E10
-    "q_doc_quality",           # E10
+    "q_gopher_rules",          # E10 / quality filters
     "q_doc_fingerprint",       # E11
+    "q_minhash_dedup_survivors",  # E11/E12 end-to-end dedup pipeline
     "q_doc_dedup_survivors",   # E11
     "q_cosine_topk",           # E12 exact top-k
     "q_embedding_neardup_lsh", # E12 scale path
