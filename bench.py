@@ -83,20 +83,37 @@ def main() -> None:
         raw_events.select(epoch_ms_to_ts_udf(F.expr("ts DIV 1000000")).alias("st")).count()
 
     def parquet_write_partitioned():
-        (t["orders"]
-         .withColumns({"year": F.year("o_orderdate"), "month": F.month("o_orderdate")})
-         .write.mode("overwrite").partitionBy("year", "month")
-         .parquet(f"{tmp}/orders_part"))
+        # same logical op as BASELINE's recipe; physical strategy is the
+        # engine's write_partitioned (cluster-by-partition-cols first:
+        # 2x faster, one file per partition instead of tasks x partitions)
+        from udacity_data_engineering_spark.sources.parquet_source import (
+            write_partitioned,
+        )
+
+        write_partitioned(
+            t["orders"].withColumns(
+                {"year": F.year("o_orderdate"), "month": F.month("o_orderdate")}
+            ),
+            f"{tmp}/orders_part",
+            ["year", "month"],
+        )
 
     def etl_join_write_end2end():
-        spark.sql("""
-            SELECT monotonically_increasing_id() AS songplay_id,
-                   o.o_orderkey, year(o.o_orderdate) AS year,
-                   month(o.o_orderdate) AS month, c.c_custkey AS user_id,
-                   c.c_mktsegment AS level, o.o_totalprice AS amount
-            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-        """).write.mode("overwrite").partitionBy("year", "month").parquet(
-            f"{tmp}/songplays")
+        from udacity_data_engineering_spark.sources.parquet_source import (
+            write_partitioned,
+        )
+
+        write_partitioned(
+            spark.sql("""
+                SELECT monotonically_increasing_id() AS songplay_id,
+                       o.o_orderkey, year(o.o_orderdate) AS year,
+                       month(o.o_orderdate) AS month, c.c_custkey AS user_id,
+                       c.c_mktsegment AS level, o.o_totalprice AS amount
+                FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            """),
+            f"{tmp}/songplays",
+            ["year", "month"],
+        )
 
     benches = {
         "scan_count_lineitem": scan_count_lineitem,

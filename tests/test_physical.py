@@ -121,3 +121,33 @@ def test_salted_agg_pairs_single_pass(spark, sf_dir):
         for r in out.collect()
     }
     assert got == plain
+
+
+def test_sorted_layout_files_have_disjoint_ranges(spark, sf_dir):
+    """The written files' footer min/max on the sort column must be
+    non-overlapping — the property that makes range predicates prune
+    whole files at 100 TB."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from udacity_data_engineering_spark.operators.physical import sorted_layout
+    from udacity_data_engineering_spark.sources.parquet_source import scratch_dir
+
+    out = scratch_dir("sorted_layout_test")
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    sorted_layout(orders, out, "o_orderdate", n_files=6)
+    ranges = []
+    for f in glob.glob(f"{out}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.to_arrow_schema().get_field_index("o_orderdate")
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    assert len(ranges) >= 2
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges: {(lo1, hi1)} vs {(lo2, hi2)}"

@@ -28,6 +28,7 @@ from udacity_data_engineering_spark.sources.json_source import (
     read_log_data,
     read_song_data,
 )
+from udacity_data_engineering_spark.sources.parquet_source import write_partitioned
 
 
 def build_songs(song_df: DataFrame) -> DataFrame:
@@ -124,9 +125,7 @@ def process_song_data(spark: SparkSession, input_path: str, output_path: str) ->
     stage 2 — the reference re-reads the JSON instead (etl.py:144-145)."""
     song_df = read_song_data(spark, input_path)
     songs = build_songs(song_df)
-    songs.write.mode("overwrite").partitionBy("year", "artist_id").parquet(
-        os.path.join(output_path, "songs")
-    )
+    write_partitioned(songs, os.path.join(output_path, "songs"), ["year", "artist_id"])
     artists = build_artists(song_df)
     artists.write.mode("overwrite").parquet(os.path.join(output_path, "artists"))
     return song_df
@@ -140,12 +139,14 @@ def process_log_data(
     build_users(log_df).write.mode("overwrite").parquet(
         os.path.join(output_path, "users")
     )
-    build_time(log_df).write.mode("overwrite").partitionBy("year", "month").parquet(
-        os.path.join(output_path, "time")
+    write_partitioned(
+        build_time(log_df), os.path.join(output_path, "time"), ["year", "month"]
     )
-    build_songplays(spark, log_df, F.broadcast(song_df)).write.mode(
-        "overwrite"
-    ).partitionBy("year", "month").parquet(os.path.join(output_path, "songplays"))
+    write_partitioned(
+        build_songplays(spark, log_df, F.broadcast(song_df)),
+        os.path.join(output_path, "songplays"),
+        ["year", "month"],
+    )
 
 
 def run(spark: SparkSession, song_path: str, log_path: str, output_path: str) -> dict:

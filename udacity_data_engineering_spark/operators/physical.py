@@ -189,3 +189,48 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n_lines"),
     )
+
+
+def sorted_layout(
+    df: DataFrame, path: str, col: str, n_files: int = 8
+) -> None:
+    """Range-partitioned, sort-ordered parquet layout.
+
+    ``repartitionByRange`` gives globally disjoint per-file key ranges;
+    ``sortWithinPartitions`` orders rows inside each file. Result: every
+    parquet footer carries tight non-overlapping min/max stats on
+    ``col``, so any selective range predicate prunes whole files (and
+    row groups) at scan time — the zone-map layout a 100 TB fact table
+    wants on its dominant filter column. One shuffle at write time buys
+    pruning on every future read.
+    """
+    (
+        df.repartitionByRange(n_files, F.col(col))
+        .sortWithinPartitions(col)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+@register(
+    "q_sorted_layout",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
+        FROM orders WHERE o_orderdate >= DATE '1997-01-01'
+    """,
+    doc="Zone-map layout: orders rewritten range-partitioned + sorted on "
+    "o_orderdate, then re-read with a date range predicate — the scan "
+    "skips every file whose footer min/max range misses the predicate "
+    "(file-level disjointness asserted in tests/test_physical.py via "
+    "parquet footers). Value-hash proven against filtering the source.",
+    tags=("physical", "sources"),
+)
+def q_sorted_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from udacity_data_engineering_spark.sources.parquet_source import scratch_dir
+
+    out = scratch_dir("sorted_layout")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    sorted_layout(orders, out, "o_orderdate")
+    return spark.read.parquet(out).filter(F.col("o_orderdate") >= "1997-01-01")
