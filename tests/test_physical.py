@@ -151,3 +151,41 @@ def test_sorted_layout_files_have_disjoint_ranges(spark, sf_dir):
     assert len(ranges) >= 2
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, f"overlapping file ranges: {(lo1, hi1)} vs {(lo2, hi2)}"
+
+
+def test_zorder_prunes_both_columns(spark, sf_dir):
+    """Z-order files must give BOTH columns meaningfully tighter per-file
+    ranges than a layout sorted on only one of them gives the other."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from udacity_data_engineering_spark.operators.physical import (
+        sorted_layout,
+        zorder_layout,
+    )
+    from udacity_data_engineering_spark.sources.parquet_source import scratch_dir
+
+    orders = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    z_out, s_out = scratch_dir("z_test"), scratch_dir("s_test")
+    zorder_layout(orders, z_out, "o_custkey", "o_totalprice", n_files=8)
+    sorted_layout(orders, s_out, "o_custkey", n_files=8)
+
+    def avg_span(path, col):
+        spans, total = [], None
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.to_arrow_schema().get_field_index(col)
+            mins = [md.row_group(g).column(idx).statistics.min for g in range(md.num_row_groups)]
+            maxs = [md.row_group(g).column(idx).statistics.max for g in range(md.num_row_groups)]
+            spans.append(max(maxs) - min(mins))
+        return sum(spans) / len(spans)
+
+    # on the single-sorted layout, the unsorted second column spans ~the
+    # whole domain per file; z-order must cut that span substantially
+    z_span = avg_span(z_out, "o_totalprice")
+    s_span = avg_span(s_out, "o_totalprice")
+    assert z_span < 0.7 * s_span, (z_span, s_span)
+    # and still bound the first column usefully (each file a rectangle)
+    dom = orders.agg(F.max("o_custkey") - F.min("o_custkey")).first()[0]
+    assert avg_span(z_out, "o_custkey") < 0.8 * dom

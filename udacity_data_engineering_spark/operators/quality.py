@@ -159,3 +159,52 @@ def repetition_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
 )
 def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_signals(table(spark, sf_dir, "documents"))
+
+
+#: Scrub patterns — deliberately lookaround-free so the same pattern
+#: means the same thing in Java regex (Spark) and RE2 (DuckDB).
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+URL_RE = "https?://[^ ]+"
+PHONE_RE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+def scrub_text(text: Column) -> Column:
+    """Mask emails, URLs and phone-shaped numbers — the standard PII /
+    boilerplate scrub a pretraining pipeline applies before tokenizing.
+    Pure JVM regexp_replace chain: codegen'd, no shuffle, linear scan."""
+    out = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, URL_RE, "<URL>")
+    return F.regexp_replace(out, PHONE_RE, "<PHONE>")
+
+
+@register(
+    "q_text_scrub",
+    oracle=f"""
+        SELECT doc_id,
+               regexp_replace(regexp_replace(regexp_replace(
+                   text || ' reach me at user' || doc_id ||
+                   '@mail.example.com or https://ex.org/d/' || doc_id ||
+                   ' tel 555-867-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+                   '{EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{URL_RE}', '<URL>', 'g'),
+                   '{PHONE_RE}', '<PHONE>', 'g') AS clean
+        FROM documents
+    """,
+    doc="PII/boilerplate scrub: email, URL and phone masking via a "
+    "codegen'd regexp_replace chain (patterns chosen to mean the same "
+    "in Java regex and RE2). The corpus has no organic PII, so the "
+    "query plants deterministic doc_id-derived PII first and the oracle "
+    "must scrub identically.",
+    tags=("E10", "quality"),
+)
+def q_text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" reach me at user"), F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or https://ex.org/d/"),
+        F.col("doc_id").cast("string"),
+        F.lit(" tel 555-867-"),
+        F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"), 4, "0"),
+    )
+    return docs.select("doc_id", scrub_text(planted).alias("clean"))
