@@ -153,6 +153,9 @@ def main() -> None:
         "q_doc_dedup", "q_group_zscore", "q_shipping_priority",
         "q_local_supplier_volume", "q_embedding_neardup_lsh",
         "q_ivf_topk", "q_large_orders", "q_correlated_subquery",
+        "q_gopher_rules", "q_repetition_filter", "q_text_scrub",
+        "q_minhash_dedup_survivors", "q_sorted_layout", "q_zorder_layout",
+        "q_salted_agg", "q_simhash_candidates", "q_stratified_mix",
     ):
         best = float("inf")
         for _ in range(2):

@@ -218,3 +218,14 @@ def test_excess_share_suppliers_semi_join(spark, sf_dir):
     supplier qualification), never a materialized IN-list per row."""
     plan = plan_of(MANIFEST["q_excess_share_suppliers"].fn(spark, sf_dir), "simple")
     assert "LeftSemi" in plan
+
+
+def test_quality_filters_are_shuffle_free(spark, sf_dir):
+    """The per-document quality/repetition/scrub signals must stay pure
+    per-row expressions: zero exchanges, zero Python eval nodes — the
+    property that makes them linear at 100 TB."""
+    for name in ("q_gopher_rules", "q_repetition_filter", "q_text_scrub"):
+        df = MANIFEST[name].fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "Exchange" not in plan, name
+        assert "PythonUDF" not in plan and "BatchEval" not in plan, name

@@ -108,3 +108,54 @@ def test_foreachbatch_parquet_sink(spark, sf_dir, tmp_path):
     write_stream_parquet(stream, out, str(tmp_path / "ckpt3"))
     assert spark.read.parquet(out).count() == 100
     shutil.rmtree(src, ignore_errors=True)
+
+
+def test_stream_merge_into_upserts_and_replays(spark, tmp_path):
+    """CDC upsert sink: per-key last-writer-wins across micro-batches,
+    and a full replay (fresh checkpoint, same inputs) converges to the
+    same target instead of duplicating."""
+    import pyspark.sql.functions as F
+
+    from udacity_data_engineering_spark.streaming.stateful import stream_merge_into
+
+    src = tmp_path / "src"
+    target = str(tmp_path / "target")
+    # seed target + two change files (file = micro-batch under availableNow)
+    spark.createDataFrame(
+        [(1, "a", 0), (2, "b", 0)], "k long, v string, seq long"
+    ).write.parquet(target)
+    src.mkdir()
+    spark.createDataFrame([(2, "b2", 1), (3, "c", 1)], "k long, v string, seq long") \
+        .coalesce(1).write.mode("overwrite").parquet(str(src / "f1"))
+    spark.createDataFrame([(3, "c2", 2), (4, "d", 2)], "k long, v string, seq long") \
+        .coalesce(1).write.mode("overwrite").parquet(str(src / "f2"))
+
+    stream = spark.readStream.schema("k long, v string, seq long").parquet(
+        f"{src}/*"
+    )
+    stream_merge_into(stream, target, ["k"], str(tmp_path / "ckpt"), order_col="seq")
+    got = {r.k: (r.v, r.seq) for r in spark.read.parquet(target).collect()}
+    assert got == {1: ("a", 0), 2: ("b2", 1), 3: ("c2", 2), 4: ("d", 2)}
+
+    # replay everything with a new checkpoint: same end state
+    stream2 = spark.readStream.schema("k long, v string, seq long").parquet(f"{src}/*")
+    stream_merge_into(stream2, target, ["k"], str(tmp_path / "ckpt2"), order_col="seq")
+    again = {r.k: (r.v, r.seq) for r in spark.read.parquet(target).collect()}
+    assert again == got
+
+
+def test_stream_merge_into_stale_batch_cannot_regress(spark, tmp_path):
+    """An out-of-order redelivery of ONLY an old batch must not overwrite
+    newer target rows."""
+    from udacity_data_engineering_spark.streaming.stateful import stream_merge_into
+
+    target = str(tmp_path / "target")
+    spark.createDataFrame([(3, "c2", 2)], "k long, v string, seq long").write.parquet(target)
+    stale = tmp_path / "stale"
+    stale.mkdir()
+    spark.createDataFrame([(3, "c", 1), (5, "e", 1)], "k long, v string, seq long") \
+        .coalesce(1).write.mode("overwrite").parquet(str(stale / "f1"))
+    stream = spark.readStream.schema("k long, v string, seq long").parquet(f"{stale}/*")
+    stream_merge_into(stream, target, ["k"], str(tmp_path / "ck"), order_col="seq")
+    got = {r.k: (r.v, r.seq) for r in spark.read.parquet(target).collect()}
+    assert got == {3: ("c2", 2), 5: ("e", 1)}  # key 3 kept newer, key 5 inserted

@@ -79,3 +79,60 @@ def write_stream_parquet(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_merge_into(
+    stream_df: DataFrame,
+    target_path: str,
+    key_cols: list[str],
+    checkpoint: str,
+    order_col: str | None = None,
+) -> None:
+    """Streaming CDC upsert: foreachBatch + etl.upsert.merge_into.
+
+    Each micro-batch merges last-writer-wins into the parquet target
+    (anti-join + union + staged swap). With ``order_col`` naming a
+    monotonically increasing change column, updates already older than
+    the target row are dropped BEFORE merging — so a re-delivered or
+    out-of-order batch can never regress a key, and replaying any subset
+    of batches in any order converges to the same target (true CDC
+    idempotency, not just in-order replay). The parquet-native stand-in
+    for MERGE INTO a transactional table — at scale, partition the
+    target and merge only affected partitions (see etl/upsert.py).
+    """
+    from pyspark.sql import functions as F
+
+    from udacity_data_engineering_spark.etl.upsert import merge_into
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        updates = batch_df
+        if order_col is not None:
+            current = (
+                batch_df.sparkSession.read.parquet(target_path)
+                .groupBy(*key_cols)
+                .agg(F.max(order_col).alias("__cur"))
+            )
+            updates = (
+                updates.join(current, key_cols, "left")
+                .filter(F.col("__cur").isNull() | (F.col(order_col) >= F.col("__cur")))
+                .drop("__cur")
+            )
+            if updates.isEmpty():
+                return
+        merge_into(
+            updates.sparkSession,
+            target_path,
+            updates,
+            key_cols,
+            order_col=order_col,
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
