@@ -208,3 +208,95 @@ def q_text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"), 4, "0"),
     )
     return docs.select("doc_id", scrub_text(planted).alias("clean"))
+
+
+def token_entropy(text: Column) -> Column:
+    """Shannon entropy (nats) of the token distribution — low entropy =
+    repetitive/boilerplate text, a standard pretraining quality signal.
+    Per-row JVM expressions: frequencies from the distinct-token list,
+    then -sum(p ln p) via a fold. No shuffle."""
+    toks = _toks(text)
+    n = F.size(toks).cast("double")
+    counts = F.transform(
+        F.array_distinct(toks),
+        lambda d: F.size(F.filter(toks, lambda t: t == d)).cast("double"),
+    )
+    return F.aggregate(
+        counts,
+        F.lit(0.0),
+        lambda acc, c: acc - (c / n) * F.log(c / n),
+    )
+
+
+@register(
+    "q_token_entropy",
+    oracle="""
+        SELECT doc_id,
+               round(list_aggregate(
+                   list_transform(
+                       list_distinct(string_split(text, ' ')),
+                       d -> -1.0 * len(list_filter(string_split(text, ' '),
+                                                   t -> t = d))
+                            / len(string_split(text, ' '))
+                            * ln(CAST(len(list_filter(string_split(text, ' '),
+                                                      t -> t = d)) AS DOUBLE)
+                                 / len(string_split(text, ' ')))),
+                   'sum'), 6) AS entropy
+        FROM documents
+    """,
+    doc="E10: per-document token Shannon entropy (nats) — the "
+    "low-entropy-equals-boilerplate quality signal. Computed per-row "
+    "with a fold over distinct-token frequencies, zero shuffles; the "
+    "oracle recomputes it with DuckDB list lambdas.",
+    tags=("E10", "quality"),
+)
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.round(token_entropy(F.col("text")), 6).alias("entropy")
+    )
+
+
+def profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Column-level data profile: null count + exact distinct count per
+    column, one row per column. Single pass over the data: every metric
+    is computed in ONE aggregate (2 x |cols| expressions), then the
+    scalar row is unpivoted driver-free with stack(). The audit every
+    ingestion pipeline runs before trusting a feed."""
+    cols = cols or df.columns
+    aggs = []
+    for c in cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__n_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"__d_{c}"))
+    one = df.agg(*aggs)
+    stack_args = ", ".join(f"'{c}', __n_{c}, __d_{c}" for c in cols)
+    return one.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS (col, n_nulls, n_distinct)"
+    )
+
+
+@register(
+    "q_profile",
+    oracle="""
+        SELECT 'o_orderkey' AS col, count(*) - count(o_orderkey) AS n_nulls,
+               count(DISTINCT o_orderkey) AS n_distinct FROM orders
+        UNION ALL SELECT 'o_custkey', count(*) - count(o_custkey),
+               count(DISTINCT o_custkey) FROM orders
+        UNION ALL SELECT 'o_orderstatus', count(*) - count(o_orderstatus),
+               count(DISTINCT o_orderstatus) FROM orders
+        UNION ALL SELECT 'o_totalprice', count(*) - count(o_totalprice),
+               count(DISTINCT o_totalprice) FROM orders
+        UNION ALL SELECT 'o_orderdate', count(*) - count(o_orderdate),
+               count(DISTINCT o_orderdate) FROM orders
+    """,
+    doc="Data profiling: per-column null + exact distinct counts over "
+    "orders in a single aggregate pass, unpivoted with stack(). The "
+    "oracle recomputes each column independently.",
+    tags=("quality", "E1"),
+)
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    return profile(
+        orders,
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"],
+    )

@@ -242,3 +242,44 @@ def q_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return docs.select("doc_id", "lang", lang_id(F.col("text")).alias("lang_pred"))
+
+
+@register(
+    "q_tfidf",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+        ), df AS (
+            SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1
+        ), n AS (SELECT count(*) AS n FROM documents)
+        SELECT tf.doc_id, tf.term, CAST(tf.tf AS BIGINT) AS tf,
+               CAST(df.df AS BIGINT) AS df,
+               round(tf.tf * ln((n.n + 1.0) / (df.df + 1.0)), 6) AS tfidf
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    """,
+    doc="E10: TF-IDF term scoring over the corpus — term frequency per "
+    "(doc, term), smoothed inverse document frequency ln((N+1)/(df+1)), "
+    "product scored per posting. Shape: one explode + two hash "
+    "aggregations + a term-keyed join; the doc-count side is a scalar "
+    "broadcast. The standard relevance/keyword-extraction primitive for "
+    "corpus analytics.",
+    tags=("E10",),
+)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    return tf.join(df, "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        F.round(F.col("tf") * F.log((n_docs + 1.0) / (F.col("df") + 1.0)), 6).alias(
+            "tfidf"
+        ),
+    )
