@@ -133,3 +133,46 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", F.col("w.start").alias("session_start"), "n_events"
         )
     )
+
+
+@register(
+    "q_gap_sessionize",
+    oracle="""
+        WITH flagged AS (
+            SELECT event_id, user_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT event_id, user_id, ts,
+               sum(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_seq
+        FROM flagged
+    """,
+    doc="Gaps-and-islands sessionization: assigns each EVENT its session "
+    "ordinal per user (30-minute inactivity gap) via lag + running sum — "
+    "the per-event labeling q_session_window's merged aggregate cannot "
+    "give you. One shuffle on user_id; both window passes reuse the same "
+    "partitioning. Oracle is the identical window query in DuckDB.",
+    tags=("E5", "E13"),
+)
+def q_gap_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    new_sess = (
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.col("ts") > F.lag("ts").over(w) + F.expr("INTERVAL 30 MINUTES")),
+            1,
+        ).otherwise(0)
+    )
+    return ev.withColumn("new_sess", new_sess).withColumn(
+        "session_seq",
+        F.sum("new_sess").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    ).drop("new_sess")
