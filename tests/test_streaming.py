@@ -44,6 +44,16 @@ def test_tumbling_stream_matches_batch(spark, sf_dir, events_dir, tmp_path):
     assert _norm(got) == _norm(want)
 
 
+def test_sliding_stream_matches_batch(spark, sf_dir, events_dir, tmp_path):
+    stream = windowed_counts(
+        stream_events(spark, events_dir), window="1 hour", slide="15 minutes"
+    )
+    run_available_now(stream, "sliding_sink", str(tmp_path / "ckpt_slide"))
+    got = spark.sql("SELECT * FROM sliding_sink").collect()
+    want = MANIFEST["q_sliding_window"].fn(spark, sf_dir).collect()
+    assert _norm(got) == _norm(want)
+
+
 def test_session_stream_matches_batch(spark, sf_dir, events_dir, tmp_path):
     stream = sessionized_counts(stream_events(spark, events_dir))
     run_available_now(stream, "session_sink", str(tmp_path / "ckpt2"))

@@ -99,6 +99,40 @@ def q_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_sliding_window",
+    oracle="""
+        SELECT window_start, event_type, count(*) AS cnt,
+               round(sum(value), 2) AS sum_value
+        FROM (
+            SELECT make_timestamp(
+                       ((CAST(floor(epoch(ts) / 900) AS BIGINT) - k) * 900)
+                       * 1000000) AS window_start,
+                   event_type, value
+            FROM events
+            CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) shifts
+        ) t
+        GROUP BY 1, 2
+    """,
+    doc="E13c: sliding event-time window — 1-hour window every 15 minutes. "
+    "Each event lands in window/slide = 4 overlapping buckets; Spark's "
+    "Expand node materializes the 4 (bucket, row) copies before one hash "
+    "aggregate, so the shuffle carries 4x rows of (bucket, type) partials "
+    "— still bounded by cardinality, never by corpus size. Oracle "
+    "reproduces the epoch-aligned bucket set by shifting the 15-minute "
+    "tumble k=0..3 slides back. Same expression runs under readStream "
+    "(streaming/event_stream.py windowed_counts with slide=).",
+    tags=("E13",),
+)
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "cnt", "sum_value")
+    )
+
+
+@register(
     "q_session_window",
     oracle="""
         WITH flagged AS (

@@ -50,13 +50,18 @@ def stream_events(spark: SparkSession, path: str) -> DataFrame:
 
 
 def windowed_counts(
-    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Tumbling event-time aggregate with late-data bound — the streaming
-    execution of q_tumbling_agg (operators/windows.py)."""
+    """Tumbling (or, with ``slide``, sliding) event-time aggregate with a
+    late-data bound — the streaming execution of q_tumbling_agg /
+    q_sliding_window (operators/windows.py)."""
+    w = F.window("ts", window, slide) if slide else F.window("ts", window)
     return (
         events.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .groupBy(w.alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
             F.round(F.sum("value"), 2).alias("sum_value"),
