@@ -283,3 +283,80 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tfidf"
         ),
     )
+
+
+def bm25(
+    docs: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 score of every document against a bag of query terms.
+
+    One explode filtered to the query terms *before* any shuffle (the
+    corpus never shuffles full postings — only rows whose token is a
+    query term survive the map side), one (doc, term) hash aggregate for
+    tf, a term-keyed broadcast of the |terms|-row df table, and a 1-row
+    corpus-stats broadcast for N/avgdl. idf is the Lucene-style
+    ``ln((N - df + 0.5)/(df + 0.5) + 1)`` (always positive)."""
+    toks = docs.select("doc_id", tokens(F.col(text_col)).alias("toks"))
+    lens = toks.select("doc_id", F.size("toks").alias("dl"))
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        toks.select("doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("t"))
+        .filter(F.col("t").isin(query_terms))
+        .groupBy("doc_id", "dl", "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+    term_score = (
+        idf
+        * F.col("tf")
+        * (k1 + 1)
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "t")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(term_score), 4).alias("bm25"))
+    )
+
+
+@register(
+    "q_bm25",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ), lens AS (
+            SELECT doc_id, len(toks) AS dl FROM tok
+        ), stats AS (
+            SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens
+        ), tf AS (
+            SELECT doc_id, dl, t, count(*) AS tf
+            FROM (SELECT doc_id, len(toks) AS dl, unnest(toks) AS t FROM tok)
+            WHERE t IN ('spark', 'join', 'filter')
+            GROUP BY doc_id, dl, t
+        ), dfreq AS (
+            SELECT t, count(*) AS df FROM tf GROUP BY t
+        )
+        SELECT doc_id,
+               round(sum(
+                   ln((n_docs - df + 0.5) / (df + 0.5) + 1) * tf * 2.2 /
+                   (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS bm25
+        FROM tf JOIN dfreq USING (t) CROSS JOIN stats
+        GROUP BY doc_id
+    """,
+    doc="E10: Okapi BM25 relevance of every document against the query "
+    "{spark, join, filter} (k1=1.2, b=0.75, Lucene idf). Postings are "
+    "filtered to the query terms map-side before any shuffle; df and "
+    "corpus stats are broadcast (3 rows + 1 row). Oracle recomputes the "
+    "identical formula in DuckDB.",
+    tags=("E10", "llm-pipeline"),
+)
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bm25(table(spark, sf_dir, "documents"), ["spark", "join", "filter"])
