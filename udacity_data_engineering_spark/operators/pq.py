@@ -1,0 +1,203 @@
+"""Product quantization (PQ) ANN — the compressed-domain scale path for
+E12 similarity search (SURVEY.md §2B), complementing the IVF partition
+pruner (``ann.py``) and the LSH bucket pruner (``neardup.py``).
+
+Shape (Jégou et al., "Product Quantization for Nearest Neighbor
+Search", TPAMI 2011): split each unit-normalized D-dim vector into M
+subvectors; quantize each subvector against a per-subspace codebook of
+K centroids; a vector becomes M small codes (here 8 bytes instead of
+256 bytes of floats — 32×). A query is answered with an asymmetric
+distance computation (ADC): one M×K lookup table of
+query-subvector · codeword inner products is built per query, and a
+row's approximate cosine is just M table lookups summed.
+
+Why this is the right 100 TB shape:
+
+- **Training is a sample, not a pass.** Codebooks come from seeded
+  numpy Lloyd iterations over a bounded driver-side sample (the FAISS
+  recipe); the resulting M·K·(D/M) floats are model *metadata* — the
+  same driver-sized role as IVF centroids.
+- **Encoding is one embarrassingly parallel pass** — an Arrow-batched
+  pandas UDF doing a GEMM argmin per subspace. At scale you persist the
+  codes as a parquet lake and never touch raw vectors again.
+- **The query scan is codegen, not Python.** The ADC table is M·K
+  literals folded into the plan; scoring is ``transform`` +
+  ``aggregate`` over the codes array — whole-stage codegen over 8-byte
+  payloads, no shuffle, no Python worker.
+- **Exact re-rank on a bounded candidate set**: the top ``rerank``
+  rows by ADC score join back to their raw vectors for exact cosine —
+  the expensive arithmetic touches a constant number of rows.
+
+Codebooks are seeded but iterative — not oracle-comparable, so the
+declared query is rows-only; recall floors vs the exact brute-force
+baseline are asserted in tests/test_pq.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, IntegerType
+
+from udacity_data_engineering_spark.operators.similarity import cosine, l2_norm
+from udacity_data_engineering_spark.plans.registry import register
+from udacity_data_engineering_spark.session import table
+
+
+def _lloyd(x: np.ndarray, k: int, seed: int, iters: int = 12) -> np.ndarray:
+    """Seeded Lloyd k-means over a (n, d) sample. Plain numpy on the
+    driver: PQ trains on a bounded sample by design, so this is O(sample)
+    work producing driver-sized metadata — never a distributed job."""
+    rng = np.random.default_rng(seed)
+    centers = x[rng.choice(len(x), size=min(k, len(x)), replace=False)].copy()
+    if len(centers) < k:  # degenerate tiny sample: pad with jitter
+        pad = centers[rng.integers(0, len(centers), k - len(centers))]
+        centers = np.vstack([centers, pad + rng.normal(0, 1e-6, pad.shape)])
+    for _ in range(iters):
+        # ||x-c||^2 argmin via the expanded form; x^2 is constant per row
+        d2 = (centers**2).sum(1)[None, :] - 2.0 * (x @ centers.T)
+        assign = d2.argmin(1)
+        for j in range(k):
+            members = x[assign == j]
+            if len(members):
+                centers[j] = members.mean(0)
+    return centers
+
+
+def pq_train(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 8,
+    k: int = 16,
+    dim: int = 64,
+    sample_n: int = 20000,
+    seed: int = 7,
+) -> list[list[list[float]]]:
+    """Train per-subspace codebooks on a bounded, seeded sample of
+    unit-normalized vectors. Returns an (m, k, dim/m) nested list —
+    model metadata small enough to fold into query plans as literals."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sample = (
+        emb.select(F.col(vec_col).cast("array<double>").alias("e"))
+        .sample(fraction=1.0, seed=seed)
+        .limit(sample_n)
+        .collect()
+    )
+    mat = np.array([r.e for r in sample], dtype=np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    dsub = dim // m
+    return [
+        _lloyd(mat[:, i * dsub : (i + 1) * dsub], k, seed=seed + i).tolist()
+        for i in range(m)
+    ]
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One parallel pass: unit-normalize and quantize each vector to its
+    M nearest-codeword indices. Arrow-batched pandas UDF; per batch the
+    argmin is one GEMM per subspace (BLAS, not row loops)."""
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m, dsub = len(books), books[0].shape[1]
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def _codes(col: pd.Series) -> pd.Series:
+        x = np.vstack(col.to_numpy())
+        x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        out = np.empty((len(x), m), dtype=np.int32)
+        for i, cb in enumerate(books):
+            sub = x[:, i * dsub : (i + 1) * dsub]
+            d2 = (cb**2).sum(1)[None, :] - 2.0 * (sub @ cb.T)
+            out[:, i] = d2.argmin(1)
+        return pd.Series(list(out))
+
+    return emb.withColumn(
+        "codes", _codes(F.col(vec_col).cast("array<double>"))
+    )
+
+
+def pq_topk(
+    encoded: DataFrame,
+    emb: DataFrame,
+    query_vec: list[float],
+    codebooks: list[list[list[float]]],
+    k_neighbors: int = 10,
+    rerank: int = 50,
+    exclude_vec_id: int | None = None,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-k with exact re-rank. The per-query M×K inner-product
+    lookup table is folded into the plan as literals, so the candidate
+    scan is whole-stage codegen over the 8-byte codes — raw vectors are
+    only read for the ``rerank`` finalists."""
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m, k = len(books), books[0].shape[0]
+    dsub = books[0].shape[1]
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / max(np.linalg.norm(q), 1e-12)
+    # lut[i, j] = q_sub_i . codeword_ij  -> approx cosine = sum of lookups
+    lut = np.vstack(
+        [q[i * dsub : (i + 1) * dsub] @ books[i].T for i in range(m)]
+    )
+    lut_col = F.array(*[F.lit(float(v)) for v in lut.ravel()])
+    adc = F.aggregate(
+        F.transform(
+            F.col("codes"),
+            lambda c, i: F.element_at(lut_col, (i * k + c + 1).cast("int")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cand = encoded
+    if exclude_vec_id is not None:
+        cand = cand.filter(F.col("vec_id") != exclude_vec_id)
+    finalists = (
+        cand.select("vec_id", adc.alias("adc_score"))
+        .orderBy(F.col("adc_score").desc(), F.col("vec_id"))
+        .limit(rerank)
+    )
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    exact = F.round(cosine(F.col(vec_col).cast("array<double>"), qcol), 6)
+    return (
+        finalists.join(emb, "vec_id")
+        .select("vec_id", exact.alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(k_neighbors)
+    )
+
+
+#: Built-once PQ indexes keyed by (Spark application, sf_dir): codebooks
+#: plus the cached encoded corpus. Train-once / probe-per-query is the
+#: production pattern — bench reps must measure the ADC scan, not
+#: re-training.
+_PQ_INDEX: dict[tuple[str, str], tuple[DataFrame, list[list[list[float]]]]] = {}
+
+
+@register(
+    "q_pq_topk",
+    doc="E12 compressed-domain scale path: product-quantization top-10 "
+    "neighbours of vec_id=0 — 8 subspaces x 16 codewords (8-byte codes, "
+    "32x smaller than raw floats), per-query ADC lookup table folded "
+    "into the plan as literals (codegen scan, no Python), exact cosine "
+    "re-rank of the top-50 ADC finalists. Codebooks are seeded-iterative "
+    "=> rows-only; recall vs brute force asserted in tests/test_pq.py.",
+    tags=("E12", "ann"),
+)
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PQ_INDEX:
+        books = pq_train(emb)
+        _PQ_INDEX[key] = (pq_encode(emb, books).cache(), books)
+    encoded, books = _PQ_INDEX[key]
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").head().embedding
+    ]
+    return pq_topk(encoded, emb, qvec, codebooks=books, exclude_vec_id=0)

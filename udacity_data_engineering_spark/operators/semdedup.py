@@ -1,0 +1,133 @@
+"""Semantic deduplication — embedding-space near-dup removal via
+cluster-then-compare (Abbas et al., "SemDeDup: Data-efficient learning
+at web-scale through semantic deduplication", 2023). The charter's
+embedding-cosine near-dup operator in its production shape: where
+MinHash/SimHash catch lexical duplicates, this catches *paraphrases* —
+documents whose embeddings nearly coincide though their text differs.
+
+Shape: seeded spherical k-means partitions the corpus into k clusters
+(reusing the IVF assignment pass from ``ann.py``); exact pairwise
+cosine runs ONLY within each cluster as a single numpy GEMM inside
+``applyInPandas``; pairs above the threshold form a graph whose
+connected components each keep their minimum ``vec_id`` as survivor
+(reusing the min-label propagation from ``components.py``).
+
+100 TB notes: the expensive O(n²) comparison is bounded to
+O(Σ cluster²) — pick k so corpus/k stays under ``cap`` (the paper runs
+k=110k clusters over 5B embeddings) and the per-cluster GEMM is
+constant-sized BLAS work. The shuffle carries each vector exactly once
+(to its cluster), centroids stay driver-sized metadata, and the
+component step is shuffle-bounded by the pair count, which the
+threshold keeps sparse. Cross-cluster pairs are invisible by design —
+the paper's documented approximation; near-identical vectors co-cluster
+with overwhelming probability on unit vectors.
+
+Seeded-iterative clustering => not SQL-reproducible => rows-only;
+tests/test_semdedup.py asserts planted paraphrase pairs are removed and
+survivor determinism across runs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from udacity_data_engineering_spark.operators.ann import ivf_assign
+from udacity_data_engineering_spark.operators.components import connected_components
+from udacity_data_engineering_spark.plans.registry import register
+from udacity_data_engineering_spark.session import table
+
+#: Cosine threshold above which two embeddings are "semantically the
+#: same document". Matches NEARDUP_THRESHOLD (neardup.py) so the exact,
+#: LSH, and semantic paths agree on what counts as a near-dup on the
+#: driver's uniform-random embeddings.
+SEMDEDUP_THRESHOLD = 0.4
+
+
+def semantic_pairs(
+    emb: DataFrame,
+    threshold: float = SEMDEDUP_THRESHOLD,
+    k: int = 16,
+    cap: int = 4000,
+    seed: int = 7,
+) -> DataFrame:
+    """Within-cluster near-dup pairs (vec_a < vec_b, cos_sim). One GEMM
+    per cluster; clusters above ``cap`` members are skipped (size k to
+    the corpus so this never fires — a hot cluster means k is too small
+    for the data)."""
+    import pandas as pd
+
+    assigned, _ = ivf_assign(emb, k=k, seed=seed)
+    unit = assigned.select(
+        "vec_id",
+        "cluster",
+        F.transform("emb_d", lambda x: x / F.sqrt(
+            F.aggregate("emb_d", F.lit(0.0), lambda a, y: a + y * y)
+        )).alias("u"),
+    )
+
+    def _verify(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        if m < 2 or m > cap:
+            return pd.DataFrame(
+                {
+                    "vec_a": np.array([], dtype=np.int64),
+                    "vec_b": np.array([], dtype=np.int64),
+                    "sim": np.array([], dtype=np.float64),
+                }
+            )
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        mat = np.vstack(pdf["u"].to_numpy())
+        sims = mat @ mat.T
+        ia, ib = np.triu_indices(m, 1)
+        s = sims[ia, ib]
+        keep = s >= threshold
+        a, b = ids[ia[keep]], ids[ib[keep]]
+        return pd.DataFrame(
+            {
+                "vec_a": np.minimum(a, b),
+                "vec_b": np.maximum(a, b),
+                "sim": s[keep],
+            }
+        )
+
+    return (
+        unit.groupBy("cluster")
+        .applyInPandas(_verify, "vec_a long, vec_b long, sim double")
+        .groupBy("vec_a", "vec_b")
+        .agg(F.round(F.max("sim"), 6).alias("cos_sim"))
+    )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = SEMDEDUP_THRESHOLD,
+    k: int = 16,
+    seed: int = 7,
+) -> DataFrame:
+    """Survivor set after semantic dedup: one representative (minimum
+    vec_id) per connected component of the within-cluster near-dup
+    graph; vectors in no pair survive unconditionally."""
+    pairs = semantic_pairs(emb, threshold=threshold, k=k, seed=seed)
+    comp = connected_components(pairs, "vec_a", "vec_b")
+    return (
+        emb.join(comp, emb["vec_id"] == comp["id"], "left")
+        .filter(F.col("comp").isNull() | (F.col("comp") == F.col("vec_id")))
+        .select("vec_id")
+        .orderBy("vec_id")
+    )
+
+
+@register(
+    "q_semantic_dedup",
+    doc="SemDeDup-style semantic dedup over embeddings: seeded spherical "
+    "k-means clusters (one shuffle), exact cosine via per-cluster GEMM "
+    "(O(sum cluster^2), never all-pairs), connected components, min "
+    "vec_id survivor per component. Seeded-iterative clustering => "
+    "rows-only; tests assert planted paraphrases are removed and the "
+    "survivor set is stable across runs.",
+    tags=("E12", "dedup"),
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return semantic_dedup(table(spark, sf_dir, "embeddings"))
