@@ -109,3 +109,37 @@ def q_sparkify_songplays(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sparkify.build_songplays(
         spark, _log_nextsong(spark), F.broadcast(read_song_data(spark))
     )
+
+
+@register(
+    "q_sparkify_songplays_nat",
+    oracle=f"""
+        WITH {_LOG_CTE}
+        SELECT make_timestamp(ld.ts * 1000) AS start_time,
+               CAST(year(make_timestamp(ld.ts * 1000)) AS INT)  AS year,
+               CAST(month(make_timestamp(ld.ts * 1000)) AS INT) AS month,
+               ld.userId    AS user_id,
+               ld.level,
+               sd.song_id,
+               sd.artist_id,
+               ld.sessionId AS session_id,
+               ld.location,
+               ld.userAgent AS user_agent
+        FROM log ld
+        JOIN read_json('{FIXTURES}/song_data/*/*/*/*.json',
+                       columns={SONG_COLS_DUCK}) sd
+          ON ld.song = sd.title
+         AND ld.length = sd.duration
+         AND ld.artist = sd.artist_name
+    """,
+    doc="songplays fact, natural columns only (etl.py:144-169 minus the "
+    "partition-dependent surrogate id): the 3-key composite join with "
+    "exact float equality (length=duration) value-hash proven against "
+    "the identical join in DuckDB — the hard proof of the reference's "
+    "flagship join that the surrogate id keeps rows-only.",
+    tags=("2A", "etl"),
+)
+def q_sparkify_songplays_nat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sparkify.build_songplays(
+        spark, _log_nextsong(spark), F.broadcast(read_song_data(spark))
+    ).drop("songplay_id")

@@ -58,9 +58,17 @@ def connected_components(
     per-vertex neighbor lists are ever collected.
     """
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    sym = sym.union(
-        sym.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).distinct()
+    sym = (
+        sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        # Materialize the symmetrized edge list ONCE. Every round joins
+        # against it; without the lineage cut each iteration re-executes
+        # the full upstream pipeline that produced the edges (for the
+        # minhash survivor path that is the whole candidates+verify DAG
+        # per round). Executor-local storage of the edge list is the
+        # standard posture for iterative graph algorithms at scale.
+        .localCheckpoint()
+    )
     labels = (
         sym.select(F.col("a").alias("id")).distinct().withColumn("comp", F.col("id"))
     )
