@@ -156,6 +156,8 @@ def main() -> None:
         "q_gopher_rules", "q_repetition_filter", "q_text_scrub",
         "q_minhash_dedup_survivors", "q_sorted_layout", "q_zorder_layout",
         "q_salted_agg", "q_simhash_candidates", "q_stratified_mix",
+        "q_pq_topk", "q_semantic_dedup", "q_incremental_dedup",
+        "q_decontaminate", "q_bm25", "q_sliding_window",
     ):
         best = float("inf")
         for _ in range(2):

@@ -11,11 +11,13 @@ from pyspark.sql import functions as F
 
 from udacity_data_engineering_spark.operators.multimodal import (
     MEDIA_DIR,
+    audio_window_features,
     decode_fake,
     decode_media,
     decode_real,
     frame_sample,
     read_media,
+    resize_media,
 )
 
 
@@ -54,6 +56,40 @@ def test_frame_sample_partitions_payload(spark):
         raw = open(path.removeprefix("file:"), "rb").read()
         got = b"".join(f.frame for f in sorted(frames, key=lambda f: f.frame_id))
         assert got == raw[8:]  # frames tile the payload exactly — no gaps/tail loss
+
+
+def test_resize_nearest_neighbour_exact(spark):
+    """out[i] == payload[(i*L)//target] for every file — the resample is
+    pure index arithmetic, reproducible on any engine."""
+    rows = resize_media(read_media(spark), target=16).collect()
+    assert len(rows) == 6
+    for r in rows:
+        raw = open(r.path.removeprefix("file:"), "rb").read()
+        payload = raw[8:]
+        assert r.orig_len == len(payload)
+        want = [payload[(i * len(payload)) // 16] for i in range(16)]
+        assert r.resized == want
+
+
+def test_audio_windows_exact(spark):
+    """Per-window RMS / zero-crossings agree with a plain-Python
+    recomputation over the same int8 interpretation of the payload."""
+    import numpy as np
+
+    rows = audio_window_features(read_media(spark), window=64).collect()
+    assert rows
+    by_path = {}
+    for r in rows:
+        by_path.setdefault(r.path, []).append(r)
+    for path, rs in by_path.items():
+        raw = open(path.removeprefix("file:"), "rb").read()
+        wave = np.frombuffer(raw[8:], dtype=np.int8).astype(np.float64)
+        n_win = len(wave) // 64
+        assert len(rs) == n_win
+        for r in sorted(rs, key=lambda r: r.window_id):
+            w = wave[r.window_id * 64 : (r.window_id + 1) * 64]
+            assert abs(r.rms - round(float(np.sqrt((w**2).mean())), 6)) < 1e-9
+            assert r.zero_crossings == int((np.diff(np.signbit(w)) != 0).sum())
 
 
 def test_zscore_pandas_vs_builtin(spark, sf_dir):

@@ -22,7 +22,7 @@ def test_window_covers_core_parity_and_extension_families():
         "q_scan_glob", "q_json_schema_scan", "q_json_infer_scan",
         "q_parquet_roundtrip", "q_parquet_partitioned",
         "q_sparkify_songs", "q_sparkify_users", "q_sparkify_time",
-        "q_sparkify_songplays",
+        "q_sparkify_songplays_nat",
     ):
         assert name in window, f"§2A parity query {name} fell out of the driver window"
     # at least one query per §2B family tag

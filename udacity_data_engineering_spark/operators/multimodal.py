@@ -169,3 +169,113 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample(read_media(spark))
+
+
+def resize_media(df: DataFrame, target: int = 16) -> DataFrame:
+    """Resize stage: nearest-neighbour downsample of each payload to a
+    fixed ``target`` length — the charter's image-resize op with the
+    pixel decode swapped for deterministic byte indexing (no media libs
+    here; a real deployment resamples the decoded pixel grid with the
+    identical batch shape). Arrow-batched mapInPandas; per batch the
+    resample is one numpy fancy-index, no per-row Python.
+
+    Index map: out[i] = payload[(i * L) // target] — the 1-D
+    nearest-neighbour rule, exact and engine-independent.
+    """
+    import numpy as np
+
+    schema = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("orig_len", T.LongType()),
+            T.StructField("resized", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for c in pdf["content"]:
+                payload = np.frombuffer(c[8:], dtype=np.uint8)
+                if len(payload) == 0:
+                    out.append([0] * target)
+                    continue
+                idx = (np.arange(target) * len(payload)) // target
+                out.append(payload[idx].astype(np.int32).tolist())
+            yield pd.DataFrame(
+                {
+                    "path": pdf["path"],
+                    "orig_len": [len(c) - 8 for c in pdf["content"]],
+                    "resized": out,
+                }
+            )
+
+    return df.mapInPandas(batches, schema)
+
+
+def audio_window_features(df: DataFrame, window: int = 64) -> DataFrame:
+    """Audio-style feature extraction: treat the payload as a signed-8bit
+    waveform, frame it into fixed windows, and emit per-window RMS energy
+    and zero-crossing count — the standard first layer of any audio
+    pipeline, with the codec decode stubbed to raw bytes (charter: the
+    plumbing is real, the decoder is the integration point).
+
+    One Arrow batch in -> one out; the per-window math is a numpy
+    reshape + two reductions per row, never per-sample Python. Output is
+    one row per (path, window_id) — the exploded shape that downstream
+    similarity/dedup operators consume.
+    """
+    import numpy as np
+
+    schema = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("window_id", T.IntegerType()),
+            T.StructField("rms", T.DoubleType()),
+            T.StructField("zero_crossings", T.IntegerType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            paths, wids, rms, zc = [], [], [], []
+            for path, c in zip(pdf["path"], pdf["content"]):
+                wave = np.frombuffer(c[8:], dtype=np.int8).astype(np.float64)
+                n_win = len(wave) // window
+                if n_win == 0:
+                    continue
+                w = wave[: n_win * window].reshape(n_win, window)
+                paths += [path] * n_win
+                wids += list(range(n_win))
+                rms += np.sqrt((w**2).mean(axis=1)).round(6).tolist()
+                zc += (np.diff(np.signbit(w), axis=1) != 0).sum(axis=1).astype(int).tolist()
+            yield pd.DataFrame(
+                {"path": paths, "window_id": wids, "rms": rms, "zero_crossings": zc}
+            )
+
+    return df.mapInPandas(batches, schema)
+
+
+@register(
+    "q_multimodal_resize",
+    doc="E15: nearest-neighbour resize of binary payloads to a fixed "
+    "16-sample grid — deterministic byte indexing standing in for pixel "
+    "resampling, Arrow-batched numpy fancy-index per batch. Rows-only "
+    "(binary fixtures live outside the oracle views); exact values "
+    "asserted in tests/test_multimodal.py.",
+    tags=("E15",),
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return resize_media(read_media(spark))
+
+
+@register(
+    "q_multimodal_audio",
+    doc="E15: audio-style windowed feature extraction (per-window RMS + "
+    "zero crossings over the payload as an int8 waveform) via "
+    "mapInPandas — one numpy reshape per batch. Rows-only; exact values "
+    "asserted in tests/test_multimodal.py.",
+    tags=("E15",),
+)
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return audio_window_features(read_media(spark))

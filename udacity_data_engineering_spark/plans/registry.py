@@ -83,7 +83,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_sparkify_songs",
     "q_sparkify_users",
     "q_sparkify_time",
-    "q_sparkify_songplays",
+    "q_sparkify_songplays_nat",  # hash-proven 3-key join (surrogate-id
+                                 # variant q_sparkify_songplays is
+                                 # rows-only and sits just past the window)
     # --- §2B: one-two per extension family ---
     "q_groupby_agg",           # E1
     "q_count_distinct",        # E2
@@ -103,7 +105,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_cosine_topk",           # E12 exact top-k
     "q_embedding_neardup_lsh", # E12 scale path
     "q_simhash_candidates",    # E12/dedup
-    "q_minhash_candidates",    # E12/dedup
+    "q_incremental_dedup",     # E11 batch-vs-lake dedup (hash-proven;
+                               # q_minhash_candidates is exercised inside
+                               # q_minhash_dedup_survivors above)
     "q_ivf_topk",              # ANN scale path
     "q_tumbling_agg",          # E13
     "q_session_window",        # E13
