@@ -35,6 +35,8 @@ def build_replica(spark) -> None:
         ("lineitem", ["l_orderkey"]),
         ("orders", ["o_orderkey", "o_custkey"]),
         ("events", ["event_id", "user_id"]),
+        ("documents", ["doc_id"]),
+        ("embeddings", ["vec_id"]),
     ):
         df = table(spark, SF_DIR, name)
         parts = []
@@ -91,9 +93,58 @@ def main() -> None:
             .count(),
         }
 
+    def pipeline_shapes(docs, emb, k_clusters):
+        """LLM-pipeline shapes. k_clusters scales with the corpus so the
+        per-cluster GEMM in semantic dedup stays constant-sized — the
+        documented SemDeDup discipline (corpus/k <= cap)."""
+        from udacity_data_engineering_spark.operators.components import (
+            neardup_survivors,
+        )
+        from udacity_data_engineering_spark.operators.incremental import (
+            corpus_fingerprints,
+            incremental_dedup,
+        )
+        from udacity_data_engineering_spark.operators.pq import pq_encode, pq_train
+        from udacity_data_engineering_spark.operators.semdedup import semantic_dedup
+
+        def inc():
+            corpus = corpus_fingerprints(docs.filter(F.col("doc_id") % 2 == 0))
+            return incremental_dedup(docs.filter(F.col("doc_id") % 2 == 1), corpus).count()
+
+        def mh():
+            return neardup_survivors(docs).count()
+
+        def pq():
+            books = pq_train(emb, sample_n=2000)
+            return pq_encode(emb, books).select(F.sum(F.element_at("codes", 1))).collect()
+
+        def sem():
+            return semantic_dedup(emb, k=k_clusters).count()
+
+        return {
+            "incremental_dedup": inc,
+            "minhash_survivors": mh,
+            "pq_train_encode": pq,
+            "semantic_dedup": sem,
+        }
+
     results = {}
-    for label, t in (("1x", small), ("%dx" % FACTOR, big)):
-        for name, fn in shapes(t).items():
+    small_docs = {
+        "documents": table(spark, SF_DIR, "documents"),
+        "embeddings": table(spark, SF_DIR, "embeddings"),
+    }
+    big_docs = {
+        "documents": spark.read.parquet(f"{BASE}/documents"),
+        "embeddings": spark.read.parquet(f"{BASE}/embeddings"),
+    }
+    n_emb_small = small_docs["embeddings"].count()
+    for label, t, d, kc in (
+        ("1x", small, small_docs, 16),
+        ("%dx" % FACTOR, big, big_docs, 16 * FACTOR),
+    ):
+        allshapes = dict(shapes(t))
+        allshapes.update(pipeline_shapes(d["documents"], d["embeddings"], kc))
+        for name, fn in allshapes.items():
             best = float("inf")
             for _ in range(2):
                 t0 = time.perf_counter()

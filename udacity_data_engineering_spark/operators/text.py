@@ -232,11 +232,46 @@ def q_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", rolling_hash(F.col("text")).alias("fp"))
 
 
+#: The lang-ID heuristic restated in DuckDB: same stopword lists, same
+#: distinct-token intersection counts, same tie rule (greatest language
+#: code wins), same 'und' fallback — an independent recomputation, not a
+#: port of the Spark plan.
+_LANG_ID_ORACLE = (
+    "WITH langs(lang_code, words) AS (VALUES "
+    + ", ".join(
+        "('%s', [%s])" % (code, ", ".join(f"'{w}'" for w in words))
+        for code, words in sorted(STOPWORDS.items())
+    )
+    + """
+    ), scored AS (
+        SELECT d.doc_id, d.lang, l.lang_code,
+               len(list_intersect(
+                   list_distinct(string_split(lower(d.text), ' ')),
+                   l.words)) AS hits
+        FROM documents d CROSS JOIN langs l
+    ), best AS (
+        SELECT doc_id, lang_code,
+               row_number() OVER (PARTITION BY doc_id
+                   ORDER BY hits DESC, lang_code DESC) AS rn
+        FROM scored WHERE hits > 0
+    )
+    SELECT d.doc_id, d.lang, coalesce(b.lang_code, 'und') AS lang_pred
+    FROM documents d
+    LEFT JOIN (SELECT doc_id, lang_code FROM best WHERE rn = 1) b
+        USING (doc_id)
+    """
+)
+
+
 @register(
     "q_lang_id",
-    doc="Heuristic stopword-overlap language ID over documents.text. The "
-    "heuristic has no SQL-oracle equivalent — rows-only driver check; "
-    "tests assert accuracy against the labelled documents.lang column.",
+    oracle=_LANG_ID_ORACLE,
+    doc="Heuristic stopword-overlap language ID over documents.text — "
+    "pure array expressions (one transform over a literal param array, "
+    "zero shuffles). Value-hash proven against an independent DuckDB "
+    "recomputation (cross join + window argmax with the identical "
+    "hits-then-greatest-code tie rule); accuracy vs the labelled "
+    "documents.lang column asserted in tests.",
     tags=("E10",),
 )
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
