@@ -160,7 +160,7 @@ def main() -> None:
         "q_decontaminate", "q_bm25", "q_sliding_window",
     ):
         best = float("inf")
-        for _ in range(2):
+        for _ in range(REPS):  # best-of-3, matching BASELINE.md methodology
             t0 = time.perf_counter()
             manifest[name].fn(spark, SF_DIR).count()
             best = min(best, time.perf_counter() - t0)

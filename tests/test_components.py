@@ -55,6 +55,18 @@ def test_components_on_chain_and_forest(spark):
     assert got == _min_labels(edges)
 
 
+def test_components_raise_instead_of_wrong_labels(spark):
+    """Exhausting max_iter before the fixpoint must raise — returning
+    half-propagated labels silently splits components (keeps multiple
+    'survivors' from one duplicate cluster)."""
+    import pytest
+
+    edges = [(i, i + 1) for i in range(100, 140)]  # diameter 39
+    df = spark.createDataFrame(edges, "src long, dst long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iter=5)
+
+
 def test_components_match_union_find_on_corpus(spark, sf_dir):
     """The registered exact-pair components equal union-find over the
     same pair set."""

@@ -113,8 +113,25 @@ def ivf_topk(
 #: index is amortized state by definition — train once, probe per query —
 #: so repeated q_ivf_topk calls in one session (bench reps, repeated
 #: searches) must not re-run the iterative k-means job. The cached
-#: assignment is |corpus| rows of (vec_id, emb_d, cluster).
+#: assignment is |corpus| rows of (vec_id, emb_d, cluster). Capped at 2
+#: entries (FIFO + unpersist, see pq._evict_put) so storage memory is
+#: never pinned unboundedly across sf_dirs.
 _IVF_INDEX: dict[tuple[str, str], tuple[DataFrame, list[list[float]]]] = {}
+
+
+def cached_ivf_index(
+    spark: SparkSession, sf_dir: str, emb: DataFrame
+) -> tuple[DataFrame, list[list[float]]]:
+    """The session's amortized k-means assignment (default k/seed) for
+    this sf_dir — built once, shared by every consumer of the clustering
+    (IVF probes, semantic dedup)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _IVF_INDEX:
+        from udacity_data_engineering_spark.operators.pq import _evict_put
+
+        assigned, centers = ivf_assign(emb)
+        _evict_put(_IVF_INDEX, key, (assigned.cache(), centers))
+    return _IVF_INDEX[key]
 
 
 @register(
@@ -130,13 +147,10 @@ _IVF_INDEX: dict[tuple[str, str], tuple[DataFrame, list[list[float]]]] = {}
 )
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _IVF_INDEX:
-        assigned, centers = ivf_assign(emb)
-        _IVF_INDEX[key] = (assigned.cache(), centers)
+    index = cached_ivf_index(spark, sf_dir, emb)
     # the query vector is a parameter of the search, not data — one row
     qvec = [
         float(x)
         for x in emb.filter(F.col("vec_id") == 0).select("embedding").head().embedding
     ]
-    return ivf_topk(emb, qvec, exclude_vec_id=0, index=_IVF_INDEX[key])
+    return ivf_topk(emb, qvec, exclude_vec_id=0, index=index)

@@ -73,6 +73,7 @@ def connected_components(
         sym.select(F.col("a").alias("id")).distinct().withColumn("comp", F.col("id"))
     )
     prev = None
+    converged = False
     for _ in range(max_iter):
         nbr = (
             sym.join(labels, sym["b"] == labels["id"])
@@ -89,8 +90,19 @@ def connected_components(
         )
         total = labels.agg(F.sum("comp")).first()[0]
         if total == prev:
+            converged = True
             break
         prev = total
+    if not converged:
+        # Exhausting the loop without a fixpoint means labels stopped
+        # propagating mid-graph — returning them would silently split
+        # components (under-deduplication). Diameter > max_iter is the
+        # only way here; near-dup graphs are star-like, so hitting this
+        # signals pathological input, not a tuning problem.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "the graph has diameter > max_iter — raise max_iter"
+        )
     return labels
 
 

@@ -196,7 +196,9 @@ def resize_media(df: DataFrame, target: int = 16) -> DataFrame:
         for pdf in it:
             out = []
             for c in pdf["content"]:
-                payload = np.frombuffer(c[8:], dtype=np.uint8)
+                # guard truncated/corrupt files (< header size): empty
+                # payload, zero features — same posture as decode_fake
+                payload = np.frombuffer(c[8:], dtype=np.uint8) if len(c) >= 8 else np.array([], dtype=np.uint8)
                 if len(payload) == 0:
                     out.append([0] * target)
                     continue
@@ -205,7 +207,7 @@ def resize_media(df: DataFrame, target: int = 16) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "path": pdf["path"],
-                    "orig_len": [len(c) - 8 for c in pdf["content"]],
+                    "orig_len": [max(len(c) - 8, 0) for c in pdf["content"]],
                     "resized": out,
                 }
             )

@@ -120,7 +120,10 @@ def repetition_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
             lambda d: F.size(F.filter(bigrams, lambda g: g == d)),
         )
     )
-    return docs.select(
+    # Domain: docs with >= 2 tokens — bigram coverage is undefined below
+    # that, and Spark (NULL frac) vs an inner-join oracle (row dropped)
+    # would diverge on the degenerate row.
+    return docs.filter(F.size(_toks(F.col(text_col))) >= 2).select(
         "doc_id",
         F.round(F.lit(1.0) - F.size(F.array_distinct(toks)) / n.cast("double"), 6).alias(
             "dup_token_frac"
@@ -149,6 +152,7 @@ def repetition_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
                round(CAST(topb.mx AS DOUBLE)
                      / (len(string_split(d.text, ' ')) - 1), 6) AS top_bigram_frac
         FROM documents d JOIN topb ON d.doc_id = topb.doc_id
+        WHERE len(string_split(d.text, ' ')) >= 2
     """,
     doc="Repetition filters (Gopher/C4 lineage): duplicate-token "
     "fraction and most-frequent-bigram coverage. Spark computes both "

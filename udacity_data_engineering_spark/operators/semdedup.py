@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 
 from udacity_data_engineering_spark.operators.ann import ivf_assign
 from udacity_data_engineering_spark.operators.components import connected_components
+from udacity_data_engineering_spark.operators.similarity import l2_norm
 from udacity_data_engineering_spark.plans.registry import register
 from udacity_data_engineering_spark.session import table
 
@@ -51,20 +52,25 @@ def semantic_pairs(
     k: int = 16,
     cap: int = 4000,
     seed: int = 7,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """Within-cluster near-dup pairs (vec_a < vec_b, cos_sim). One GEMM
     per cluster; clusters above ``cap`` members are skipped (size k to
     the corpus so this never fires — a hot cluster means k is too small
-    for the data)."""
+    for the data). Pass a prebuilt ``assigned`` (from ivf_assign) to
+    reuse an existing clustering — the assignment is amortized state
+    shared with IVF search."""
     import pandas as pd
 
-    assigned, _ = ivf_assign(emb, k=k, seed=seed)
-    unit = assigned.select(
+    if assigned is None:
+        assigned, _ = ivf_assign(emb, k=k, seed=seed)
+    # Norm computed ONCE per row: a norm inside the transform lambda
+    # would re-evaluate the O(d) aggregate per element (higher-order
+    # lambdas get no subexpression elimination) — O(d^2) per row.
+    unit = assigned.withColumn("nrm", l2_norm(F.col("emb_d"))).select(
         "vec_id",
         "cluster",
-        F.transform("emb_d", lambda x: x / F.sqrt(
-            F.aggregate("emb_d", F.lit(0.0), lambda a, y: a + y * y)
-        )).alias("u"),
+        F.transform("emb_d", lambda x: x / F.col("nrm")).alias("u"),
     )
 
     def _verify(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -105,11 +111,12 @@ def semantic_dedup(
     threshold: float = SEMDEDUP_THRESHOLD,
     k: int = 16,
     seed: int = 7,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """Survivor set after semantic dedup: one representative (minimum
     vec_id) per connected component of the within-cluster near-dup
     graph; vectors in no pair survive unconditionally."""
-    pairs = semantic_pairs(emb, threshold=threshold, k=k, seed=seed)
+    pairs = semantic_pairs(emb, threshold=threshold, k=k, seed=seed, assigned=assigned)
     comp = connected_components(pairs, "vec_a", "vec_b")
     return (
         emb.join(comp, emb["vec_id"] == comp["id"], "left")
@@ -130,4 +137,8 @@ def semantic_dedup(
     tags=("E12", "dedup"),
 )
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return semantic_dedup(table(spark, sf_dir, "embeddings"))
+    from udacity_data_engineering_spark.operators.ann import cached_ivf_index
+
+    emb = table(spark, sf_dir, "embeddings")
+    assigned, _ = cached_ivf_index(spark, sf_dir, emb)
+    return semantic_dedup(emb, assigned=assigned)

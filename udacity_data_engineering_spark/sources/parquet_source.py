@@ -19,18 +19,36 @@ from udacity_data_engineering_spark.session import table
 
 
 def scratch_dir(name: str) -> str:
-    """Deterministic scratch path for sink round-trip queries.
+    """Deterministic *per-process* scratch path for sink round-trips.
 
     mkdtemp-per-invocation leaked a fresh orders copy on every bench /
-    verify run (ADVICE r1); a fixed per-name path under one root gets
-    rewritten in place by overwrite-mode writes instead. Override the
-    root with SPARK_GRAFT_SCRATCH for concurrent runs that must not
-    share sink directories.
+    verify run (ADVICE r1); a fixed per-name path gets rewritten in
+    place by overwrite-mode writes instead. The root carries the PID —
+    a shared fixed root would let two concurrent processes (bench while
+    pytest runs) clobber each other's sink directories mid-read — and
+    is removed at interpreter exit, so nothing accumulates either.
+    Override the root with SPARK_GRAFT_SCRATCH to pin a location.
     """
-    root = os.environ.get("SPARK_GRAFT_SCRATCH", "/tmp/uds_scratch")
+    root = os.environ.get("SPARK_GRAFT_SCRATCH")
+    if root is None:
+        root = f"/tmp/uds_scratch_{os.getpid()}"
+        _cleanup_at_exit(root)
     path = os.path.join(root, name)
     os.makedirs(path, exist_ok=True)
     return path
+
+
+_CLEANUP_REGISTERED: set[str] = set()
+
+
+def _cleanup_at_exit(root: str) -> None:
+    if root in _CLEANUP_REGISTERED:
+        return
+    import atexit
+    import shutil
+
+    _CLEANUP_REGISTERED.add(root)
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
 
 
 def write_partitioned(
