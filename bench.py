@@ -158,6 +158,8 @@ def main() -> None:
         "q_salted_agg", "q_simhash_candidates", "q_stratified_mix",
         "q_pq_topk", "q_semantic_dedup", "q_incremental_dedup",
         "q_decontaminate", "q_bm25", "q_sliding_window",
+        "q_vocab_topk", "q_ngram_counts", "q_text_normalize",
+        "q_train_val_split", "q_cluster_centroids", "q_embedding_quantize",
     ):
         best = float("inf")
         for _ in range(REPS):  # best-of-3, matching BASELINE.md methodology

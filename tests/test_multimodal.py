@@ -24,12 +24,12 @@ from udacity_data_engineering_spark.operators.multimodal import (
 def test_binary_scan_schema(spark):
     df = read_media(spark)
     assert dict(df.dtypes)["content"] == "binary"
-    assert df.count() == 6
+    assert df.count() == 7
 
 
 def test_decode_matches_fixture_headers(spark):
     rows = decode_media(read_media(spark)).collect()
-    assert len(rows) == 6
+    assert len(rows) == 7
     for r in rows:
         raw = open(r.path.removeprefix("file:"), "rb").read()
         w, h = struct.unpack(">II", raw[:8])
@@ -48,7 +48,7 @@ def test_decode_real_is_marked_stub():
 def test_frame_sample_partitions_payload(spark):
     df = frame_sample(read_media(spark), n_frames=4)
     rows = df.collect()
-    assert len(rows) == 24  # 6 files x 4 frames
+    assert len(rows) == 28  # 7 files x 4 frames
     per_path = {}
     for r in rows:
         per_path.setdefault(r.path, []).append(r)
@@ -62,7 +62,7 @@ def test_resize_nearest_neighbour_exact(spark):
     """out[i] == payload[(i*L)//target] for every file — the resample is
     pure index arithmetic, reproducible on any engine."""
     rows = resize_media(read_media(spark), target=16).collect()
-    assert len(rows) == 6
+    assert len(rows) == 7
     for r in rows:
         raw = open(r.path.removeprefix("file:"), "rb").read()
         payload = raw[8:]
@@ -150,3 +150,16 @@ def test_decode_real_with_pil(spark):
     assert out[0].meta.width == 12 and out[0].meta.height == 7
     assert abs(sum(out[0].features) - 1.0) < 1e-6
     assert out[0].features[200 >> 5] == 1.0  # constant-gray image
+
+
+def test_media_dedup_finds_byte_identical_copy(spark):
+    """img_006 is a committed byte-copy of img_000: one fingerprint must
+    cover both with the lexicographically-first path as survivor."""
+    from udacity_data_engineering_spark.operators.multimodal import media_dedup
+
+    rows = media_dedup(read_media(spark)).collect()
+    assert len(rows) == 6  # 7 files, one duplicate pair
+    dupes = [r for r in rows if r.n_copies > 1]
+    assert len(dupes) == 1
+    assert dupes[0].n_copies == 2
+    assert dupes[0].survivor_path.endswith("img_000.img")

@@ -159,3 +159,62 @@ def test_stream_merge_into_stale_batch_cannot_regress(spark, tmp_path):
     stream_merge_into(stream, target, ["k"], str(tmp_path / "ck"), order_col="seq")
     got = {r.k: (r.v, r.seq) for r in spark.read.parquet(target).collect()}
     assert got == {3: ("c2", 2), 5: ("e", 1)}  # key 3 kept newer, key 5 inserted
+
+
+def test_transform_with_state_matches_batch(spark, sf_dir, tmp_path):
+    """Spark 4 transformWithStateInPandas parity: same cumulative totals
+    as the batch groupBy (and as the applyInPandasWithState variant),
+    over the RocksDB state store.
+
+    Skipped where protobuf is missing: the TWS state-server protocol
+    imports google.protobuf in the Python driver worker — an environment
+    dependency, not an engine one (same posture as the PIL decode test).
+    """
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    from udacity_data_engineering_spark.streaming.stateful import (
+        ROCKSDB_PROVIDER,
+        running_user_totals_tws,
+    )
+
+    src = str(tmp_path / "tws_in")
+    spark.read.parquet(f"{sf_dir}/events.parquet").repartition(3).write.parquet(src)
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, ROCKSDB_PROVIDER)
+    try:
+        out = running_user_totals_tws(stream_events(spark, src))
+        q = (
+            out.writeStream.format("memory")
+            .queryName("tws_sink")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "tws_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+    got = {
+        r.user_id: (r.n_events, r.sum_value)
+        for r in spark.sql(
+            """SELECT user_id, n_events, sum_value FROM (
+                   SELECT *, row_number() OVER (
+                       PARTITION BY user_id ORDER BY n_events DESC) rn
+                   FROM tws_sink) WHERE rn = 1"""
+        ).collect()
+    }
+    want = {
+        r.user_id: (r.n, round(r.s, 2))
+        for r in table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert got == want

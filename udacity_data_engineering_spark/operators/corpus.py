@@ -1,0 +1,313 @@
+"""Corpus-preparation operators — the steps between a cleaned document
+lake and a tokenizer: vocabulary statistics, n-gram counts, normalized
+text, deterministic train/val/test splits, and the global training
+shuffle.
+
+Scale notes (the 100 TB contract for each operator):
+
+- **Vocabulary / n-gram counts** are wordcount-shaped: explode + hash
+  aggregate. Spark's partial aggregation combines map-side, so shuffle
+  volume is |vocab| per partition, not |tokens|; the final top-k is a
+  ``TakeOrderedAndProject`` (no global sort materialization).
+- **Train/val/test split** is the same pure-integer Knuth-hash contract
+  as sampling.py: assignment is a function of the row key alone, so the
+  split is reproducible on any engine/partitioning and is a scan-side
+  codegen'd projection — no shuffle, no RNG state.
+- **Global shuffle** for training-data writes must NOT be a global
+  ``row_number`` (that is a single-partition sort). The scale shape is:
+  deterministic per-row sort key (Knuth hash) + ``repartitionByRange``
+  on that key + ``sortWithinPartitions`` — a range shuffle whose output
+  is globally ordered across files without ever centralizing rows
+  (``shuffled_write``). The query surface exposes the key + bucket
+  assignment, which is what the oracle can prove.
+- **Normalization** is pure ``regexp_replace`` inside whole-stage
+  codegen; **length-outlier trimming** at scale would use approximate
+  quantile bounds — the exact rank-based variant here is the oracle
+  shape and documents that trade.
+
+Reference parity: the reference (etl.py) has no corpus layer; these are
+§2B charter extensions (SURVEY.md "LLM-data-pipeline operators").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from udacity_data_engineering_spark.operators.sampling import KNUTH, hash_pct
+from udacity_data_engineering_spark.plans.registry import register
+from udacity_data_engineering_spark.session import table
+
+
+def _toks(col):
+    return F.split(col, " ")
+
+
+# ---------------------------------------------------------------------------
+# vocabulary / n-gram statistics
+
+
+def vocab_topk(docs: DataFrame, text_col: str = "text", k: int = 50) -> DataFrame:
+    """Top-k corpus vocabulary by frequency (count desc, token asc).
+
+    Explode + partial-aggregating groupBy + TakeOrderedAndProject: the
+    shuffle carries one row per (partition, distinct token), and the
+    top-k never sorts the full vocabulary globally.
+    """
+    return (
+        docs.select(F.explode(_toks(F.col(text_col))).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(k)
+    )
+
+
+@register(
+    "q_vocab_topk",
+    oracle="""
+        SELECT token, COUNT(*) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        WHERE token <> ''
+        GROUP BY token
+        ORDER BY cnt DESC, token
+        LIMIT 50
+    """,
+    doc="Corpus vocabulary statistics: top-50 tokens by frequency with a "
+    "deterministic (cnt, token) tiebreak. Wordcount shape — map-side "
+    "partial aggregation bounds shuffle volume by distinct-token count, "
+    "and the limit folds into TakeOrderedAndProject.",
+    tags=("E10", "llm-pipeline", "corpus"),
+)
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return vocab_topk(table(spark, sf_dir, "documents"))
+
+
+def ngram_counts(
+    docs: DataFrame, n: int = 2, text_col: str = "text", k: int = 50
+) -> DataFrame:
+    """Top-k n-gram counts (space-joined token n-grams), deterministic
+    tiebreak. Same wordcount scale shape as vocab_topk; the n-gram
+    construction is a codegen'd higher-order transform, no Python."""
+    toks = _toks(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]
+        ),
+    )
+    return (
+        docs.filter(F.size(toks) >= n)
+        .select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("ngram"))
+        .limit(k)
+    )
+
+
+@register(
+    "q_ngram_counts",
+    oracle="""
+        SELECT ngram, COUNT(*) AS cnt
+        FROM (
+            SELECT unnest(list_transform(range(1, len(t)),
+                                         i -> t[i] || ' ' || t[i+1])) AS ngram
+            FROM (SELECT string_split(text, ' ') AS t FROM documents)
+            WHERE len(t) >= 2
+        )
+        GROUP BY ngram
+        ORDER BY cnt DESC, ngram
+        LIMIT 50
+    """,
+    doc="Bigram language-model counts: top-50 token bigrams, built by a "
+    "codegen'd sequence/transform (no Python), aggregated wordcount-style "
+    "with map-side combine.",
+    tags=("E10", "llm-pipeline", "corpus"),
+)
+def q_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_counts(table(spark, sf_dir, "documents"), n=2)
+
+
+# ---------------------------------------------------------------------------
+# deterministic splits and the training shuffle
+
+
+def train_val_split(
+    df: DataFrame, key: str, train_pct: int = 90, val_pct: int = 5
+) -> DataFrame:
+    """Deterministic train/val/test assignment from the row-key hash.
+
+    Same reproducibility contract as deterministic_sample: membership is
+    pure integer arithmetic on the key, so the split survives
+    repartitioning, engine changes, and re-runs — a seeded randomSplit
+    does not. Scan-side projection; zero shuffle."""
+    h = hash_pct(F.col(key))
+    return df.withColumn(
+        "split",
+        F.when(h < train_pct, "train")
+        .when(h < train_pct + val_pct, "val")
+        .otherwise("test"),
+    )
+
+
+@register(
+    "q_train_val_split",
+    oracle="""
+        SELECT doc_id,
+               CASE WHEN h < 90 THEN 'train'
+                    WHEN h < 95 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT doc_id,
+                     ((doc_id % 2147483648) * 2654435761) % 4294967296 % 100 AS h
+              FROM documents)
+    """,
+    doc="Deterministic 90/5/5 train/val/test split via the Knuth "
+    "multiplicative hash of doc_id — identical assignment on every "
+    "engine and partitioning (randomSplit cannot promise that). "
+    "Scan-side integer arithmetic, no shuffle.",
+    tags=("llm-pipeline", "sampling", "corpus"),
+)
+def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return train_val_split(docs, "doc_id").select("doc_id", "split")
+
+
+def shuffle_key(key, buckets: int = 1024):
+    """Deterministic 32-bit shuffle key + bucket for a training-order
+    shuffle: ``skey`` totally orders rows pseudo-randomly, ``bucket`` is
+    the range-partition a writer would place the row in."""
+    skey = (F.pmod(key, F.lit(2147483648)) * F.lit(KNUTH)) % F.lit(4294967296)
+    return skey, skey % F.lit(buckets)
+
+
+def shuffled_write(
+    df: DataFrame, key: str, path: str, buckets: int = 64
+) -> None:
+    """Globally-shuffled training-data write WITHOUT a global sort:
+    range-partition on the deterministic hash key, sort within each
+    partition — files are internally ordered and collectively cover a
+    pseudo-random global order. This is the 100 TB shape; a
+    ``row_number`` over one window would centralize every row."""
+    skey, _ = shuffle_key(F.col(key))
+    (
+        df.withColumn("__skey", skey)
+        .repartitionByRange(buckets, "__skey")
+        .sortWithinPartitions("__skey")
+        .drop("__skey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+@register(
+    "q_shuffle_order",
+    oracle="""
+        SELECT doc_id,
+               ((doc_id % 2147483648) * 2654435761) % 4294967296 AS skey,
+               ((doc_id % 2147483648) * 2654435761) % 4294967296 % 1024 AS bucket
+        FROM documents
+    """,
+    doc="Deterministic global training shuffle: per-row 32-bit Knuth "
+    "hash as the shuffle sort key plus its range bucket. The writer "
+    "path (shuffled_write) range-partitions on skey and sorts within "
+    "partitions — global pseudo-random order with no single-partition "
+    "sort. Pure integer arithmetic == same order on every engine.",
+    tags=("llm-pipeline", "sampling", "corpus"),
+)
+def q_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    skey, bucket = shuffle_key(F.col("doc_id"))
+    return docs.select(
+        "doc_id", skey.alias("skey"), bucket.alias("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# normalization and outlier trimming
+
+
+def normalize_text(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """C4-style normalization: lowercase, strip non-alphanumerics,
+    collapse whitespace. Pure regexp_replace — whole-stage codegen,
+    no Python in the path."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    return docs.withColumn("norm_text", norm)
+
+
+@register(
+    "q_text_normalize",
+    oracle="""
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(lower(text),
+                    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text
+        FROM documents
+    """,
+    doc="C4-lineage text normalization: lowercase, non-alphanumerics to "
+    "spaces, whitespace collapse, trim — three codegen'd string "
+    "expressions, zero Python, zero shuffle. (Spark regexp_replace is "
+    "global by default; the oracle passes the 'g' flag explicitly.)",
+    tags=("E10", "llm-pipeline", "corpus"),
+)
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return normalize_text(table(spark, sf_dir, "documents")).select(
+        "doc_id", "norm_text"
+    )
+
+
+def length_trim(
+    docs: DataFrame, col: str = "n_chars", lo_pct: int = 5, hi_pct: int = 95
+) -> DataFrame:
+    """Drop rows outside the [lo_pct, hi_pct] rank band of ``col``.
+
+    Exact integer-rank semantics (rank > n*lo/100 and rank <= n*hi/100
+    over a (col, doc_id) total order) so any engine agrees row-for-row —
+    the oracle shape. At 100 TB the same trim uses approxQuantile
+    bounds as scan-side predicates instead of the global row_number
+    window (documented trade: exactness vs a single-partition sort)."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(col, "doc_id")
+    n = F.count(F.lit(1)).over(Window.partitionBy())
+    ranked = docs.withColumn("__rk", F.row_number().over(w)).withColumn(
+        "__n", n
+    )
+    return (
+        ranked.filter(
+            (F.col("__rk") > F.expr(f"__n * {lo_pct} DIV 100"))
+            & (F.col("__rk") <= F.expr(f"__n * {hi_pct} DIV 100"))
+        )
+        .drop("__rk", "__n")
+    )
+
+
+@register(
+    "q_length_outliers",
+    oracle="""
+        SELECT doc_id, n_chars
+        FROM (
+            SELECT doc_id, n_chars,
+                   row_number() OVER (ORDER BY n_chars, doc_id) AS rk,
+                   COUNT(*) OVER () AS n
+            FROM documents
+        )
+        WHERE rk > (n * 5) // 100 AND rk <= (n * 95) // 100
+    """,
+    doc="Length-outlier trim: keep the 5th-95th percentile band of "
+    "n_chars by exact integer rank over a deterministic (n_chars, "
+    "doc_id) order — engine-portable row-for-row. The documented 100 TB "
+    "variant replaces the global window with approxQuantile bounds as "
+    "pushed-down scan predicates.",
+    tags=("E10", "quality", "corpus"),
+)
+def q_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return length_trim(table(spark, sf_dir, "documents")).select(
+        "doc_id", "n_chars"
+    )

@@ -281,3 +281,34 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_window_features(read_media(spark))
+
+
+def media_dedup(df: DataFrame) -> DataFrame:
+    """Exact binary dedup over media payloads: sha2 fingerprint of the
+    raw bytes, min-path survivor per fingerprint, duplicate count. The
+    hash is computed JVM-side on the binary column (no Python hop, no
+    byte copy out of Tungsten), then it's the standard one-shuffle
+    fingerprint-groupBy from dedup.py — the image/audio analogue of
+    exact document dedup, and the first pass of any multimodal corpus
+    curation (byte-identical re-crawls are the bulk of media dupes)."""
+    return (
+        df.select(F.col("path"), F.sha2(F.col("content"), 256).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min("path").alias("survivor_path"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+@register(
+    "q_multimodal_dedup",
+    doc="E15+E11: exact media dedup — JVM-side sha2(content) fingerprint "
+    "+ one-shuffle groupBy, min-path survivor per distinct payload. "
+    "Rows-only (binary fixtures live outside the oracle views); "
+    "duplicate fixtures and survivor choice asserted in "
+    "tests/test_multimodal.py.",
+    tags=("E15", "E11", "dedup"),
+)
+def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return media_dedup(read_media(spark))

@@ -6,6 +6,8 @@ from udacity_data_engineering_spark.sources import (  # noqa: F401
     json_source,
     orc_source,
     parquet_source,
+    text_source,
+    xml_source,
 )
 from udacity_data_engineering_spark.sources.json_source import (  # noqa: F401
     SONG_SCHEMA,

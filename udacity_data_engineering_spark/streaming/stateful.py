@@ -50,6 +50,59 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+#: transformWithState requires the RocksDB state store provider (the
+#: default HDFS-backed provider does not implement the new operator's
+#: multi-state / timer API). Session conf, read at query start.
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """Same cumulative totals on Spark 4's ``transformWithStateInPandas``
+    — the successor arbitrary-state API (SPARK-45939 lineage): named
+    state variables on a handle (value/list/map), timers, TTL, and
+    initial-state support, over the RocksDB store. One ValueState per
+    user here, so state size is constant per key, and the result is
+    exactly checkable against the batch groupBy (same parity discipline
+    as applyInPandasWithState above).
+
+    Caller must set ``spark.sql.streaming.stateStore.providerClass`` to
+    ``ROCKSDB_PROVIDER`` before starting the query. The TWS state-server
+    protocol also needs ``google.protobuf`` in the Python environment
+    (absent in this container, so the parity test is skip-marked there —
+    applyInPandasWithState above is the fully-exercised path).
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class TotalsProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, s = self._totals.get() if self._totals.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                s += float(pdf["value"].sum())
+            self._totals.update((n, s))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "sum_value": [round(s, 2)]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.select("user_id", "value").groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=TotalsProcessor(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def write_stream_parquet(
     stream_df: DataFrame, out_path: str, checkpoint: str
 ) -> None:
