@@ -233,3 +233,39 @@ def test_quality_filters_are_shuffle_free(spark, sf_dir):
         plan = df._jdf.queryExecution().optimizedPlan().toString()
         assert "Exchange" not in plan, name
         assert "PythonUDF" not in plan and "BatchEval" not in plan, name
+
+
+def test_corpus_scan_side_ops_never_shuffle(spark, sf_dir):
+    """Split assignment, shuffle-key computation, normalization, and
+    quantization are per-row expressions — zero exchanges, zero Python.
+    A shuffle here would be pure waste at 100 TB."""
+    for name in (
+        "q_train_val_split",
+        "q_shuffle_order",
+        "q_text_normalize",
+        "q_embedding_quantize",
+    ):
+        plan = plan_of(MANIFEST[name].fn(spark, sf_dir), "simple")
+        assert "Exchange" not in plan, name
+        assert "Python" not in plan, name
+
+
+def test_vocab_topk_partial_agg_and_takeordered(spark, sf_dir):
+    """Wordcount shape: map-side partial aggregate (2 HashAggregates
+    around one exchange) and TakeOrderedAndProject for the limit — never
+    a global sort of the vocabulary."""
+    for name in ("q_vocab_topk", "q_ngram_counts"):
+        plan = plan_of(MANIFEST[name].fn(spark, sf_dir), "simple")
+        assert plan.count("HashAggregate") >= 2, name
+        assert plan.count("Exchange hashpartitioning") == 1, name
+        assert "TakeOrderedAndProject" in plan, name
+        assert "Sort " not in plan, name
+
+
+def test_cluster_centroids_single_shuffle(spark, sf_dir):
+    """posexplode + partial agg: one hash exchange carrying (group, dim)
+    partial sums; the vectors themselves shuffle at most once."""
+    plan = plan_of(MANIFEST["q_cluster_centroids"].fn(spark, sf_dir), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("HashAggregate") >= 2
+    assert "Python" not in plan

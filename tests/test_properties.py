@@ -101,3 +101,56 @@ def test_asof_right_tiebreak_deterministic(spark):
         right = spark.createDataFrame(right_rows, "k long, ts long, rid long").repartition(nparts)
         out = asof_join(left, right, on="k", right_cols=("rid",), right_tiebreak="rid")
         assert [r.rid_matched for r in out.collect()] == [49]
+
+
+def test_asof_forward_matches_bruteforce(spark):
+    """Forward as-of: earliest right at-or-after each left ts, inclusive
+    at equality, None when no later right exists."""
+    from udacity_data_engineering_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10), (1, 15), (1, 30), (2, 5)], "k long, ts long"
+    )
+    right = spark.createDataFrame(
+        [(1, 15, "a"), (1, 20, "b"), (2, 1, "c")], "k long, ts long, v string"
+    )
+    out = asof_join(
+        left, right, on="k", right_cols=("v",), direction="forward"
+    )
+    got = {(r.k, r.ts): r.v_matched for r in out.collect()}
+    assert got == {(1, 10): "a", (1, 15): "a", (1, 30): None, (2, 5): None}
+
+
+def test_asof_direction_validated(spark):
+    import pytest
+
+    from udacity_data_engineering_spark.operators.asof import asof_join
+
+    df = spark.createDataFrame([(1, 1)], "k long, ts long")
+    with pytest.raises(ValueError, match="backward|forward"):
+        asof_join(df, df, on="k", direction="sideways")
+
+
+def test_top_tokens_per_group_deterministic_and_exact(spark):
+    from udacity_data_engineering_spark.operators.corpus import (
+        top_tokens_per_group,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "en", "a a a b b c"),
+            (2, "en", "b c c"),
+            (3, "de", "x y"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    got = {
+        (r.lang, r.rk): (r.token, r.cnt)
+        for r in top_tokens_per_group(df, k=2).collect()
+    }
+    # en: a=3, b=3 -> tiebreak token asc puts a first; c=3? c appears 1+2=3
+    # counts: a=3, b=3, c=3 -> top2 = a, b
+    assert got[("en", 1)] == ("a", 3)
+    assert got[("en", 2)] == ("b", 3)
+    assert got[("de", 1)] == ("x", 1)
+    assert got[("de", 2)] == ("y", 1)

@@ -27,16 +27,24 @@ def asof_join(
     right_ts: str = "ts",
     right_cols: tuple[str, ...] = (),
     right_tiebreak: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the latest right row with
-    ``right.ts <= left.ts`` and the same ``on`` key (inclusive as-of).
+    """For each left row, attach the nearest right row at-or-before
+    (``direction='backward'``, default: latest ``right.ts <= left.ts``)
+    or at-or-after (``direction='forward'``: earliest ``right.ts >=
+    left.ts``) with the same ``on`` key — both inclusive.
 
     Scales as one shuffle on ``on`` + per-partition sort; no pairwise
-    blow-up. Right-side ties on (key, ts) are partition-order-dependent
-    unless ``right_tiebreak`` names a right column: then the greatest
-    tiebreak value wins deterministically on every run (ADVICE r1 —
-    required whenever right timestamps are not unique per key).
+    blow-up. Forward is the same union-merge with the traversal
+    reversed (descending timestamps), so the carried value is the
+    smallest right timestamp at or after each left row. Right-side ties
+    on (key, ts) are partition-order-dependent unless ``right_tiebreak``
+    names a right column: then one tiebreak winner is picked
+    deterministically on every run (ADVICE r1 — required whenever right
+    timestamps are not unique per key).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     rcols = list(right_cols)
     r = right.select(
         F.col(on),
@@ -60,9 +68,12 @@ def asof_join(
         *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__r_{c}") for c in rcols],
         *[F.col(c).alias(f"__l_{c}") for c in left.columns if c != on],
     )
+    ts_order = (
+        F.asc("__ts") if direction == "backward" else F.desc("__ts")
+    )
     w = (
         Window.partitionBy(on)
-        .orderBy("__ts", "__side", F.asc_nulls_first("__tb"))
+        .orderBy(ts_order, "__side", F.asc_nulls_first("__tb"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = r.unionByName(l).select(
@@ -106,4 +117,41 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.col("event_id_matched").alias("purchase_event_id"),
         F.col("ts_matched").alias("purchase_ts"),
+    )
+
+
+@register(
+    "q_asof_forward",
+    oracle="""
+        SELECT e.event_id, e.user_id, e.ts,
+               p.event_id AS next_purchase_event_id, p.ts AS next_purchase_ts
+        FROM events e
+        ASOF LEFT JOIN (
+            SELECT user_id, ts, event_id FROM events
+            WHERE event_type = 'purchase') p
+          ON e.user_id = p.user_id AND e.ts <= p.ts
+    """,
+    doc="E8: forward as-of join — each event matched to the EARLIEST "
+    "'purchase' by the same user at or after its timestamp (time-to-"
+    "conversion shape). Same union-merge cost class as the backward "
+    "variant: one shuffle + one sort, traversed in descending time; "
+    "the DuckDB oracle is native forward ASOF (ts <= p.ts).",
+    tags=("E8",),
+)
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    left = ev.select("user_id", "ts", "event_id")
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    out = asof_join(
+        left, right, on="user_id", right_cols=("event_id", "ts"),
+        direction="forward",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("event_id_matched").alias("next_purchase_event_id"),
+        F.col("ts_matched").alias("next_purchase_ts"),
     )

@@ -311,3 +311,58 @@ def q_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return length_trim(table(spark, sf_dir, "documents")).select(
         "doc_id", "n_chars"
     )
+
+
+def top_tokens_per_group(
+    docs: DataFrame, group_col: str = "lang", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Per-group heavy hitters: top-k tokens by count within each group
+    (deterministic (cnt desc, token) tiebreak). Two shuffles, both over
+    vocabulary-sized data: the wordcount aggregate (map-side combined)
+    and the per-group rank window — the corpus itself shuffles zero
+    times. This is the grouped variant of vocab_topk, where
+    TakeOrderedAndProject can't apply (one top-k per group)."""
+    from pyspark.sql import Window
+
+    counts = (
+        docs.select(
+            F.col(group_col), F.explode(_toks(F.col(text_col))).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .groupBy(group_col, "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy(group_col).orderBy(F.desc("cnt"), F.asc("token"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(group_col, "token", "cnt", "rk")
+    )
+
+
+@register(
+    "q_top_tokens_per_lang",
+    oracle="""
+        SELECT lang, token, cnt, rk
+        FROM (
+            SELECT lang, token, cnt,
+                   CAST(row_number() OVER (PARTITION BY lang
+                        ORDER BY cnt DESC, token) AS INT) AS rk
+            FROM (
+                SELECT lang, token, COUNT(*) AS cnt
+                FROM (SELECT lang, unnest(string_split(text, ' ')) AS token
+                      FROM documents)
+                WHERE token <> ''
+                GROUP BY lang, token
+            )
+        )
+        WHERE rk <= 3
+    """,
+    doc="Per-language heavy hitters: top-3 tokens per lang with a "
+    "deterministic tiebreak. Both shuffles carry vocabulary-sized "
+    "aggregates, never corpus rows; the rank window partitions by "
+    "group, so no single-partition sort exists anywhere.",
+    tags=("E10", "llm-pipeline", "corpus"),
+)
+def q_top_tokens_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return top_tokens_per_group(table(spark, sf_dir, "documents"))
