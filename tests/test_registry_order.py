@@ -28,7 +28,8 @@ def test_window_covers_core_parity_and_extension_families():
     # at least one query per §2B family tag
     qs = all_queries()
     for family in ("E1", "E2", "E3", "E4", "E5", "E6", "E7", "E8", "E9",
-                   "E10", "E11", "E12", "E13", "E15", "physical", "sampling"):
+                   "E10", "E11", "E12", "E13", "E15", "physical", "sampling",
+                   "corpus", "embeddings"):
         assert any(family in qs[n].tags for n in window), f"no {family} query in window"
 
 

@@ -102,7 +102,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_doc_fingerprint",       # E11
     "q_minhash_dedup_survivors",  # E11/E12 end-to-end dedup pipeline
     "q_doc_dedup_survivors",   # E11
-    "q_cosine_topk",           # E12 exact top-k
+    "q_vocab_topk",            # corpus-prep family (round 2; E12's
+                               # hash-proven q_cosine_topk was driver-green
+                               # in r1 — slot rotated; E12 stays covered by
+                               # the LSH/SimHash entries below)
     "q_embedding_neardup_lsh", # E12 scale path
     "q_simhash_candidates",    # E12/dedup
     "q_incremental_dedup",     # E11 batch-vs-lake dedup (hash-proven;
@@ -115,7 +118,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_salted_agg",            # physical/skew
     "q_salted_join",           # physical/skew
     "q_stratified_mix",        # sampling / corpus mixing
-    "q_shipping_priority",     # flagship TPC-H analytic (bench headline)
+    "q_cluster_centroids",     # embedding-housekeeping family (round 2;
+                               # flagship TPC-H q_shipping_priority was
+                               # driver-green in r1 — slot rotated)
 )
 
 

@@ -6,6 +6,7 @@ from udacity_data_engineering_spark.sources import (  # noqa: F401
     json_source,
     orc_source,
     parquet_source,
+    python_datasource,
     text_source,
     xml_source,
 )
