@@ -36,13 +36,21 @@ _ORACLE = "SELECT event_id, epoch_ms(epoch_us(ts) // 1000) AS start_time FROM ev
 
 
 def _events_with_ms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Raw events read: ts arrives as int64 *nanoseconds* (nanosAsLong
-    shim, SURVEY §7.2); derive exact epoch-millis with integer DIV —
-    nanos exceed double's 2^53 exact range, so float division is wrong.
+    """Raw events read, normalized to an epoch-millis column.
+
+    Handles both testdata vintages: ``ts`` as int64 *nanoseconds*
+    (nanosAsLong shim, SURVEY §7.2 — integer DIV because nanos exceed
+    double's 2^53 exact range) or as a true parquet TIMESTAMP(MICROS)
+    column (``unix_millis`` under the pinned UTC session timezone, so
+    NTZ→LTZ cast is the identity).
     """
     configure(spark)
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return raw.select("event_id", F.expr("ts DIV 1000000").alias("ms"))
+    if dict(raw.dtypes).get("ts") == "bigint":
+        ms = F.expr("ts DIV 1000000")
+    else:
+        ms = F.expr("unix_millis(CAST(ts AS TIMESTAMP))")
+    return raw.select("event_id", ms.alias("ms"))
 
 
 @register(

@@ -152,23 +152,41 @@ def frame_sample(df: DataFrame, n_frames: int = 4) -> DataFrame:
     doc="E15: binaryFile scan -> Arrow-batched mapInPandas decode "
     "(deterministic fake kernel) -> metadata struct + feature vector. "
     "Rows-only (binary fixtures live outside the oracle's parquet "
-    "views); tests assert exact decoded values.",
+    "views); tests assert exact decoded values. The feature vector is "
+    "serialized to a CSV string for the driver's row canonicalizer "
+    "(pandas cannot sort list cells); the operator API (decode_media) "
+    "keeps the typed array column.",
     tags=("E15",),
 )
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return decode_media(read_media(spark)).select(
-        "path", "n_bytes", "meta.width", "meta.height", "features"
+    decoded = decode_media(read_media(spark))
+    return decoded.select(
+        "path",
+        "n_bytes",
+        "meta.width",
+        "meta.height",
+        F.concat_ws(
+            ",", F.transform("features", lambda x: F.format_string("%.6f", x))
+        ).alias("features_csv"),
     )
 
 
 @register(
     "q_multimodal_frames",
     doc="E15: frame sampling over binary payloads via substring+explode "
-    "(JVM-side, no Python). Rows-only.",
+    "(JVM-side, no Python). Rows-only; frame bytes surface as hex + "
+    "length scalars so the driver's row canonicalizer never sees raw "
+    "binary cells (the operator API frame_sample keeps the binary "
+    "column).",
     tags=("E15",),
 )
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return frame_sample(read_media(spark))
+    return frame_sample(read_media(spark)).select(
+        "path",
+        "frame_id",
+        F.length("frame").alias("frame_len"),
+        F.lower(F.hex("frame")).alias("frame_hex"),
+    )
 
 
 def resize_media(df: DataFrame, target: int = 16) -> DataFrame:
@@ -264,11 +282,17 @@ def audio_window_features(df: DataFrame, window: int = 64) -> DataFrame:
     "16-sample grid — deterministic byte indexing standing in for pixel "
     "resampling, Arrow-batched numpy fancy-index per batch. Rows-only "
     "(binary fixtures live outside the oracle views); exact values "
-    "asserted in tests/test_multimodal.py.",
+    "asserted in tests/test_multimodal.py. The resized grid is "
+    "serialized to a CSV string for the driver's row canonicalizer; "
+    "the operator API (resize_media) keeps the typed array column.",
     tags=("E15",),
 )
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return resize_media(read_media(spark))
+    return resize_media(read_media(spark)).select(
+        "path",
+        "orig_len",
+        F.concat_ws(",", F.col("resized").cast("array<string>")).alias("resized_csv"),
+    )
 
 
 @register(

@@ -128,7 +128,7 @@ def q_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
         SELECT doc_id,
-               CAST(list_transform(words, w -> length(w))[1:5] AS INT[])
+               array_to_string(list_transform(words, w -> length(w))[1:5], ',')
                    AS first5_lengths,
                CAST(len(list_filter(words, w -> length(w) > 6)) AS INT)
                    AS n_long_words,
@@ -151,7 +151,10 @@ def q_higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     lengths = F.transform(words, F.length)
     return docs.select(
         "doc_id",
-        F.slice(lengths, 1, 5).alias("first5_lengths"),
+        # joined to a scalar so row canonicalizers never see list cells
+        F.array_join(F.slice(lengths, 1, 5).cast("array<string>"), ",").alias(
+            "first5_lengths"
+        ),
         F.size(F.filter(words, lambda w: F.length(w) > 6)).alias("n_long_words"),
         F.exists(words, lambda w: w == "the").alias("has_the"),
         F.aggregate(
