@@ -24,7 +24,10 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from udacity_data_engineering_spark.functions.datetime_fns import epoch_ms_to_ts_udf
+from udacity_data_engineering_spark.functions.datetime_fns import (
+    epoch_ms_to_ts_udf,
+    events_ms_expr,
+)
 from udacity_data_engineering_spark.session import build_session, table
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -39,6 +42,8 @@ def main() -> None:
     for name, df in t.items():
         df.createOrReplaceTempView(name)
     raw_events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    # dual-vintage: ts is int64 nanos (nanosAsLong shim) or timestamp[us]
+    raw_events_ms = events_ms_expr(raw_events)
     tmp = tempfile.mkdtemp(prefix="bench_out_")
 
     def scan_count_lineitem():
@@ -80,7 +85,7 @@ def main() -> None:
         # same triggering action as BASELINE.md's recipe (count of the
         # UDF projection); the oracle-checked q_epoch_to_ts_udf covers
         # value correctness of the UDF itself
-        raw_events.select(epoch_ms_to_ts_udf(F.expr("ts DIV 1000000")).alias("st")).count()
+        raw_events.select(epoch_ms_to_ts_udf(raw_events_ms).alias("st")).count()
 
     def parquet_write_partitioned():
         # same logical op as BASELINE's recipe; physical strategy is the

@@ -45,16 +45,27 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("WARN")
 
+    # dual-vintage: events.ts arrives as int64 nanos (nanosAsLong shim)
+    # or as a true parquet timestamp[us] column (current testdata)
+    events_ts_is_nanos = (
+        dict(spark.read.parquet(f"{args.sf}/events.parquet").dtypes).get("ts")
+        == "bigint"
+    )
     t = {}
     for name in ("lineitem", "orders", "customer", "events"):
         df = spark.read.parquet(f"{args.sf}/{name}.parquet")
-        if name == "events":
+        if name == "events" and events_ts_is_nanos:
             df = df.withColumn(
                 "ts", F.expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)")
             )
         t[name] = df
         df.createOrReplaceTempView(name)
     raw_events = spark.read.parquet(f"{args.sf}/events.parquet")
+    raw_events_ms = (
+        F.expr("ts DIV 1000000")
+        if events_ts_is_nanos
+        else F.expr("unix_millis(CAST(ts AS TIMESTAMP))")
+    )
     tmp = tempfile.mkdtemp(prefix="baseline_out_")
 
     from pyspark.sql.types import TimestampType
@@ -100,7 +111,7 @@ def main() -> None:
         ),
         "python_udf_epochms_to_ts": lambda: (
             raw_events.select(
-                epoch_ms_to_ts_stock(F.expr("ts DIV 1000000")).alias("st")
+                epoch_ms_to_ts_stock(raw_events_ms).alias("st")
             ).count()
         ),
         "parquet_write_partitioned": lambda: (

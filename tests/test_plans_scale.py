@@ -74,6 +74,8 @@ PYTHON_PATH_QUERIES = {
     # per-query ADC scan itself is codegen over the cached codes (see
     # test_pq.py::test_pq_adc_scan_has_no_python_eval).
     "q_pq_topk",
+    # Python DataSource API demo — a Python-eval plan by construction.
+    "q_python_datasource",
 }
 
 

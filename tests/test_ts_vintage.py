@@ -1,0 +1,114 @@
+"""Testdata-vintage pinning — the driver's events.parquet has shipped ts
+as parquet TIMESTAMP(NANOS) (read as int64 via the nanosAsLong shim) and
+as TIMESTAMP(MICROS). Every ingest path must normalize both to identical
+timestamps, and an unknown vintage must fail loudly — so the next silent
+testdata change breaks here in pytest, not in the driver's bench.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from udacity_data_engineering_spark.functions.datetime_fns import (
+    _events_with_ms,
+    events_ms_expr,
+)
+from udacity_data_engineering_spark.session import table
+from udacity_data_engineering_spark.streaming import run_available_now, stream_events
+
+TS = [
+    datetime(2024, 1, 1, 2, 22, 33, 123000),
+    datetime(2024, 1, 1, 5, 0, 0),
+    datetime(2024, 6, 15, 23, 59, 59, 500000),
+]
+
+
+def _write_events(dirpath, ts_unit):
+    """One tiny events.parquet with ts at the given pyarrow unit.
+
+    version='2.6' keeps nanos as TIMESTAMP(NANOS) (the old driver vintage,
+    which Spark reads as int64 under nanosAsLong); 'us' is the current one.
+    """
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "ts": pa.array(TS, pa.timestamp(ts_unit)),
+            "user_id": pa.array([10, 20, 10], pa.int64()),
+            "event_type": pa.array(["click", "view", "click"]),
+            "value": pa.array([1.5, 2.5, 3.5], pa.float64()),
+            "props": pa.array(['{"a":1}', "{}", "{}"]),
+        }
+    )
+    dirpath.mkdir(parents=True, exist_ok=True)
+    pq.write_table(tbl, str(dirpath / "events.parquet"), version="2.6")
+    return str(dirpath)
+
+
+@pytest.fixture(scope="module")
+def vintage_dirs(tmp_path_factory):
+    base = tmp_path_factory.mktemp("vintages")
+    return {
+        "nanos": _write_events(base / "nanos", "ns"),
+        "micros": _write_events(base / "micros", "us"),
+    }
+
+
+def test_fixture_vintages_differ_as_intended(spark, vintage_dirs):
+    dt = {
+        k: dict(spark.read.parquet(f"{d}/events.parquet").dtypes)["ts"]
+        for k, d in vintage_dirs.items()
+    }
+    assert dt["nanos"] == "bigint"  # nanosAsLong shim active
+    assert dt["micros"] in ("timestamp", "timestamp_ntz")
+
+
+def test_batch_table_normalizes_both_vintages(spark, vintage_dirs):
+    rows = {
+        k: sorted(
+            (r.event_id, r.ts)
+            for r in table(spark, d, "events").select("event_id", "ts").collect()
+        )
+        for k, d in vintage_dirs.items()
+    }
+    assert rows["nanos"] == rows["micros"]
+    assert [ts for _, ts in rows["nanos"]] == TS
+
+
+def test_events_with_ms_normalizes_both_vintages(spark, vintage_dirs):
+    ms = {
+        k: sorted((r.event_id, r.ms) for r in _events_with_ms(spark, d).collect())
+        for k, d in vintage_dirs.items()
+    }
+    assert ms["nanos"] == ms["micros"]
+    epoch_ms = [int(t.timestamp() * 1000) for t in TS]  # naive == UTC here
+    assert sorted(v for _, v in ms["nanos"]) == sorted(epoch_ms)
+
+
+def test_stream_events_normalizes_both_vintages(spark, vintage_dirs, tmp_path):
+    got = {}
+    for k, d in vintage_dirs.items():
+        stream = stream_events(spark, d).selectExpr(
+            "event_id", "CAST(ts AS TIMESTAMP_NTZ) AS ts"
+        )
+        run_available_now(
+            stream, f"vintage_{k}", str(tmp_path / f"ckpt_{k}"), output_mode="append"
+        )
+        got[k] = sorted(tuple(r) for r in spark.table(f"vintage_{k}").collect())
+    assert got["nanos"] == got["micros"]
+    assert sorted(ts for _, ts in got["nanos"]) == sorted(TS)
+
+
+def test_unknown_vintage_fails_loudly(spark, tmp_path):
+    bad = spark.range(3).selectExpr(
+        "id AS event_id", "CAST(id AS STRING) AS ts"
+    )
+    with pytest.raises(TypeError, match="unexpected dtype"):
+        events_ms_expr(bad)
+    src = str(tmp_path / "bad_events")
+    bad.write.parquet(src)
+    with pytest.raises(TypeError, match="unexpected dtype"):
+        stream_events(spark, src)

@@ -35,22 +35,37 @@ epoch_ms_to_ts_udf = F.udf(
 _ORACLE = "SELECT event_id, epoch_ms(epoch_us(ts) // 1000) AS start_time FROM events"
 
 
-def _events_with_ms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Raw events read, normalized to an epoch-millis column.
+def events_ms_expr(raw: DataFrame) -> Column:
+    """Epoch-millis expression over a raw ``events`` read, whatever the
+    testdata vintage stored ``ts`` as:
 
-    Handles both testdata vintages: ``ts`` as int64 *nanoseconds*
-    (nanosAsLong shim, SURVEY §7.2 — integer DIV because nanos exceed
-    double's 2^53 exact range) or as a true parquet TIMESTAMP(MICROS)
-    column (``unix_millis`` under the pinned UTC session timezone, so
-    NTZ→LTZ cast is the identity).
+    - int64 *nanoseconds* (nanosAsLong shim, SURVEY §7.2) — integer DIV
+      because nanos ~1.7e18 exceed double's 2^53 exact range;
+    - parquet TIMESTAMP(MICROS), surfacing as timestamp or timestamp_ntz —
+      ``unix_millis`` under the pinned UTC session timezone, so the
+      NTZ→LTZ cast is the identity.
+
+    Any other dtype is an unknown vintage: fail loudly rather than
+    silently mis-convert (a string or double ts would otherwise fall
+    into the cast branch and shift or truncate values).
     """
+    dtype = dict(raw.dtypes).get("ts")
+    if dtype == "bigint":
+        return F.expr("ts DIV 1000000")
+    if dtype in ("timestamp", "timestamp_ntz"):
+        return F.expr("unix_millis(CAST(ts AS TIMESTAMP))")
+    raise TypeError(
+        f"events.ts has unexpected dtype {dtype!r}; known vintages are "
+        "int64 nanos (bigint via nanosAsLong) and timestamp[us]"
+    )
+
+
+def _events_with_ms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw events read, normalized to an epoch-millis column (both
+    testdata vintages — see events_ms_expr)."""
     configure(spark)
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(raw.dtypes).get("ts") == "bigint":
-        ms = F.expr("ts DIV 1000000")
-    else:
-        ms = F.expr("unix_millis(CAST(ts AS TIMESTAMP))")
-    return raw.select("event_id", ms.alias("ms"))
+    return raw.select("event_id", events_ms_expr(raw).alias("ms"))
 
 
 @register(

@@ -60,6 +60,17 @@ def configure(spark: SparkSession) -> SparkSession:
             spark.conf.set(key, value)
         except Exception:  # pragma: no cover - conf locked down by host
             pass
+    # The UTC session timezone is load-bearing for correctness, not just
+    # hygiene: unix_millis(CAST(ts_ntz AS TIMESTAMP)) is the identity only
+    # under UTC. If the host locked the conf to another zone, timestamps
+    # would silently shift — fail loudly instead.
+    tz = spark.conf.get("spark.sql.session.timeZone", "")
+    if tz != "UTC":  # pragma: no cover - only reachable on a locked session
+        raise RuntimeError(
+            f"spark.sql.session.timeZone is {tz!r}, not UTC; the session "
+            "rejected the conf set and timestamp normalization would be "
+            "silently wrong"
+        )
     return spark
 
 

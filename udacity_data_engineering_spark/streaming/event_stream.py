@@ -21,32 +21,54 @@ from pyspark.sql import types as T
 
 from udacity_data_engineering_spark.session import configure
 
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
 #: Declared schema for the events stream — file streams require one
 #: (schema inference is off in production streaming, and at 100 TB you
-#: never want it anyway). ``ts`` arrives as int64 nanos via the
+#: never want it anyway). Legacy vintage: ``ts`` as int64 nanos via the
 #: nanosAsLong shim (SURVEY §7.2).
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+EVENTS_RAW_SCHEMA = _events_schema(T.LongType())
+
+#: Current vintage: ``ts`` stored as parquet TIMESTAMP(MICROS), surfacing
+#: as timestamp_ntz.
+EVENTS_RAW_SCHEMA_TS = _events_schema(T.TimestampNTZType())
 
 
 def stream_events(spark: SparkSession, path: str) -> DataFrame:
     """File-based event stream: each parquet file under ``path`` is a
     micro-batch input. Same ts normalization as the batch loader
-    (session.table), so downstream expressions are shared verbatim."""
+    (session.table), so downstream expressions are shared verbatim.
+
+    The declared schema follows the testdata vintage (int64-nanos vs
+    timestamp[us]), detected with a one-time driver-side batch peek at the
+    parquet footer — cheap, and exactly what a production deployment pins
+    statically per source."""
     configure(spark)
-    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(path)
+    ts_dtype = dict(spark.read.parquet(path).dtypes).get("ts")
     # watermarks require TIMESTAMP (not NTZ); session tz is pinned UTC so
     # the wall-clock values match the batch loader's NTZ — outputs cast
     # back to NTZ below for exact batch parity
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    if ts_dtype == "bigint":
+        raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(path)
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    if ts_dtype in ("timestamp", "timestamp_ntz"):
+        raw = spark.readStream.schema(EVENTS_RAW_SCHEMA_TS).parquet(path)
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    raise TypeError(
+        f"events.ts has unexpected dtype {ts_dtype!r}; known vintages are "
+        "int64 nanos (bigint via nanosAsLong) and timestamp[us]"
+    )
 
 
 def windowed_counts(
