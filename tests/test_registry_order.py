@@ -17,7 +17,8 @@ def test_window_covers_core_parity_and_extension_families():
     # every §2A parity query
     for name in (
         "q_scan_count", "q_project", "q_project_rename", "q_filter_eq",
-        "q_dedup_key", "q_dateparts", "q_synthetic_id", "q_join_multikey",
+        "q_dedup_key", "q_dedup_fullrow", "q_dateparts",
+        "q_synthetic_id_props", "q_join_multikey",
         "q_sql_entry", "q_epoch_to_ts", "q_epoch_to_ts_udf", "q_limit",
         "q_scan_glob", "q_json_schema_scan", "q_json_infer_scan",
         "q_parquet_roundtrip", "q_parquet_partitioned",

@@ -93,6 +93,16 @@ def decode_fake(content: bytes) -> tuple[int, int, list[float]]:
     return w, h, [c / n for c in hist]
 
 
+def array_csv(col, fmt: str = "%d"):
+    """CSV-serialize an array column for the driver's row canonicalizer
+    (pandas cannot sort list cells). One shared helper so every serialized
+    array uses the same explicit per-element formatting — floats pinned to
+    a fixed precision (e.g. '%.6f'), integrals to '%d' — instead of
+    whatever cast('array<string>') happens to render, which would drift if
+    an element type ever changed."""
+    return F.concat_ws(",", F.transform(col, lambda x: F.format_string(fmt, x)))
+
+
 def read_media(spark: SparkSession, path: str = MEDIA_DIR) -> DataFrame:
     """binaryFile source: (path, modificationTime, length, content).
     Spark never parses the bytes — scans stay columnar and the payload
@@ -165,9 +175,7 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bytes",
         "meta.width",
         "meta.height",
-        F.concat_ws(
-            ",", F.transform("features", lambda x: F.format_string("%.6f", x))
-        ).alias("features_csv"),
+        array_csv("features", "%.6f").alias("features_csv"),
     )
 
 
@@ -291,7 +299,7 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_media(read_media(spark)).select(
         "path",
         "orig_len",
-        F.concat_ws(",", F.col("resized").cast("array<string>")).alias("resized_csv"),
+        array_csv("resized", "%d").alias("resized_csv"),
     )
 
 

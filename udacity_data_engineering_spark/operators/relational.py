@@ -143,6 +143,29 @@ def q_dedup_any(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_dedup_fullrow",
+    oracle="""
+        SELECT DISTINCT o_custkey, o_orderstatus, o_orderpriority
+        FROM (SELECT o_custkey, o_orderstatus, o_orderpriority FROM orders
+              UNION ALL
+              SELECT o_custkey, o_orderstatus, o_orderpriority FROM orders)
+    """,
+    doc="Full-row dropDuplicates() — same operator family as the "
+    "reference's key-subset dedup (etl.py:69, 2A.10) but hash-provable: "
+    "with no key subset every duplicate group is a set of identical rows, "
+    "so the survivor set is deterministic (== SELECT DISTINCT *). The "
+    "self-union guarantees real duplicates exist. Same physical shape as "
+    "dropDuplicates([key]): one shuffle on all columns.",
+    tags=("2A.10",),
+)
+def q_dedup_fullrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    proj = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderstatus", "o_orderpriority"
+    )
+    return proj.unionAll(proj).dropDuplicates()
+
+
+@register(
     "q_dateparts",
     oracle="""
         SELECT event_id,
@@ -182,6 +205,32 @@ def q_dateparts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_synthetic_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table(spark, sf_dir, "orders").select(
         F.monotonically_increasing_id().alias("songplay_id"), "o_orderkey"
+    )
+
+
+@register(
+    "q_synthetic_id_props",
+    oracle="""
+        SELECT count(*) AS n_rows, count(*) AS n_distinct_ids,
+               count(*) AS n_distinct_pairs
+        FROM orders
+    """,
+    doc="Hash-provable property check for the synthetic surrogate key "
+    "(etl.py:70,153, 2A.12): the id values are partition-dependent by "
+    "design, but their PROPERTIES are exact — one id per row, all ids "
+    "distinct, and ids stay distinct when paired with the natural key. "
+    "The oracle asserts n_rows == n_distinct_ids == n_distinct_pairs == "
+    "count(orders); any id collision breaks the hash.",
+    tags=("2A.12",),
+)
+def q_synthetic_id_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ids = table(spark, sf_dir, "orders").select(
+        F.monotonically_increasing_id().alias("songplay_id"), "o_orderkey"
+    )
+    return ids.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("songplay_id").alias("n_distinct_ids"),
+        F.countDistinct("songplay_id", "o_orderkey").alias("n_distinct_pairs"),
     )
 
 

@@ -64,9 +64,15 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_project_rename",      # 2A.8
     "q_filter_eq",           # 2A.9
     "q_dedup_key",           # 2A.10 deterministic key-subset dedup
-    "q_dedup_any",           # 2A.10 dropDuplicates parity
+    "q_dedup_fullrow",       # 2A.10 dropDuplicates, hash-provable full-row
+                             # variant (round 4 rotation; the arbitrary-
+                             # survivor q_dedup_any stays registered
+                             # rows-only just past the window)
     "q_dateparts",           # 2A.14 + 2A.11 derived columns
-    "q_synthetic_id",        # 2A.12 monotonically_increasing_id
+    "q_synthetic_id_props",  # 2A.12 monotonically_increasing_id — hash-
+                             # proven uniqueness properties (round 4
+                             # rotation; the raw-ids q_synthetic_id stays
+                             # registered rows-only just past the window)
     "q_join_multikey",       # 2A.17 3-key composite equi-join
     "q_sql_entry",           # 2A.15/16/18 temp view + SQL + aliasing
     "q_epoch_to_ts",         # 2A.13 builtin
