@@ -157,40 +157,117 @@ def frame_sample(df: DataFrame, n_frames: int = 4) -> DataFrame:
     )
 
 
+#: hex-digit -> value, shared by the blob-decoding oracles: DuckDB 1.0 has
+#: no BLOB substring/byte access, so bytes are recovered from hex(content).
+_HEXV = "(strpos('0123456789abcdef', substr({hx}, {pos}, 1))-1)"
+
+
+def _byte_at(hx: str, byte_pos: str) -> str:
+    """DuckDB expression for the unsigned byte value at 0-based ``byte_pos``
+    of the lower-hex string ``hx``."""
+    hi = _HEXV.format(hx=hx, pos=f"CAST(2*({byte_pos})+1 AS BIGINT)")
+    lo = _HEXV.format(hx=hx, pos=f"CAST(2*({byte_pos})+2 AS BIGINT)")
+    return f"({hi}*16 + {lo})"
+
+
+def _be_uint32(hx: str, start_byte: int) -> str:
+    """DuckDB expression for the big-endian uint32 at ``start_byte``."""
+    terms = [
+        f"CAST({_byte_at(hx, str(start_byte))} AS BIGINT)*16777216",
+        f"{_byte_at(hx, str(start_byte + 1))}*65536",
+        f"{_byte_at(hx, str(start_byte + 2))}*256",
+        _byte_at(hx, str(start_byte + 3)),
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
 @register(
     "q_multimodal_decode",
+    oracle=f"""
+        WITH m AS (
+          SELECT filename, CAST(octet_length(content) AS BIGINT) AS n_bytes,
+                 greatest(octet_length(content)-8, 0) AS L,
+                 lower(hex(content)) AS hx
+          FROM read_blob('{MEDIA_DIR}/*.img')
+        ), idx AS (
+          SELECT filename, unnest(range(0, CAST(L AS BIGINT))) AS i FROM m
+        ), byt AS (
+          SELECT idx.filename, {_byte_at('m.hx', 'idx.i + 8')} AS v
+          FROM idx JOIN m ON m.filename = idx.filename
+        ), hist AS (
+          SELECT filename, v//32 AS bucket, count(*) AS c
+          FROM byt GROUP BY filename, v//32
+        )
+        SELECT m.filename AS path, m.n_bytes,
+               CAST({_be_uint32('m.hx', 0)} AS INT) AS width,
+               CAST({_be_uint32('m.hx', 4)} AS INT) AS height,
+               string_agg(
+                 CAST(CAST(floor(
+                   CAST(COALESCE(h.c, 0) / greatest(m.L, 1) AS FLOAT)
+                   * 1000000 + 0.5) AS BIGINT) AS VARCHAR),
+                 ',' ORDER BY g.bucket) AS features_ppm
+        FROM m
+        CROSS JOIN generate_series(0, 7) AS g(bucket)
+        LEFT JOIN hist h ON h.filename = m.filename AND h.bucket = g.bucket
+        GROUP BY m.filename, m.n_bytes, m.hx
+    """,
     doc="E15: binaryFile scan -> Arrow-batched mapInPandas decode "
     "(deterministic fake kernel) -> metadata struct + feature vector. "
-    "Rows-only (binary fixtures live outside the oracle's parquet "
-    "views); tests assert exact decoded values. The feature vector is "
-    "serialized to a CSV string for the driver's row canonicalizer "
-    "(pandas cannot sort list cells); the operator API (decode_media) "
-    "keeps the typed array column.",
+    "Hash-proven: DuckDB reproduces the fake kernel from read_blob by "
+    "recovering payload bytes from hex(content) (no BLOB byte access in "
+    "DuckDB 1.0) — uint32-BE header words and the normalized 8-bucket "
+    "byte histogram. Features are serialized as integer micro-fractions "
+    "(floor(x*1e6 + 0.5) of the float32 value) — an explicit HALF_UP in "
+    "both engines, because printf('%.6f') ties break differently (Java "
+    "HALF_UP vs C half-even; 102/768 = 0.1328125 is a real tie in the "
+    "fixtures). CSV-serialized for the driver's row canonicalizer; the "
+    "operator API (decode_media) keeps the typed float array.",
     tags=("E15",),
 )
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoded = decode_media(read_media(spark))
+    ppm = F.transform(
+        "features",
+        lambda x: F.floor(x.cast("double") * 1000000 + F.lit(0.5)).cast("bigint"),
+    )
     return decoded.select(
-        "path",
+        F.regexp_replace("path", "^file:", "").alias("path"),
         "n_bytes",
         "meta.width",
         "meta.height",
-        array_csv("features", "%.6f").alias("features_csv"),
+        array_csv(ppm, "%d").alias("features_ppm"),
     )
 
 
 @register(
     "q_multimodal_frames",
+    oracle=f"""
+        WITH m AS (
+          SELECT filename,
+                 greatest(octet_length(content) - 8, 0) AS L,
+                 hex(content) AS hx
+          FROM read_blob('{MEDIA_DIR}/*.img')
+        )
+        SELECT filename AS path,
+               CAST(i AS INT) AS frame_id,
+               CAST(((i+1)*L)//4 - (i*L)//4 AS INT) AS frame_len,
+               lower(substr(hx, CAST(2*((i*L)//4) + 17 AS BIGINT),
+                            CAST(2*(((i+1)*L)//4 - (i*L)//4) AS BIGINT)))
+                   AS frame_hex
+        FROM m, generate_series(0, 3) AS t(i)
+    """,
     doc="E15: frame sampling over binary payloads via substring+explode "
-    "(JVM-side, no Python). Rows-only; frame bytes surface as hex + "
-    "length scalars so the driver's row canonicalizer never sees raw "
-    "binary cells (the operator API frame_sample keeps the binary "
-    "column).",
+    "(JVM-side, no Python). Hash-proven: frame bytes surface as hex + "
+    "length scalars (never raw binary cells), which DuckDB reproduces "
+    "from read_blob via hex-string slicing — frame i covers payload "
+    "bytes [i*L DIV 4, (i+1)*L DIV 4), 8-byte header skipped, so the "
+    "hex window is [2*(i*L DIV 4)+17, +2*len). The operator API "
+    "(frame_sample) keeps the binary column.",
     tags=("E15",),
 )
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample(read_media(spark)).select(
-        "path",
+        F.regexp_replace("path", "^file:", "").alias("path"),
         "frame_id",
         F.length("frame").alias("frame_len"),
         F.lower(F.hex("frame")).alias("frame_hex"),
@@ -286,18 +363,31 @@ def audio_window_features(df: DataFrame, window: int = 64) -> DataFrame:
 
 @register(
     "q_multimodal_resize",
+    oracle=f"""
+        WITH m AS (
+          SELECT filename, greatest(octet_length(content)-8, 0) AS L,
+                 lower(hex(content)) AS hx
+          FROM read_blob('{MEDIA_DIR}/*.img')
+        )
+        SELECT m.filename AS path, CAST(m.L AS BIGINT) AS orig_len,
+               string_agg(
+                 CAST({_byte_at('m.hx', '(t.i*m.L)//16 + 8')} AS VARCHAR),
+                 ',' ORDER BY t.i) AS resized_csv
+        FROM m, generate_series(0, 15) AS t(i)
+        GROUP BY m.filename, m.L
+    """,
     doc="E15: nearest-neighbour resize of binary payloads to a fixed "
     "16-sample grid — deterministic byte indexing standing in for pixel "
-    "resampling, Arrow-batched numpy fancy-index per batch. Rows-only "
-    "(binary fixtures live outside the oracle views); exact values "
-    "asserted in tests/test_multimodal.py. The resized grid is "
+    "resampling, Arrow-batched numpy fancy-index per batch. Hash-proven: "
+    "out[i] = payload[(i*L) DIV 16], which DuckDB reproduces from "
+    "read_blob via hex-pair byte recovery. The resized grid is "
     "serialized to a CSV string for the driver's row canonicalizer; "
     "the operator API (resize_media) keeps the typed array column.",
     tags=("E15",),
 )
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_media(read_media(spark)).select(
-        "path",
+        F.regexp_replace("path", "^file:", "").alias("path"),
         "orig_len",
         array_csv("resized", "%d").alias("resized_csv"),
     )
@@ -305,14 +395,53 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_multimodal_audio",
+    oracle=f"""
+        WITH m AS (
+          SELECT filename, greatest(octet_length(content)-8, 0) AS L,
+                 lower(hex(content)) AS hx
+          FROM read_blob('{MEDIA_DIR}/*.img')
+        ), idx AS (
+          SELECT filename, unnest(range(0, CAST(L AS BIGINT))) AS i FROM m
+        ), byt AS (
+          SELECT filename, i, CASE WHEN u > 127 THEN u - 256 ELSE u END AS s
+          FROM (
+            SELECT idx.filename, idx.i, {_byte_at('m.hx', 'idx.i + 8')} AS u
+            FROM idx JOIN m ON m.filename = idx.filename
+          )
+        ), w AS (
+          SELECT filename, CAST(i//64 AS INT) AS window_id, s,
+                 lag(s) OVER (PARTITION BY filename, i//64 ORDER BY i) AS prev
+          FROM byt
+        )
+        SELECT filename AS path, window_id,
+               round(sqrt(avg(CAST(s*s AS DOUBLE))), 6) AS rms,
+               CAST(count(*) FILTER (
+                 WHERE prev IS NOT NULL AND (s < 0) != (prev < 0)) AS INT)
+                 AS zero_crossings
+        FROM w
+        GROUP BY filename, window_id
+        HAVING count(*) = 64
+    """,
     doc="E15: audio-style windowed feature extraction (per-window RMS + "
     "zero crossings over the payload as an int8 waveform) via "
-    "mapInPandas — one numpy reshape per batch. Rows-only; exact values "
-    "asserted in tests/test_multimodal.py.",
+    "mapInPandas — one numpy reshape per batch. Hash-proven: DuckDB "
+    "recovers signed bytes from hex(content) and recomputes each full "
+    "64-sample window. RMS agrees bit-exactly because the squared sums "
+    "are integers (exact in double regardless of summation order), the "
+    "/64 mean is a power-of-2 division, IEEE sqrt is correctly rounded, "
+    "and round(x, 6) ties cannot occur on sqrt outputs (a tie would need "
+    "a terminating decimal, i.e. a perfect-square mean, which rounds "
+    "identically in both engines).",
     tags=("E15",),
 )
 def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return audio_window_features(read_media(spark))
+    audio = audio_window_features(read_media(spark))
+    return audio.select(
+        F.regexp_replace("path", "^file:", "").alias("path"),
+        "window_id",
+        "rms",
+        "zero_crossings",
+    )
 
 
 def media_dedup(df: DataFrame) -> DataFrame:
@@ -335,12 +464,23 @@ def media_dedup(df: DataFrame) -> DataFrame:
 
 @register(
     "q_multimodal_dedup",
+    oracle=f"""
+        SELECT min(filename) AS survivor_path,
+               CAST(count(*) AS BIGINT) AS n_copies
+        FROM read_blob('{MEDIA_DIR}/*.img')
+        GROUP BY content
+    """,
     doc="E15+E11: exact media dedup — JVM-side sha2(content) fingerprint "
     "+ one-shuffle groupBy, min-path survivor per distinct payload. "
-    "Rows-only (binary fixtures live outside the oracle views); "
-    "duplicate fixtures and survivor choice asserted in "
-    "tests/test_multimodal.py.",
+    "Hash-proven: the query surfaces the deterministic (survivor, count) "
+    "pairs; DuckDB reproduces them by grouping on the raw blob (bytes-"
+    "equal iff sha256-equal), while the engine groups on the fingerprint "
+    "— the 100 TB shape, where the hash shuffles instead of the payload. "
+    "The fingerprint itself stays in the media_dedup operator API.",
     tags=("E15", "E11", "dedup"),
 )
 def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return media_dedup(read_media(spark))
+    return media_dedup(read_media(spark)).select(
+        F.regexp_replace("survivor_path", "^file:", "").alias("survivor_path"),
+        "n_copies",
+    )
