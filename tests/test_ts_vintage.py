@@ -7,7 +7,7 @@ testdata change breaks here in pytest, not in the driver's bench.
 
 from __future__ import annotations
 
-from datetime import datetime
+from datetime import datetime, timezone
 
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -84,7 +84,9 @@ def test_events_with_ms_normalizes_both_vintages(spark, vintage_dirs):
         for k, d in vintage_dirs.items()
     }
     assert ms["nanos"] == ms["micros"]
-    epoch_ms = [int(t.timestamp() * 1000) for t in TS]  # naive == UTC here
+    epoch_ms = [
+        int(t.replace(tzinfo=timezone.utc).timestamp() * 1000) for t in TS
+    ]  # TS is UTC wall-clock; host-TZ independent
     assert sorted(v for _, v in ms["nanos"]) == sorted(epoch_ms)
 
 
@@ -100,6 +102,16 @@ def test_stream_events_normalizes_both_vintages(spark, vintage_dirs, tmp_path):
         got[k] = sorted(tuple(r) for r in spark.table(f"vintage_{k}").collect())
     assert got["nanos"] == got["micros"]
     assert sorted(ts for _, ts in got["nanos"]) == sorted(TS)
+
+
+def test_stream_on_empty_dir_defines_without_data(spark, tmp_path):
+    """File-stream invariant: a stream can be defined over an empty source
+    directory (files arrive later); the vintage peek must not break it."""
+    src = tmp_path / "empty_events"
+    src.mkdir()
+    stream = stream_events(spark, str(src))
+    assert stream.isStreaming
+    assert dict(stream.dtypes)["ts"] == "timestamp"
 
 
 def test_unknown_vintage_fails_loudly(spark, tmp_path):

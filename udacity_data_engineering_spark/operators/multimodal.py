@@ -203,7 +203,8 @@ def _be_uint32(hx: str, start_byte: int) -> str:
                CAST({_be_uint32('m.hx', 4)} AS INT) AS height,
                string_agg(
                  CAST(CAST(floor(
-                   CAST(COALESCE(h.c, 0) / greatest(m.L, 1) AS FLOAT)
+                   CAST(CAST(COALESCE(h.c, 0) / greatest(m.L, 1) AS FLOAT)
+                        AS DOUBLE)
                    * 1000000 + 0.5) AS BIGINT) AS VARCHAR),
                  ',' ORDER BY g.bucket) AS features_ppm
         FROM m
@@ -217,11 +218,13 @@ def _be_uint32(hx: str, start_byte: int) -> str:
     "recovering payload bytes from hex(content) (no BLOB byte access in "
     "DuckDB 1.0) — uint32-BE header words and the normalized 8-bucket "
     "byte histogram. Features are serialized as integer micro-fractions "
-    "(floor(x*1e6 + 0.5) of the float32 value) — an explicit HALF_UP in "
-    "both engines, because printf('%.6f') ties break differently (Java "
-    "HALF_UP vs C half-even; 102/768 = 0.1328125 is a real tie in the "
-    "fixtures). CSV-serialized for the driver's row canonicalizer; the "
-    "operator API (decode_media) keeps the typed float array.",
+    "(floor(x*1e6 + 0.5) of the float32 value, with the product computed "
+    "in DOUBLE on both sides — DuckDB's FLOAT*1e6 would re-round to 24 "
+    "bits) — an explicit HALF_UP in both engines, because printf('%.6f') "
+    "ties break differently (Java HALF_UP vs C half-even; 102/768 = "
+    "0.1328125 is a real tie in the fixtures). CSV-serialized for the "
+    "driver's row canonicalizer; the operator API (decode_media) keeps "
+    "the typed float array.",
     tags=("E15",),
 )
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -62,10 +62,16 @@ def configure(spark: SparkSession) -> SparkSession:
             pass
     # The UTC session timezone is load-bearing for correctness, not just
     # hygiene: unix_millis(CAST(ts_ntz AS TIMESTAMP)) is the identity only
-    # under UTC. If the host locked the conf to another zone, timestamps
-    # would silently shift — fail loudly instead.
+    # under UTC. If the host locked the conf to a non-UTC zone, timestamps
+    # would silently shift — fail loudly instead. Any zero-offset zone id
+    # is acceptable (a locked 'Etc/UTC' session normalizes identically).
     tz = spark.conf.get("spark.sql.session.timeZone", "")
-    if tz != "UTC":  # pragma: no cover - only reachable on a locked session
+    utc_aliases = {
+        "UTC", "Etc/UTC", "GMT", "Etc/GMT", "GMT0", "Greenwich",
+        "Universal", "Etc/Universal", "Zulu", "Etc/Zulu", "UCT",
+        "Etc/UCT", "Z", "+00:00",
+    }
+    if tz not in utc_aliases:  # pragma: no cover - only on a locked session
         raise RuntimeError(
             f"spark.sql.session.timeZone is {tz!r}, not UTC; the session "
             "rejected the conf set and timestamp normalization would be "

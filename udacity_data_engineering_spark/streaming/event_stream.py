@@ -53,9 +53,15 @@ def stream_events(spark: SparkSession, path: str) -> DataFrame:
     The declared schema follows the testdata vintage (int64-nanos vs
     timestamp[us]), detected with a one-time driver-side batch peek at the
     parquet footer — cheap, and exactly what a production deployment pins
-    statically per source."""
+    statically per source. An empty source directory (the normal
+    start-stream-then-files-arrive pattern) can't be peeked; it gets the
+    current vintage's declared schema, preserving the file-stream
+    invariant that no data need exist at stream definition."""
     configure(spark)
-    ts_dtype = dict(spark.read.parquet(path).dtypes).get("ts")
+    try:
+        ts_dtype = dict(spark.read.parquet(path).dtypes).get("ts")
+    except Exception:  # empty dir / no files yet -> current vintage
+        ts_dtype = "timestamp_ntz"
     # watermarks require TIMESTAMP (not NTZ); session tz is pinned UTC so
     # the wall-clock values match the batch loader's NTZ — outputs cast
     # back to NTZ below for exact batch parity
