@@ -76,17 +76,29 @@ PYTHON_PATH_QUERIES = {
     "q_pq_topk",
     # Python DataSource API demo — a Python-eval plan by construction.
     "q_python_datasource",
+    # Arrow-batched media kernels (numpy fancy-index / reshape per batch —
+    # the charter's decode-kernel integration points, mapInPandas by
+    # design; see operators/multimodal.py):
+    "q_multimodal_resize",
+    "q_multimodal_audio",
+    # Greedy first-fit bin packing is sequential per group by definition —
+    # applyInPandas kernel, invariants in tests/test_packing.py:
+    "q_sequence_packing",
 }
 
 
 def test_no_python_eval_outside_udf_paths(spark, sf_dir):
     """Everything except the deliberate Python-path queries must stay
-    JVM-side — a stray Python eval node is a 10-100x regression at scale."""
+    JVM-side — a stray Python eval node is a 10-100x regression at scale.
+    'InPandas' catches the Arrow-batched kernel operators (MapInPandas /
+    FlatMapGroupsInPandas / ArrowEvalPython print without 'Python')."""
     for name, q in MANIFEST.items():
         if name in PYTHON_PATH_QUERIES:
             continue
         plan = plan_of(q.fn(spark, sf_dir), "simple")
-        assert "Python" not in plan, f"{name} contains a Python eval node"
+        assert "Python" not in plan and "InPandas" not in plan, (
+            f"{name} contains a Python/Pandas eval node"
+        )
 
 
 def test_whole_stage_codegen_on_hot_path(spark, sf_dir):
@@ -103,6 +115,24 @@ def test_whole_stage_codegen_on_hot_path(spark, sf_dir):
 def test_dedup_compiles_to_single_shuffle(spark, sf_dir):
     plan = plan_of(MANIFEST["q_dedup_key"].fn(spark, sf_dir), "simple")
     assert plan.count("Exchange") == 1
+
+
+def test_fullrow_dedup_single_shuffle_partial_agg(spark, sf_dir):
+    """Full-row dropDuplicates over the self-union: map-side partial
+    dedup (two HashAggregates) around exactly one hash exchange — the
+    union must not add its own shuffle."""
+    plan = plan_of(MANIFEST["q_dedup_fullrow"].fn(spark, sf_dir), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_synthetic_id_props_no_id_shuffle(spark, sf_dir):
+    """The id-uniqueness property check must not shuffle raw rows more
+    than the distinct-aggregate requires and must never collect ids to
+    the driver (no Python nodes; aggregate-only plan)."""
+    plan = plan_of(MANIFEST["q_synthetic_id_props"].fn(spark, sf_dir), "simple")
+    assert "Python" not in plan and "InPandas" not in plan
+    assert "HashAggregate" in plan
 
 
 def test_synthetic_ids_unique(spark, sf_dir):
