@@ -189,3 +189,48 @@ def test_zorder_prunes_both_columns(spark, sf_dir):
     # and still bound the first column usefully (each file a rectangle)
     dom = orders.agg(F.max("o_custkey") - F.min("o_custkey")).first()[0]
     assert avg_span(z_out, "o_custkey") < 0.8 * dom
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
+    """With a selective dim filter on a shuffle join, Spark must build a
+    bloom filter on the dim side and push might_contain() into the fact
+    side — pruning non-joining fact rows BEFORE the shuffle. Broadcast is
+    disabled inside the scope to force the 100 TB shuffle-join shape."""
+    import io
+    from contextlib import redirect_stdout
+
+    from udacity_data_engineering_spark.operators.physical import (
+        runtime_bloom_filters,
+    )
+
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        old_aqe_bc = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    except Exception:  # unset; its default defers to the non-AQE conf
+        old_aqe_bc = None
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        with runtime_bloom_filters(spark, application_side_threshold="0"):
+            part = table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+            li = table(spark, sf_dir, "lineitem")
+            j = (
+                li.join(part, li.l_partkey == part.p_partkey)
+                .groupBy("p_brand")
+                .agg(F.sum("l_quantity").alias("qty"))
+            )
+            buf = io.StringIO()
+            with redirect_stdout(buf):
+                j.explain("formatted")
+            plan = buf.getvalue()
+            assert "might_contain" in plan, "fact side lacks the bloom probe"
+            assert "bloom_filter_agg" in plan, "dim side builds no bloom filter"
+            # and the result is unchanged by the pruning
+            rows = j.collect()
+            assert len(rows) == 1 and rows[0]["qty"] > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        if old_aqe_bc is not None:
+            spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe_bc)
+        else:
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")

@@ -316,3 +316,57 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out).filter(
         (F.col("o_custkey") < 500) & (F.col("o_totalprice") < 50000)
     )
+
+
+# --------------------------------------------------------------------------
+# Runtime bloom-filter join pruning — the third explicit 100 TB join lever
+# (alongside bucketing and salting above): when a selective dim filter
+# feeds a shuffle join, Spark can build a bloom filter from the dim side
+# and push a might_contain() predicate into the fact-side scan, pruning
+# non-joining fact rows BEFORE the shuffle instead of after the join.
+# At 100 TB that turns "shuffle the whole fact table" into "shuffle the
+# ~selectivity fraction that can match".
+# --------------------------------------------------------------------------
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def runtime_bloom_filters(
+    spark: SparkSession,
+    creation_side_threshold: str = "100MB",
+    application_side_threshold: str = "10GB",
+):
+    """Scoped enablement of runtime bloom-filter join pruning.
+
+    Spark injects the filter only when the creation (dim) side is under
+    ``creation_side_threshold`` and the application (fact) side scan is
+    over ``application_side_threshold`` — production defaults keep it off
+    for small facts where the filter costs more than it saves. This is a
+    context manager (not a registry query) because the thresholds are
+    session-wide SQL confs: scoping restores them so the other declared
+    queries keep their test-pinned plans. Plan shape is pinned in
+    tests/test_physical.py::test_runtime_bloom_filter_prunes_fact_scan.
+    """
+    keys = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold":
+            creation_side_threshold,
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold":
+            application_side_threshold,
+    }
+    old = {}
+    for k, v in keys.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        yield spark
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
