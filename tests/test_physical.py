@@ -234,3 +234,51 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
             spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe_bc)
         else:
             spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE skew-join handling — the adaptive complement to the explicit
+    salting operators above: a hot key that hashes 90% of the fact into
+    one reducer must be split at runtime (SortMergeJoin(skew=true) /
+    'skewed' AQEShuffleRead in the final plan) with the join result
+    unchanged. At 100 TB this is what stops one straggler executor from
+    gating the stage."""
+    keys = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {}
+    for k, v in keys.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        fact = spark.range(500_000).select(
+            F.when(F.col("id") < 450_000, F.lit(7))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        dim = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = fact.join(dim, "k")
+        assert j.count() == 500_000  # every fact row matches exactly one dim
+        final = j._jdf.queryExecution().executedPlan().toString()
+        # count()'s plan may fold the join; re-execute the bare join shape
+        j.foreach(lambda r: None)
+        final = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final, "skewed partition was not split"
+        assert "skewed" in final, "AQEShuffleRead shows no skew handling"
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

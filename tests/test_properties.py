@@ -154,3 +154,50 @@ def test_top_tokens_per_group_deterministic_and_exact(spark):
     assert got[("en", 2)] == ("b", 3)
     assert got[("de", 1)] == ("x", 1)
     assert got[("de", 2)] == ("y", 1)
+
+
+@given(
+    ts_list=st.lists(
+        st.datetimes(
+            min_value=datetime(1970, 1, 1),
+            max_value=datetime(2100, 1, 1),
+        ).map(lambda t: t.replace(microsecond=(t.microsecond // 1000) * 1000)),
+        min_size=1,
+        max_size=20,
+    )
+)
+@SLOW
+def test_events_ms_expr_vintage_equivalence(spark, tmp_path_factory, ts_list):
+    """Property: for ANY whole-millisecond timestamps, the int64-nanos and
+    timestamp[us] vintages normalize to the identical epoch-millis through
+    events_ms_expr — the invariant the driver's testdata regeneration
+    silently broke in round 3."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from udacity_data_engineering_spark.functions.datetime_fns import events_ms_expr
+
+    base = tmp_path_factory.mktemp("vintage_prop")
+    got = {}
+    for unit, sub in (("ns", "n"), ("us", "u")):
+        tbl = pa.table(
+            {
+                "event_id": pa.array(range(len(ts_list)), pa.int64()),
+                "ts": pa.array(ts_list, pa.timestamp(unit)),
+            }
+        )
+        d = base / sub
+        d.mkdir(exist_ok=True)
+        pq.write_table(tbl, str(d / "events.parquet"), version="2.6")
+        raw = spark.read.parquet(str(d))
+        got[unit] = sorted(
+            (r.event_id, r.ms)
+            for r in raw.select("event_id", events_ms_expr(raw).alias("ms")).collect()
+        )
+    import calendar
+
+    expected = sorted(
+        (i, calendar.timegm(t.timetuple()) * 1000 + t.microsecond // 1000)
+        for i, t in enumerate(ts_list)
+    )  # integer arithmetic: float timestamp()*1000 truncates at µs edges
+    assert got["ns"] == got["us"] == expected

@@ -84,9 +84,11 @@ def test_events_with_ms_normalizes_both_vintages(spark, vintage_dirs):
         for k, d in vintage_dirs.items()
     }
     assert ms["nanos"] == ms["micros"]
+    import calendar
+
     epoch_ms = [
-        int(t.replace(tzinfo=timezone.utc).timestamp() * 1000) for t in TS
-    ]  # TS is UTC wall-clock; host-TZ independent
+        calendar.timegm(t.timetuple()) * 1000 + t.microsecond // 1000 for t in TS
+    ]  # integer arithmetic, host-TZ independent (float *1000 truncates)
     assert sorted(v for _, v in ms["nanos"]) == sorted(epoch_ms)
 
 
