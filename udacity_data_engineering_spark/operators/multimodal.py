@@ -106,7 +106,13 @@ def array_csv(col, fmt: str = "%d"):
 def read_media(spark: SparkSession, path: str = MEDIA_DIR) -> DataFrame:
     """binaryFile source: (path, modificationTime, length, content).
     Spark never parses the bytes — scans stay columnar and the payload
-    column is only materialized where referenced."""
+    column is only materialized where referenced. configure() ships this
+    package to Python workers (the decode kernels below unpickle module
+    references) — multimodal queries don't touch session.table, so this
+    is their only configuration point."""
+    from udacity_data_engineering_spark.session import configure
+
+    configure(spark)
     return spark.read.format("binaryFile").load(f"{path}/*.img")
 
 

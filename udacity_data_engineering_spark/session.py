@@ -53,8 +53,50 @@ RUNTIME_CONFS = {
 }
 
 
+#: driver-process cache: the package zip shipped to executors (one per
+#: process; sessions started later reuse it via addPyFile's dedup).
+_PKG_ARCHIVE: str | None = None
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable on Python workers regardless of the
+    driver's cwd/PYTHONPATH.
+
+    Arrow kernels (mapInPandas / applyInPandas) pickle module-level
+    functions BY REFERENCE, so every worker must import
+    ``udacity_data_engineering_spark`` itself. When the driver process
+    runs from the repo root the workers inherit that cwd and the import
+    works by accident; a driver-owned session started anywhere else dies
+    with ModuleNotFoundError inside the first Pandas kernel. Shipping the
+    package zip via ``addPyFile`` (executor-side sys.path append) makes
+    the contract location-independent — the same mechanism used to
+    deploy this engine to a real cluster.
+    """
+    global _PKG_ARCHIVE
+    try:
+        sc = spark.sparkContext
+        if getattr(sc, "_uds_pkg_shipped", False):
+            return
+        if _PKG_ARCHIVE is None:
+            import shutil
+            import tempfile
+
+            pkg_dir = os.path.dirname(os.path.abspath(__file__))
+            _PKG_ARCHIVE = shutil.make_archive(
+                os.path.join(tempfile.gettempdir(), f"uds_pkg_{os.getpid()}"),
+                "zip",
+                root_dir=os.path.dirname(pkg_dir),
+                base_dir=os.path.basename(pkg_dir),
+            )
+        sc.addPyFile(_PKG_ARCHIVE)
+        sc._uds_pkg_shipped = True
+    except Exception:  # pragma: no cover - read-only /tmp or locked sc
+        pass  # workers may still resolve the package via cwd/PYTHONPATH
+
+
 def configure(spark: SparkSession) -> SparkSession:
     """Apply runtime confs needed to read the testdata; idempotent."""
+    _ship_package(spark)
     for key, value in RUNTIME_CONFS.items():
         try:
             spark.conf.set(key, value)
