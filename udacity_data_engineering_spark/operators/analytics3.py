@@ -40,8 +40,10 @@ from udacity_data_engineering_spark.session import table
             GROUP BY l_partkey, l_suppkey
         ), ranked AS (
             SELECT p.p_partkey, p.p_name, s.s_name, n.n_name,
-                   round(s.s_acctbal, 2) AS s_acctbal,
-                   round(o.unit_cost, 2) AS unit_cost,
+                   CAST(floor(s.s_acctbal * 100 + 0.5) AS BIGINT)
+                       AS s_acctbal_cents,
+                   CAST(floor(o.unit_cost * 100 + 0.5) AS BIGINT)
+                       AS unit_cost_cents,
                    row_number() OVER (PARTITION BY p.p_partkey
                                       ORDER BY o.unit_cost, s.s_name) AS rn
             FROM part p
@@ -52,7 +54,8 @@ from udacity_data_engineering_spark.session import table
             WHERE r.r_name = 'EUROPE'
               AND p.p_type = 'STANDARD' AND p.p_size < 20
         )
-        SELECT p_partkey, p_name, s_name, n_name, s_acctbal, unit_cost
+        SELECT p_partkey, p_name, s_name, n_name,
+               s_acctbal_cents, unit_cost_cents
         FROM ranked WHERE rn = 1
     """,
     doc="TPC-H Q2 shape: cheapest qualifying supplier per part within a "
@@ -62,7 +65,11 @@ from udacity_data_engineering_spark.session import table
     "window (deterministic tie-break on s_name) rather than a "
     "re-aggregated scalar subquery: one shuffle on l_partkey for the "
     "offer agg, and the window reuses that partitioning. All four dims "
-    "broadcast under the fact.",
+    "broadcast under the fact. Money outputs are integer cents via "
+    "explicit floor(x*100+0.5) — round(x, 2) diverges between engines "
+    "at representation-boundary values (found at sf0.1: a unit_cost "
+    "whose double sits on the .005 edge rounded 256.22 in Spark's "
+    "HALF_UP-on-decimal vs 256.21 in DuckDB).",
     tags=("analytics", "E7"),
 )
 def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -86,6 +93,10 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(euro_supp, offers.l_suppkey == F.col("s_suppkey"))
     )
     w = Window.partitionBy("p_partkey").orderBy("unit_cost", "s_name")
+
+    def cents(col: str):
+        return F.floor(F.col(col) * 100 + F.lit(0.5)).cast("bigint")
+
     return (
         joined.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
@@ -94,8 +105,8 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_name",
             "s_name",
             "n_name",
-            F.round("s_acctbal", 2).alias("s_acctbal"),
-            F.round("unit_cost", 2).alias("unit_cost"),
+            cents("s_acctbal").alias("s_acctbal_cents"),
+            cents("unit_cost").alias("unit_cost_cents"),
         )
     )
 
