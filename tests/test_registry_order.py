@@ -57,3 +57,26 @@ def test_no_oracle_only_queries_registered_runnable():
     qs = all_queries()
     for name in ("q_embedding_neardup", "q_ngram_jaccard"):
         assert "oracle_only" in qs[name].tags, f"{name} missing oracle_only tag"
+
+
+def test_inventory_md_matches_registry():
+    """INVENTORY.md is the judge-facing manifest; regenerating it is a
+    manual step (scripts/gen_inventory.py), so pin that it lists exactly
+    the registered queries with the correct oracle/rows-only marker —
+    a stale or hand-edited inventory fails here."""
+    import re
+    from pathlib import Path
+
+    text = (Path(__file__).resolve().parents[1] / "INVENTORY.md").read_text()
+    qs = all_queries()
+    listed = set(re.findall(r"^\| (q_\w+) \|", text, re.M))
+    assert listed == set(qs), (
+        f"missing from INVENTORY.md: {sorted(set(qs) - listed)}; "
+        f"stale in INVENTORY.md: {sorted(listed - set(qs))} — "
+        "rerun scripts/gen_inventory.py"
+    )
+    for name, q in qs.items():
+        marker = "SQL oracle" if q.oracle else "rows-only"
+        assert f"| {name} | {marker} |" in text, (
+            f"{name} should be listed as '{marker}' — rerun gen_inventory.py"
+        )
