@@ -86,3 +86,25 @@ def test_stream_dedup_within_watermark(spark, sf_dir, tmp_path):
     got = spark.table("dedup_sink")
     assert got.count() == raw.count()
     assert got.select("event_id").distinct().count() == raw.count()
+
+
+def test_max_files_per_trigger_bounds_microbatches(spark, sf_dir, events_dir, tmp_path):
+    """Ingestion rate control: a 4-file backlog replayed with
+    maxFilesPerTrigger=1 must arrive as 4 bounded micro-batches (the
+    100 TB backfill posture — state pressure stays shuffle-sized), and
+    the aggregated result must be identical to the unbounded replay."""
+    stream = windowed_counts(stream_events(spark, events_dir, max_files_per_trigger=1))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("rate_limited_sink")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_rate"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_batches = q.lastProgress["batchId"] + 1
+    assert n_batches >= 4, f"expected >=4 bounded micro-batches, got {n_batches}"
+    got = spark.sql("SELECT * FROM rate_limited_sink").collect()
+    want = MANIFEST["q_tumbling_agg"].fn(spark, sf_dir).collect()
+    assert _norm(got) == _norm(want)

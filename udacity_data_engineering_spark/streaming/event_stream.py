@@ -45,10 +45,19 @@ EVENTS_RAW_SCHEMA = _events_schema(T.LongType())
 EVENTS_RAW_SCHEMA_TS = _events_schema(T.TimestampNTZType())
 
 
-def stream_events(spark: SparkSession, path: str) -> DataFrame:
+def stream_events(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """File-based event stream: each parquet file under ``path`` is a
     micro-batch input. Same ts normalization as the batch loader
     (session.table), so downstream expressions are shared verbatim.
+
+    ``max_files_per_trigger`` is the ingestion rate control — at
+    100 TB/day a backlogged source must NOT arrive as one giant
+    micro-batch (state-store pressure, straggler batches, watermark
+    stalls); bounding files-per-trigger keeps each batch shuffle-sized.
+    AvailableNow replays honor it too: the backfill runs as many bounded
+    batches instead of one unbounded one.
 
     The declared schema follows the testdata vintage (int64-nanos vs
     timestamp[us]), detected with a one-time driver-side batch peek at the
@@ -62,14 +71,17 @@ def stream_events(spark: SparkSession, path: str) -> DataFrame:
         ts_dtype = dict(spark.read.parquet(path).dtypes).get("ts")
     except Exception:  # empty dir / no files yet -> current vintage
         ts_dtype = "timestamp_ntz"
+    reader = spark.readStream
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     # watermarks require TIMESTAMP (not NTZ); session tz is pinned UTC so
     # the wall-clock values match the batch loader's NTZ — outputs cast
     # back to NTZ below for exact batch parity
     if ts_dtype == "bigint":
-        raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(path)
+        raw = reader.schema(EVENTS_RAW_SCHEMA).parquet(path)
         return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
     if ts_dtype in ("timestamp", "timestamp_ntz"):
-        raw = spark.readStream.schema(EVENTS_RAW_SCHEMA_TS).parquet(path)
+        raw = reader.schema(EVENTS_RAW_SCHEMA_TS).parquet(path)
         return raw.withColumn("ts", F.col("ts").cast("timestamp"))
     raise TypeError(
         f"events.ts has unexpected dtype {ts_dtype!r}; known vintages are "
