@@ -88,7 +88,9 @@ def test_audio_windows_exact(spark):
         assert len(rs) == n_win
         for r in sorted(rs, key=lambda r: r.window_id):
             w = wave[r.window_id * 64 : (r.window_id + 1) * 64]
-            assert abs(r.rms - round(float(np.sqrt((w**2).mean())), 6)) < 1e-9
+            # raw (unrounded) RMS must be bit-identical: integer squared
+            # sums are exact in double and IEEE sqrt is correctly rounded
+            assert r.rms == float(np.sqrt((w**2).mean()))
             assert r.zero_crossings == int((np.diff(np.signbit(w)) != 0).sum())
 
 
@@ -163,3 +165,47 @@ def test_media_dedup_finds_byte_identical_copy(spark):
     assert len(dupes) == 1
     assert dupes[0].n_copies == 2
     assert dupes[0].survivor_path.endswith("img_000.img")
+
+
+def test_blob_oracles_handle_truncated_files(spark, tmp_path, monkeypatch):
+    """The read_blob oracles must agree with the kernels on truncated
+    (<8-byte header) files — the corrupt-crawl-artifact input class the
+    kernels explicitly guard (decode -> (0,0,zeros), resize -> zeros,
+    frames -> empty, audio -> no windows). Repoints MEDIA_DIR at a
+    scratch dir holding one truncated and one well-formed file and
+    re-runs each hash-proven query against its oracle."""
+    import re
+    import shutil
+
+    import duckdb
+
+    from udacity_data_engineering_spark.operators import multimodal as mm
+    from udacity_data_engineering_spark.plans.registry import all_queries
+    from udacity_data_engineering_spark.testing import compare
+
+    scratch = tmp_path / "media_trunc"
+    scratch.mkdir()
+    shutil.copy(f"{mm.MEDIA_DIR}/img_000.img", scratch / "img_good.img")
+    (scratch / "img_trunc.img").write_bytes(b"\x01\x02\x03")  # < 8-byte header
+    monkeypatch.setattr(mm, "MEDIA_DIR", str(scratch))
+
+    con = duckdb.connect()
+    manifest = all_queries()
+    for name in (
+        "q_multimodal_decode",
+        "q_multimodal_resize",
+        "q_multimodal_frames",
+        "q_multimodal_audio",
+        "q_multimodal_dedup",
+    ):
+        q = manifest[name]
+        sdf = q.fn(spark, str(scratch))
+        srows, scols = sdf.collect(), sdf.columns
+        # the oracle string baked the fixture MEDIA_DIR at import time —
+        # repoint its read_blob glob at the scratch dir
+        baked = re.search(r"read_blob\('([^']+)/\*\.img'\)", q.oracle).group(1)
+        res = con.execute(q.oracle.replace(baked, str(scratch)))
+        problems = compare(
+            srows, scols, res.fetchall(), [d[0] for d in res.description]
+        )
+        assert not problems, f"{name}: {problems}"

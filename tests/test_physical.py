@@ -270,7 +270,6 @@ def test_aqe_splits_skewed_join_partition(spark):
         )
         j = fact.join(dim, "k")
         assert j.count() == 500_000  # every fact row matches exactly one dim
-        final = j._jdf.queryExecution().executedPlan().toString()
         # count()'s plan may fold the join; re-execute the bare join shape
         j.foreach(lambda r: None)
         final = j._jdf.queryExecution().executedPlan().toString()

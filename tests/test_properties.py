@@ -159,19 +159,25 @@ def test_top_tokens_per_group_deterministic_and_exact(spark):
 @given(
     ts_list=st.lists(
         st.datetimes(
-            min_value=datetime(1970, 1, 1),
+            # pre-1970 included deliberately: integer DIV truncates toward
+            # zero while unix_millis floors, so negative sub-millisecond
+            # values are exactly where the two vintages can disagree.
+            # (1900 stays inside pyarrow's timestamp[ns] range, ~1677+.)
+            min_value=datetime(1900, 1, 1),
             max_value=datetime(2100, 1, 1),
-        ).map(lambda t: t.replace(microsecond=(t.microsecond // 1000) * 1000)),
+        ),
         min_size=1,
         max_size=20,
     )
 )
 @SLOW
 def test_events_ms_expr_vintage_equivalence(spark, tmp_path_factory, ts_list):
-    """Property: for ANY whole-millisecond timestamps, the int64-nanos and
-    timestamp[us] vintages normalize to the identical epoch-millis through
-    events_ms_expr — the invariant the driver's testdata regeneration
-    silently broke in round 3."""
+    """Property: for ANY microsecond-precision timestamp — including
+    pre-1970 and sub-millisecond values — the int64-nanos and
+    timestamp[us] vintages normalize to the identical (floored)
+    epoch-millis through events_ms_expr. The driver's testdata
+    regeneration silently broke the whole-ms version of this invariant
+    in round 3; the pre-1970 half catches DIV-vs-floor divergence."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 

@@ -51,7 +51,14 @@ def events_ms_expr(raw: DataFrame) -> Column:
     """
     dtype = dict(raw.dtypes).get("ts")
     if dtype == "bigint":
-        return F.expr("ts DIV 1000000")
+        # FLOOR division, not DIV: DIV truncates toward zero, which
+        # disagrees with unix_millis (and DuckDB's //, both floor) for
+        # pre-1970 sub-millisecond values — e.g. nanos -1500999000 must
+        # map to ms -2, not -1. Integer-only arithmetic (nanos ~1.7e18
+        # exceed double's exact range).
+        return F.expr(
+            "ts DIV 1000000 + CASE WHEN ts % 1000000 < 0 THEN -1 ELSE 0 END"
+        )
     if dtype in ("timestamp", "timestamp_ntz"):
         return F.expr("unix_millis(CAST(ts AS TIMESTAMP))")
     raise TypeError(

@@ -103,17 +103,18 @@ def array_csv(col, fmt: str = "%d"):
     return F.concat_ws(",", F.transform(col, lambda x: F.format_string(fmt, x)))
 
 
-def read_media(spark: SparkSession, path: str = MEDIA_DIR) -> DataFrame:
+def read_media(spark: SparkSession, path: str | None = None) -> DataFrame:
     """binaryFile source: (path, modificationTime, length, content).
     Spark never parses the bytes — scans stay columnar and the payload
     column is only materialized where referenced. configure() ships this
     package to Python workers (the decode kernels below unpickle module
     references) — multimodal queries don't touch session.table, so this
-    is their only configuration point."""
+    is their only configuration point. ``path`` defaults to the module's
+    ``MEDIA_DIR`` resolved at call time (tests repoint it)."""
     from udacity_data_engineering_spark.session import configure
 
     configure(spark)
-    return spark.read.format("binaryFile").load(f"{path}/*.img")
+    return spark.read.format("binaryFile").load(f"{path or MEDIA_DIR}/*.img")
 
 
 def decode_media(df: DataFrame, decoder=decode_fake) -> DataFrame:
@@ -205,8 +206,10 @@ def _be_uint32(hx: str, start_byte: int) -> str:
           FROM byt GROUP BY filename, v//32
         )
         SELECT m.filename AS path, m.n_bytes,
-               CAST({_be_uint32('m.hx', 0)} AS INT) AS width,
-               CAST({_be_uint32('m.hx', 4)} AS INT) AS height,
+               CAST(CASE WHEN m.n_bytes >= 8
+                    THEN {_be_uint32('m.hx', 0)} ELSE 0 END AS INT) AS width,
+               CAST(CASE WHEN m.n_bytes >= 8
+                    THEN {_be_uint32('m.hx', 4)} ELSE 0 END AS INT) AS height,
                string_agg(
                  CAST(CAST(floor(
                    CAST(CAST(COALESCE(h.c, 0) / greatest(m.L, 1) AS FLOAT)
@@ -361,7 +364,12 @@ def audio_window_features(df: DataFrame, window: int = 64) -> DataFrame:
                 w = wave[: n_win * window].reshape(n_win, window)
                 paths += [path] * n_win
                 wids += list(range(n_win))
-                rms += np.sqrt((w**2).mean(axis=1)).round(6).tolist()
+                # raw (unrounded) RMS: the double is bit-identical to
+                # sqrt(avg(s*s)) in any IEEE engine (integer sums exact,
+                # /window exact for power-of-2 windows, sqrt correctly
+                # rounded) — rounding is a serialization decision left to
+                # the query layer, where it must match the oracle exactly
+                rms += np.sqrt((w**2).mean(axis=1)).tolist()
                 zc += (np.diff(np.signbit(w), axis=1) != 0).sum(axis=1).astype(int).tolist()
             yield pd.DataFrame(
                 {"path": paths, "window_id": wids, "rms": rms, "zero_crossings": zc}
@@ -380,7 +388,9 @@ def audio_window_features(df: DataFrame, window: int = 64) -> DataFrame:
         )
         SELECT m.filename AS path, CAST(m.L AS BIGINT) AS orig_len,
                string_agg(
-                 CAST({_byte_at('m.hx', '(t.i*m.L)//16 + 8')} AS VARCHAR),
+                 CAST(CASE WHEN m.L = 0 THEN 0
+                      ELSE {_byte_at('m.hx', '(t.i*m.L)//16 + 8')}
+                      END AS VARCHAR),
                  ',' ORDER BY t.i) AS resized_csv
         FROM m, generate_series(0, 15) AS t(i)
         GROUP BY m.filename, m.L
@@ -423,7 +433,8 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM byt
         )
         SELECT filename AS path, window_id,
-               round(sqrt(avg(CAST(s*s AS DOUBLE))), 6) AS rms,
+               CAST(floor(sqrt(avg(CAST(s*s AS DOUBLE))) * 1000000 + 0.5)
+                    AS BIGINT) AS rms_micro,
                CAST(count(*) FILTER (
                  WHERE prev IS NOT NULL AND (s < 0) != (prev < 0)) AS INT)
                  AS zero_crossings
@@ -435,12 +446,14 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "zero crossings over the payload as an int8 waveform) via "
     "mapInPandas — one numpy reshape per batch. Hash-proven: DuckDB "
     "recovers signed bytes from hex(content) and recomputes each full "
-    "64-sample window. RMS agrees bit-exactly because the squared sums "
-    "are integers (exact in double regardless of summation order), the "
-    "/64 mean is a power-of-2 division, IEEE sqrt is correctly rounded, "
-    "and round(x, 6) ties cannot occur on sqrt outputs (a tie would need "
-    "a terminating decimal, i.e. a perfect-square mean, which rounds "
-    "identically in both engines).",
+    "64-sample window. The raw RMS double is bit-identical in both "
+    "engines (integer squared-sums are exact in double regardless of "
+    "summation order, the /64 mean is a power-of-2 division, IEEE sqrt "
+    "is correctly rounded), so serializing as integer micro-units via "
+    "the shared explicit floor(x*1e6 + 0.5) is fully deterministic — "
+    "unlike round(x, 6), whose half-way behavior differs between "
+    "numpy's half-even rint and DuckDB's half-away round when the "
+    "scaled double lands exactly on k+0.5.",
     tags=("E15",),
 )
 def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -448,7 +461,7 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio.select(
         F.regexp_replace("path", "^file:", "").alias("path"),
         "window_id",
-        "rms",
+        F.floor(F.col("rms") * 1000000 + F.lit(0.5)).cast("bigint").alias("rms_micro"),
         "zero_crossings",
     )
 

@@ -108,18 +108,33 @@ def configure(spark: SparkSession) -> SparkSession:
     # would silently shift — fail loudly instead. Any zero-offset zone id
     # is acceptable (a locked 'Etc/UTC' session normalizes identically).
     tz = spark.conf.get("spark.sql.session.timeZone", "")
-    utc_aliases = {
-        "UTC", "Etc/UTC", "GMT", "Etc/GMT", "GMT0", "Greenwich",
-        "Universal", "Etc/Universal", "Zulu", "Etc/Zulu", "UCT",
-        "Etc/UCT", "Z", "+00:00",
-    }
-    if tz not in utc_aliases:  # pragma: no cover - only on a locked session
+    if not _is_utc_equivalent(tz):  # pragma: no cover - locked session only
         raise RuntimeError(
-            f"spark.sql.session.timeZone is {tz!r}, not UTC; the session "
-            "rejected the conf set and timestamp normalization would be "
-            "silently wrong"
+            f"spark.sql.session.timeZone is {tz!r}, not UTC-equivalent; the "
+            "session rejected the conf set and timestamp normalization "
+            "would be silently wrong"
         )
     return spark
+
+
+def _is_utc_equivalent(tz: str) -> bool:
+    """True iff the zone id has a permanent zero UTC offset — resolved via
+    the IANA database (covers every alias: Etc/UTC, Etc/GMT+0, GMT0, ...)
+    rather than a hand-maintained allowlist."""
+    if tz in {"UTC", "Z", "+00:00", "GMT", "UT"}:
+        return True
+    try:
+        from datetime import datetime
+        from zoneinfo import ZoneInfo
+
+        z = ZoneInfo(tz)
+        return all(
+            datetime(y, m, 1, tzinfo=z).utcoffset().total_seconds() == 0
+            for y in (1970, 2024)
+            for m in (1, 7)  # both halves of the year: no hidden DST
+        )
+    except Exception:
+        return False
 
 
 # --------------------------------------------------------------------------
@@ -285,8 +300,15 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     configure(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # FLOOR to micros (DIV truncates toward zero — wrong for pre-1970
+        # sub-microsecond nanos), matching how the timestamp[us] vintage
+        # would have stored the same instant.
         df = df.withColumn(
-            "ts", F.expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)")
+            "ts",
+            F.expr(
+                "CAST(timestamp_micros(ts DIV 1000 + CASE WHEN ts % 1000 < 0 "
+                "THEN -1 ELSE 0 END) AS TIMESTAMP_NTZ)"
+            ),
         )
     return df
 

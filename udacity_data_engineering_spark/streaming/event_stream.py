@@ -60,17 +60,17 @@ def stream_events(
     batches instead of one unbounded one.
 
     The declared schema follows the testdata vintage (int64-nanos vs
-    timestamp[us]), detected with a one-time driver-side batch peek at the
-    parquet footer — cheap, and exactly what a production deployment pins
-    statically per source. An empty source directory (the normal
-    start-stream-then-files-arrive pattern) can't be peeked; it gets the
-    current vintage's declared schema, preserving the file-stream
-    invariant that no data need exist at stream definition."""
+    timestamp[us]), detected by reading ONE parquet footer driver-side —
+    not a batch spark.read over the directory, which would list every
+    file twice (once for the peek, once for the stream source: O(files)
+    doubled driver work on a 100 TB backlog). An empty source directory
+    (the normal start-stream-then-files-arrive pattern) has no footer to
+    peek; it gets the current vintage's declared schema, preserving the
+    file-stream invariant that no data need exist at stream definition.
+    A nonexistent path still fails loudly (it is a config error, not an
+    empty source)."""
     configure(spark)
-    try:
-        ts_dtype = dict(spark.read.parquet(path).dtypes).get("ts")
-    except Exception:  # empty dir / no files yet -> current vintage
-        ts_dtype = "timestamp_ntz"
+    ts_dtype = _peek_ts_dtype(path)
     reader = spark.readStream
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -79,7 +79,15 @@ def stream_events(
     # back to NTZ below for exact batch parity
     if ts_dtype == "bigint":
         raw = reader.schema(EVENTS_RAW_SCHEMA).parquet(path)
-        return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        # FLOOR to micros (DIV truncates toward zero — wrong for pre-1970
+        # sub-microsecond nanos), matching session.table's batch loader
+        return raw.withColumn(
+            "ts",
+            F.expr(
+                "timestamp_micros(ts DIV 1000 + CASE WHEN ts % 1000 < 0 "
+                "THEN -1 ELSE 0 END)"
+            ),
+        )
     if ts_dtype in ("timestamp", "timestamp_ntz"):
         raw = reader.schema(EVENTS_RAW_SCHEMA_TS).parquet(path)
         return raw.withColumn("ts", F.col("ts").cast("timestamp"))
@@ -87,6 +95,31 @@ def stream_events(
         f"events.ts has unexpected dtype {ts_dtype!r}; known vintages are "
         "int64 nanos (bigint via nanosAsLong) and timestamp[us]"
     )
+
+
+def _peek_ts_dtype(path: str) -> str:
+    """Spark-equivalent dtype of ``ts`` from the first parquet footer under
+    ``path`` (one footer read, no directory-wide batch scan). Empty
+    directory -> 'timestamp_ntz' (current vintage); missing path raises."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    first = None
+    for entry in sorted(os.scandir(path), key=lambda e: e.name):
+        if entry.is_file() and entry.name.endswith(".parquet"):
+            first = entry.path
+            break
+    if first is None:
+        return "timestamp_ntz"
+    t = pq.read_schema(first).field("ts").type
+    import pyarrow as pa
+
+    if t in (pa.int64(), pa.timestamp("ns")):
+        return "bigint"  # nanosAsLong shim surfaces TIMESTAMP(NANOS) as int64
+    if pa.types.is_timestamp(t):
+        return "timestamp_ntz"
+    return str(t)
 
 
 def windowed_counts(
