@@ -207,3 +207,58 @@ def test_events_ms_expr_vintage_equivalence(spark, tmp_path_factory, ts_list):
         for i, t in enumerate(ts_list)
     )  # integer arithmetic: float timestamp()*1000 truncates at µs edges
     assert got["ns"] == got["us"] == expected
+
+
+_asof_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),   # key (collisions likely)
+        st.integers(min_value=0, max_value=40),  # ts (ties likely)
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@given(
+    left_rows=_asof_rows,
+    right_rows=_asof_rows,
+    direction=st.sampled_from(["backward", "forward"]),
+)
+@SLOW
+def test_asof_matches_bruteforce_property(spark, left_rows, right_rows, direction):
+    """Property: for ANY (key, ts) multisets on both sides and both
+    directions, the union-merge as-of join matches a per-row brute-force
+    reference — inclusive at equality, deterministic max-tiebreak among
+    right ties, None when no candidate exists."""
+    from udacity_data_engineering_spark.operators.asof import asof_join
+
+    if not left_rows:
+        return
+    left = spark.createDataFrame(left_rows, "k long, ts long")
+    right_tagged = [(k, t, i) for i, (k, t) in enumerate(right_rows)]
+    right = spark.createDataFrame(
+        right_tagged or [(0, 0, 0)], "k long, ts long, rid long"
+    )
+    if not right_tagged:
+        right = right.filter(F.lit(False))
+    out = asof_join(
+        left, right, on="k", right_cols=("rid",),
+        right_tiebreak="rid", direction=direction,
+    )
+    got = sorted((r.k, r.ts, r.rid_matched) for r in out.collect())
+
+    def brute(k, lts):
+        if direction == "backward":
+            cands = [(t, i) for (rk, t, i) in right_tagged if rk == k and t <= lts]
+            if not cands:
+                return None
+            mts = max(t for t, _ in cands)
+        else:
+            cands = [(t, i) for (rk, t, i) in right_tagged if rk == k and t >= lts]
+            if not cands:
+                return None
+            mts = min(t for t, _ in cands)
+        return max(i for t, i in cands if t == mts)
+
+    want = sorted((k, t, brute(k, t)) for k, t in left_rows)
+    assert got == want
