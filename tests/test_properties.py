@@ -262,3 +262,46 @@ def test_asof_matches_bruteforce_property(spark, left_rows, right_rows, directio
 
     want = sorted((k, t, brute(k, t)) for k, t in left_rows)
     assert got == want
+
+
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=12),
+            st.integers(min_value=0, max_value=12),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@SLOW
+def test_components_match_union_find_property(spark, edges):
+    """Property: for ANY random edge list (self-loops, duplicates,
+    multi-component, chains longer than near-dup stars), the iterative
+    min-label propagation labels every vertex with its component minimum,
+    exactly as a union-find reference does."""
+    from udacity_data_engineering_spark.operators.components import (
+        connected_components,
+    )
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.id: r.comp for r in connected_components(df, max_iter=40).collect()}
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    want_groups = {}
+    for v in parent:
+        want_groups.setdefault(find(v), []).append(v)
+    want = {v: min(g) for g in want_groups.values() for v in g}
+    assert got == want
