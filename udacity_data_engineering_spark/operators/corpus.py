@@ -366,3 +366,79 @@ def top_tokens_per_group(
 )
 def q_top_tokens_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_tokens_per_group(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_corpus_pipeline",
+    oracle="""
+        WITH sig AS (
+            SELECT doc_id, lang, text,
+                   len(string_split(text, ' ')) AS n_words,
+                   round((length(text) - len(string_split(text, ' ')) + 1.0)
+                         / len(string_split(text, ' ')), 6) AS mean_word_len,
+                   round(CAST(len(list_filter(string_split(text, ' '),
+                         t -> list_contains(['the', 'a', 'of', 'to', 'and',
+                                             'in', 'is', 'it'], t))) AS DOUBLE)
+                         / len(string_split(text, ' ')), 6) AS stopword_frac,
+                   round(CAST(list_max(list_transform(
+                         list_distinct(string_split(text, ' ')),
+                         d -> len(list_filter(string_split(text, ' '),
+                                  t -> t = d)))) AS DOUBLE)
+                         / len(string_split(text, ' ')), 6) AS top_token_frac
+            FROM documents
+        ), kept AS (
+            SELECT doc_id, lang, text, n_words FROM sig
+            WHERE n_words BETWEEN 5 AND 2000
+              AND mean_word_len BETWEEN 2.0 AND 12.0
+              AND stopword_frac >= 0.01
+              AND top_token_frac <= 0.5
+        ), survivors AS (
+            SELECT doc_id, lang, n_words FROM (
+                SELECT doc_id, lang, n_words,
+                       row_number() OVER (PARTITION BY text
+                                          ORDER BY doc_id) AS rn
+                FROM kept) t
+            WHERE rn = 1
+        )
+        SELECT CASE WHEN h < 90 THEN 'train'
+                    WHEN h < 95 THEN 'val'
+                    ELSE 'test' END AS split,
+               lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_words) AS BIGINT) AS n_tokens
+        FROM (SELECT *, ((doc_id % 2147483648) * 2654435761)
+                        % 4294967296 % 100 AS h
+              FROM survivors)
+        GROUP BY 1, 2
+    """,
+    doc="Flagship end-to-end corpus-prep pipeline as ONE declarative "
+    "plan: Gopher quality rules -> deterministic exact dedup (first "
+    "doc_id per identical text, among quality-passed docs) -> Knuth-hash "
+    "train/val/test split -> per-(split, lang) doc and token counts. "
+    "Every stage is the registered operator it composes (quality.py "
+    "gopher_signals, dedup.py dedup_exact, corpus.py train_val_split); "
+    "Catalyst fuses the scan-side stages into one pass over the corpus "
+    "with a single shuffle each for the dedup window and the final "
+    "aggregate. The oracle recomputes the whole chain independently in "
+    "DuckDB — the hash proof that the composed pipeline, not just its "
+    "pieces, is engine-exact.",
+    tags=("E10", "E11", "llm-pipeline", "corpus", "quality", "sampling"),
+)
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from udacity_data_engineering_spark.operators.dedup import dedup_exact
+    from udacity_data_engineering_spark.operators.quality import gopher_signals
+
+    docs = table(spark, sf_dir, "documents")
+    sig = gopher_signals(docs)
+    kept = docs.join(
+        sig.filter(F.col("keep")).select("doc_id", "n_words"), "doc_id"
+    )
+    survivors = dedup_exact(kept, "text", ["doc_id"])
+    return (
+        train_val_split(survivors, "doc_id")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("n_tokens"),
+        )
+    )
