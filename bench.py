@@ -165,6 +165,7 @@ def main() -> None:
         "q_decontaminate", "q_bm25", "q_sliding_window",
         "q_vocab_topk", "q_ngram_counts", "q_text_normalize",
         "q_train_val_split", "q_cluster_centroids", "q_embedding_quantize",
+        "q_corpus_pipeline",
     ):
         best = float("inf")
         for _ in range(REPS):  # best-of-3, matching BASELINE.md methodology

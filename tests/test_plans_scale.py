@@ -294,6 +294,17 @@ def test_vocab_topk_partial_agg_and_takeordered(spark, sf_dir):
         assert "Sort " not in plan, name
 
 
+def test_corpus_pipeline_two_shuffles_no_join(spark, sf_dir):
+    """The composed quality->dedup->split->agg pipeline must stay a
+    single corpus pass: exactly two hash exchanges (the dedup window and
+    the final aggregate), no join, no Python — the signals are carried
+    through the projection, never joined back onto the corpus."""
+    plan = plan_of(MANIFEST["q_corpus_pipeline"].fn(spark, sf_dir), "simple")
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "Join" not in plan
+    assert "Python" not in plan and "InPandas" not in plan
+
+
 def test_cluster_centroids_single_shuffle(spark, sf_dir):
     """posexplode + partial agg: one hash exchange carrying (group, dim)
     partial sums; the vectors themselves shuffle at most once."""

@@ -429,9 +429,12 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from udacity_data_engineering_spark.operators.quality import gopher_signals
 
     docs = table(spark, sf_dir, "documents")
-    sig = gopher_signals(docs)
-    kept = docs.join(
-        sig.filter(F.col("keep")).select("doc_id", "n_words"), "doc_id"
+    # carry= keeps the pipeline single-pass: signals + keep + payload in
+    # one projection, no join of the signals back onto the corpus
+    kept = (
+        gopher_signals(docs, carry=("lang", "text"))
+        .filter(F.col("keep"))
+        .select("doc_id", "lang", "text", "n_words")
     )
     survivors = dedup_exact(kept, "text", ["doc_id"])
     return (

@@ -38,8 +38,15 @@ def _toks(text: Column) -> Column:
     return F.split(text, " ")
 
 
-def gopher_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Per-document quality signals + keep decision, all JVM-side."""
+def gopher_signals(
+    docs: DataFrame, text_col: str = "text", carry: tuple[str, ...] = ()
+) -> DataFrame:
+    """Per-document quality signals + keep decision, all JVM-side.
+
+    ``carry`` names extra input columns to keep in the output — pipeline
+    composers (q_corpus_pipeline) use it to stay single-pass instead of
+    joining the signals back onto the corpus (a fact self-shuffle at
+    100 TB)."""
     toks = _toks(F.col(text_col))
     n = F.size(toks)
     mean_wlen = (F.length(text_col) - n + F.lit(1.0)) / n
@@ -55,6 +62,7 @@ def gopher_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
     sig = docs.select(
         "doc_id",
+        *carry,
         n.alias("n_words"),
         F.round(mean_wlen, 6).alias("mean_word_len"),
         F.round(stop_frac, 6).alias("stopword_frac"),
