@@ -1,0 +1,34 @@
+"""Array-expression helpers shared across text/dedup/corpus operators.
+
+The one non-obvious rule encoded here: never index the token array with a
+lambda variable (``element_at(toks, i)`` or ``slice(toks, i, n)`` inside a
+``transform``). Catalyst inlines the ``split(text)`` into the lambda body,
+so every per-index access re-splits the document — O(tokens²) work per
+row. Measured at sf0.1: 2.0 s vs 0.31 s for bigram counts, ~5× end-to-end
+on the n-gram queries. Zipping n shifted slices evaluates the split
+O(n) times per row and stays inside the JVM array kernels.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def word_ngrams(text: Column, n: int, sep: str = " ") -> Column:
+    """All space-joined word n-grams of ``text`` as an array column —
+    empty array when the document has fewer than ``n`` words. Built by
+    zipping ``n`` shifted slices of the token array (see module doc for
+    why not transform+element_at)."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    toks = F.split(text, sep)
+    cnt = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    grams = F.slice(toks, 1, cnt)
+    for j in range(1, n):
+        grams = F.zip_with(
+            grams,
+            F.slice(toks, 1 + j, cnt),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    return grams

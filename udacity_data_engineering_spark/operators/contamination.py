@@ -31,15 +31,12 @@ from udacity_data_engineering_spark.session import table
 
 def token_ngrams(text_col: Column, n: int = 8) -> Column:
     """All space-joined token n-grams of a document (empty array when the
-    document is shorter than n tokens). Pure array expressions."""
-    toks = F.split(text_col, " ")
-    cnt = F.size(toks)
-    starts = F.when(cnt >= n, F.sequence(F.lit(1), cnt - (n - 1))).otherwise(
-        F.array().cast("array<int>")
-    )
-    return F.transform(
-        starts, lambda i: F.array_join(F.slice(toks, i, n), " ")
-    )
+    document is shorter than n tokens). Pure array expressions —
+    shifted-slice zip, not transform+slice(i), which re-splits the text
+    per index (functions/arrays.py)."""
+    from udacity_data_engineering_spark.functions.arrays import word_ngrams
+
+    return word_ngrams(text_col, n)
 
 
 def decontaminate(

@@ -88,15 +88,16 @@ def ngram_counts(
     docs: DataFrame, n: int = 2, text_col: str = "text", k: int = 50
 ) -> DataFrame:
     """Top-k n-gram counts (space-joined token n-grams), deterministic
-    tiebreak. Same wordcount scale shape as vocab_topk; the n-gram
-    construction is a codegen'd higher-order transform, no Python."""
+    tiebreak. Same wordcount scale shape as vocab_topk.
+
+    The n-gram construction zips n shifted slices of the token array
+    rather than indexing with ``element_at(toks, i)`` inside a
+    ``transform`` lambda — see functions/arrays.py for the O(tokens²)
+    trap that avoids (measured 6.5× at sf0.1: 2.0 s vs 0.31 s)."""
+    from udacity_data_engineering_spark.functions.arrays import word_ngrams
+
     toks = _toks(F.col(text_col))
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]
-        ),
-    )
+    grams = word_ngrams(F.col(text_col), n)
     return (
         docs.filter(F.size(toks) >= n)
         .select(F.explode(grams).alias("ngram"))

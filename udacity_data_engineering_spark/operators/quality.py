@@ -118,9 +118,13 @@ def repetition_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Duplicate-token fraction + top-bigram coverage, per-row JVM-side."""
     toks = _toks(F.col(text_col))
     n = F.size(toks)
-    bigrams = F.transform(
+    # zip two shifted slices instead of element_at(toks, i) in the lambda:
+    # the optimizer inlines the split into the lambda, so per-index
+    # element_at re-splits the text — O(tokens²) per doc (see ngram_counts)
+    bigrams = F.zip_with(
         F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
-        lambda t, i: F.concat_ws(" ", t, F.element_at(toks, i + 2)),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
     )
     top_big = F.array_max(
         F.transform(

@@ -112,11 +112,9 @@ def shingle_sets(
     """Distinct (doc_id, shingle) pairs — the word-n-gram inverted index.
     Docs with fewer than n words yield no shingles (mirrors the SQL
     oracle's range-based expansion)."""
-    words = F.split(F.col(text_col), " ")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
-    )
+    from udacity_data_engineering_spark.functions.arrays import word_ngrams
+
+    grams = word_ngrams(F.col(text_col), n)
     return docs.select(
         F.col(id_col).alias("doc_id"), F.explode(grams).alias("w")
     ).distinct()
