@@ -15,6 +15,36 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def mode_count(arr: Column) -> Column:
+    """Frequency of the most common element of a string array — the
+    repetition signal behind top_token_frac / top_bigram_frac.
+
+    Implemented as the max run length of the SORTED array via one O(n)
+    fold: O(n log n) per row. The naive ``transform(array_distinct(a),
+    d -> size(filter(a, t -> t = d)))`` is O(distinct × n) per row with
+    the whole array re-built per distinct element (the same lambda
+    inlining as above) — measured 2.6× slower at 100-token docs and
+    quadratic on long documents. Empty-string elements are handled: the
+    '' sentinel's first match still starts its run at 1."""
+    srt = F.sort_array(arr)
+    acc0 = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+    return F.aggregate(
+        srt,
+        acc0,
+        lambda a, x: F.struct(
+            x.alias("prev"),
+            F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                a["best"],
+                F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda a: a["best"],
+    )
+
+
 def word_ngrams(text: Column, n: int, sep: str = " ") -> Column:
     """All space-joined word n-grams of ``text`` as an array column —
     empty array when the document has fewer than ``n`` words. Built by

@@ -52,14 +52,11 @@ def gopher_signals(
     mean_wlen = (F.length(text_col) - n + F.lit(1.0)) / n
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     stop_frac = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))) / n
-    # mode frequency from the distinct-token list: O(distinct x n) per
-    # row, bounded by doc length — no shuffle, unlike explode+groupBy
-    top_cnt = F.array_max(
-        F.transform(
-            F.array_distinct(toks),
-            lambda d: F.size(F.filter(toks, lambda t: t == d)),
-        )
-    )
+    # mode frequency via sorted-run fold: O(n log n) per row, no shuffle
+    # (the distinct-list scan was O(distinct x n) — functions/arrays.py)
+    from udacity_data_engineering_spark.functions.arrays import mode_count
+
+    top_cnt = mode_count(toks)
     sig = docs.select(
         "doc_id",
         *carry,
@@ -126,12 +123,9 @@ def repetition_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
         lambda a, b: F.concat_ws(" ", a, b),
     )
-    top_big = F.array_max(
-        F.transform(
-            F.array_distinct(bigrams),
-            lambda d: F.size(F.filter(bigrams, lambda g: g == d)),
-        )
-    )
+    from udacity_data_engineering_spark.functions.arrays import mode_count
+
+    top_big = mode_count(bigrams)
     # Domain: docs with >= 2 tokens — bigram coverage is undefined below
     # that, and Spark (NULL frac) vs an inner-join oracle (row dropped)
     # would diverge on the degenerate row.
