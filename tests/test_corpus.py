@@ -111,3 +111,20 @@ def test_normalize_idempotent(spark):
     assert got[1] == ("hello world multi space",) * 2
     assert got[2] == ("already clean",) * 2
     assert got[3] == ("",) * 2
+
+
+def test_word_ngrams_custom_and_regex_special_sep(spark):
+    """sep is a literal: it tokenizes AND joins, even when it's a regex
+    metachar (the advisor's word_ngrams finding)."""
+    from udacity_data_engineering_spark.functions.arrays import word_ngrams
+
+    df = spark.createDataFrame([(1, "a|b|c|d")], "doc_id long, text string")
+    got = df.select(word_ngrams(F.col("text"), 2, sep="|").alias("g")).first().g
+    assert got == ["a|b", "b|c", "c|d"]
+    got3 = df.select(word_ngrams(F.col("text"), 3, sep="|").alias("g")).first().g
+    assert got3 == ["a|b|c", "b|c|d"]
+    # default space sep unchanged
+    df2 = spark.createDataFrame([(1, "x y z")], "doc_id long, text string")
+    assert df2.select(
+        word_ngrams(F.col("text"), 2).alias("g")
+    ).first().g == ["x y", "y z"]

@@ -209,3 +209,23 @@ def test_blob_oracles_handle_truncated_files(spark, tmp_path, monkeypatch):
             srows, scols, res.fetchall(), [d[0] for d in res.description]
         )
         assert not problems, f"{name}: {problems}"
+
+
+@pytest.mark.parametrize("n", [1, 3, 5, 7])
+def test_frame_sample_tiles_for_any_n(spark, n):
+    """Integer DIV boundaries tile exactly for non-power-of-2 n too
+    (the advisor's frame_sample finding)."""
+    rows = frame_sample(read_media(spark), n_frames=n).collect()
+    per_path = {}
+    for r in rows:
+        per_path.setdefault(r.path, []).append(r)
+    assert all(len(v) == n for v in per_path.values())
+    for path, frames in per_path.items():
+        raw = open(path.removeprefix("file:"), "rb").read()
+        payload = raw[8:]
+        ordered = sorted(frames, key=lambda f: f.frame_id)
+        assert b"".join(f.frame for f in ordered) == payload
+        L = len(payload)
+        for f in ordered:
+            lo, hi = (f.frame_id * L) // n, ((f.frame_id + 1) * L) // n
+            assert f.frame == payload[lo:hi]

@@ -126,3 +126,41 @@ def test_unknown_vintage_fails_loudly(spark, tmp_path):
     bad.write.parquet(src)
     with pytest.raises(TypeError, match="unexpected dtype"):
         stream_events(spark, src)
+
+
+def test_peek_recurses_partitioned_dirs_and_uri(tmp_path):
+    """Vintage peek must find footers nested under hive partitions and
+    accept file: URIs; remote URIs fail loudly (advisor findings)."""
+    from udacity_data_engineering_spark.streaming.event_stream import (
+        _peek_ts_dtype,
+    )
+
+    nested = tmp_path / "part" / "dt=2024-01-01"
+    _write_events(nested, "ns")
+    assert _peek_ts_dtype(str(tmp_path / "part")) == "bigint"
+    assert _peek_ts_dtype("file://" + str(tmp_path / "part")) == "bigint"
+    assert _peek_ts_dtype("file:" + str(tmp_path / "part")) == "bigint"
+    with pytest.raises(ValueError, match="non-local"):
+        _peek_ts_dtype("s3a://bucket/events")
+
+
+def test_peek_treats_tz_aware_nanos_as_bigint(tmp_path):
+    """tz-aware TIMESTAMP(NANOS) is still surfaced as int64 by nanosAsLong,
+    so the peek must classify it as the bigint vintage."""
+    from udacity_data_engineering_spark.streaming.event_stream import (
+        _peek_ts_dtype,
+    )
+
+    d = tmp_path / "tz_nanos"
+    d.mkdir()
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1], pa.int64()),
+            "ts": pa.array(
+                [datetime(2024, 1, 1, tzinfo=timezone.utc)],
+                pa.timestamp("ns", tz="UTC"),
+            ),
+        }
+    )
+    pq.write_table(tbl, str(d / "events.parquet"), version="2.6")
+    assert _peek_ts_dtype(str(d)) == "bigint"

@@ -46,19 +46,22 @@ def mode_count(arr: Column) -> Column:
 
 
 def word_ngrams(text: Column, n: int, sep: str = " ") -> Column:
-    """All space-joined word n-grams of ``text`` as an array column —
-    empty array when the document has fewer than ``n`` words. Built by
-    zipping ``n`` shifted slices of the token array (see module doc for
-    why not transform+element_at)."""
+    """All ``sep``-joined word n-grams of ``text`` as an array column —
+    empty array when the document has fewer than ``n`` words. ``sep`` is a
+    literal separator (regex-escaped before the split), used both to
+    tokenize and to join the grams. Built by zipping ``n`` shifted slices
+    of the token array (see module doc for why not transform+element_at)."""
+    import re as _re
+
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
-    toks = F.split(text, sep)
+    toks = F.split(text, _re.escape(sep))
     cnt = F.greatest(F.size(toks) - (n - 1), F.lit(0))
     grams = F.slice(toks, 1, cnt)
     for j in range(1, n):
         grams = F.zip_with(
             grams,
             F.slice(toks, 1 + j, cnt),
-            lambda a, b: F.concat_ws(" ", a, b),
+            lambda a, b: F.concat_ws(sep, a, b),
         )
     return grams

@@ -146,18 +146,19 @@ def frame_sample(df: DataFrame, n_frames: int = 4) -> DataFrame:
     (path, frame_id, frame_bytes). Frame i covers payload bytes
     [i*L DIV n, (i+1)*L DIV n): integer boundaries that tile the payload
     exactly — no gaps, no lost tail bytes. No Python hop at all."""
-    payload_len = F.length("content") - F.lit(8)
-    frames = F.transform(
-        F.sequence(F.lit(0), F.lit(n_frames - 1)),
-        lambda i: F.struct(
-            i.cast("int").alias("frame_id"),
-            F.substring(
-                F.col("content"),
-                F.lit(9) + ((i * payload_len) / n_frames).cast("int"),
-                (((i + 1) * payload_len) / n_frames).cast("int")
-                - ((i * payload_len) / n_frames).cast("int"),
-            ).alias("frame"),
-        ),
+    if n_frames < 1:
+        raise ValueError(f"n_frames must be >= 1, got {n_frames}")
+    n = int(n_frames)
+    # Exact integer DIV for the boundaries (not double division + cast):
+    # [i*L DIV n, (i+1)*L DIV n) holds for ANY n, not just powers of two.
+    frames = F.expr(
+        f"""transform(sequence(0, {n - 1}), i -> struct(
+            CAST(i AS INT) AS frame_id,
+            substring(content,
+                9 + CAST((i * (length(content) - 8)) DIV {n} AS INT),
+                CAST(((i + 1) * (length(content) - 8)) DIV {n} AS INT)
+                  - CAST((i * (length(content) - 8)) DIV {n} AS INT)
+            ) AS frame))"""
     )
     return df.select("path", F.explode(frames).alias("f")).select(
         "path", "f.frame_id", "f.frame"

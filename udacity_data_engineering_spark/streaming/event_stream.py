@@ -99,24 +99,45 @@ def stream_events(
 
 def _peek_ts_dtype(path: str) -> str:
     """Spark-equivalent dtype of ``ts`` from the first parquet footer under
-    ``path`` (one footer read, no directory-wide batch scan). Empty
-    directory -> 'timestamp_ntz' (current vintage); missing path raises."""
+    ``path`` (one footer read, no directory-wide batch scan). Recurses into
+    partitioned subdirectories; strips a ``file:`` URI scheme. Remote URI
+    schemes (s3a://, hdfs://) are not peekable locally and raise a clear
+    error rather than silently defaulting. Empty directory ->
+    'timestamp_ntz' (current vintage); missing path raises."""
     import os
 
     import pyarrow.parquet as pq
 
+    if path.startswith("file:"):
+        # file:/p, file:///p -> /p
+        stripped = path[5:]
+        while stripped.startswith("//"):
+            stripped = stripped[1:]
+        path = stripped
+    if "://" in path:
+        raise ValueError(
+            f"_peek_ts_dtype cannot read a footer from non-local path "
+            f"{path!r}; pass ts_dtype explicitly for remote filesystems"
+        )
+
     first = None
-    for entry in sorted(os.scandir(path), key=lambda e: e.name):
-        if entry.is_file() and entry.name.endswith(".parquet"):
-            first = entry.path
+    for dirpath, dirnames, filenames in os.walk(path):
+        dirnames.sort()
+        hit = sorted(
+            f for f in filenames
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+        if hit:
+            first = os.path.join(dirpath, hit[0])
             break
     if first is None:
         return "timestamp_ntz"
     t = pq.read_schema(first).field("ts").type
     import pyarrow as pa
 
-    if t in (pa.int64(), pa.timestamp("ns")):
-        return "bigint"  # nanosAsLong shim surfaces TIMESTAMP(NANOS) as int64
+    # nanosAsLong surfaces any TIMESTAMP(NANOS) — tz-aware or not — as int64
+    if t == pa.int64() or (pa.types.is_timestamp(t) and t.unit == "ns"):
+        return "bigint"
     if pa.types.is_timestamp(t):
         return "timestamp_ntz"
     return str(t)
