@@ -1,0 +1,179 @@
+"""Drop accounting for every capped candidate path (the round-4 verdict's
+last silent failure mode): candidate_stats arithmetic, the per-path stats
+companions on crafted hot-bucket inputs, and the registered audit query.
+
+Contract (SCALE.md "Drop accounting"): any operator that drops over-cap
+groups must report — via its stats companion — exactly how many groups,
+member rows, and candidate pairs the cap removed. Nothing is lost
+silently: a user who sees n_capped == 0 has full candidate coverage.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from udacity_data_engineering_spark.operators.neardup import (
+    embedding_neardup_lsh,
+    embedding_neardup_lsh_stats,
+    simhash_candidate_stats,
+    simhash_candidates,
+)
+from udacity_data_engineering_spark.operators.semdedup import (
+    semantic_pairs,
+    semantic_pairs_stats,
+)
+from udacity_data_engineering_spark.operators.similarity import (
+    bucket_pairs,
+    candidate_stats,
+    minhash_candidate_stats,
+    minhash_candidates,
+)
+
+
+def test_candidate_stats_exact_arithmetic(spark):
+    # groups: a=5 members (over cap 3), b=3 (at cap), c=1, d=4 (over)
+    rows = [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 1 + [("d",)] * 4
+    df = spark.createDataFrame(rows, "g string")
+    got = candidate_stats(df, ["g"], cap=3, path="x").first().asDict()
+    assert got == {
+        "path": "x",
+        "n_groups": 4,
+        "n_capped": 2,
+        "dropped_rows": 9,  # 5 + 4
+        "dropped_pairs": 16,  # C(5,2)=10 + C(4,2)=6
+        "max_group": 5,
+    }
+
+
+def test_candidate_stats_empty_input_is_all_zero(spark):
+    df = spark.createDataFrame([], "g string")
+    got = candidate_stats(df, ["g"], cap=3).first().asDict()
+    assert got == {
+        "n_groups": 0,
+        "n_capped": 0,
+        "dropped_rows": 0,
+        "dropped_pairs": 0,
+        "max_group": 0,
+    }
+
+
+def test_bucket_pairs_drop_matches_candidate_stats(spark):
+    """What bucket_pairs drops is exactly what candidate_stats reports:
+    total pairs produced + dropped_pairs == triangular pairs of all
+    multi-member buckets."""
+    rows = (
+        [("hot", i) for i in range(7)]
+        + [("warm", i) for i in range(3)]
+        + [("cold", 0)]
+    )
+    df = spark.createDataFrame(rows, "g string, doc_id long")
+    produced = bucket_pairs(df, ["g"], F.col("doc_id"), cap=5).count()
+    stats = candidate_stats(df, ["g"], cap=5).first()
+    assert produced == 3  # C(3,2) from 'warm' only
+    assert stats.n_capped == 1 and stats.dropped_rows == 7
+    assert produced + stats.dropped_pairs == 21 + 3  # C(7,2) + C(3,2)
+
+
+def _hot_docs(spark, n=8):
+    """n identical docs — every band of every hash scheme collides."""
+    return spark.createDataFrame(
+        [(i, "the same exact document text repeated verbatim") for i in range(n)],
+        "doc_id long, text string",
+    )
+
+
+def test_minhash_stats_report_crafted_hot_bucket(spark):
+    docs = _hot_docs(spark, 8)
+    stats = minhash_candidate_stats(docs, cap=5).first()
+    # identical docs share every one of the 8 band buckets
+    assert stats.path == "minhash_lsh"
+    assert stats.n_groups == 8
+    assert stats.n_capped == 8
+    assert stats.dropped_rows == 64
+    assert stats.dropped_pairs == 8 * 28  # 8 bands x C(8,2)
+    assert stats.max_group == 8
+    # and with the production cap (100) nothing is dropped
+    ok = minhash_candidate_stats(docs, cap=100).first()
+    assert ok.n_capped == 0 and ok.dropped_pairs == 0
+    assert minhash_candidates(docs).count() == 28
+
+
+def test_simhash_stats_report_crafted_hot_bucket(spark):
+    docs = _hot_docs(spark, 8)
+    stats = simhash_candidate_stats(docs, cap=5).first()
+    assert stats.path == "simhash_lsh"
+    assert stats.n_capped == 4  # all 4 bands hot
+    assert stats.dropped_rows == 32
+    assert stats.dropped_pairs == 4 * 28
+    assert simhash_candidates(docs).count() == 28  # production cap covers it
+
+
+def _planted_identical_embeddings(spark, n=10, dim=64):
+    vec = [0.5] * dim
+    return spark.createDataFrame(
+        [(i, vec) for i in range(n)], "vec_id long, embedding array<float>"
+    )
+
+
+def test_embedding_lsh_stats_and_drop_are_consistent(spark):
+    emb = _planted_identical_embeddings(spark, 10)
+    # cap below the bucket size: every table's single bucket is capped,
+    # the operator yields NO pairs — and the stats say exactly that.
+    assert embedding_neardup_lsh(emb, cap=5).count() == 0
+    stats = embedding_neardup_lsh_stats(emb, cap=5).first()
+    assert stats.path == "embedding_lsh"
+    assert stats.n_groups == 12  # one bucket per table
+    assert stats.n_capped == 12
+    assert stats.dropped_rows == 120
+    assert stats.dropped_pairs == 12 * 45  # per-table upper bound
+    assert stats.max_group == 10
+    # production cap: all pairs produced, zero drops reported
+    assert embedding_neardup_lsh(emb).count() == 45
+    ok = embedding_neardup_lsh_stats(emb).first()
+    assert ok.n_capped == 0 and ok.dropped_pairs == 0
+
+
+def test_semdedup_stats_report_hot_cluster(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    e1 = rng.normal(size=64)
+    e2 = rng.normal(size=64)
+    rows = [
+        (i, [float(x) for x in (e1 + rng.normal(scale=0.01, size=64))])
+        for i in range(7)
+    ] + [
+        (100 + i, [float(x) for x in (e2 + rng.normal(scale=0.01, size=64))])
+        for i in range(3)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    stats = semantic_pairs_stats(emb, k=2, cap=4, seed=7).first()
+    assert stats.path == "semdedup"
+    assert stats.n_groups == 2
+    assert stats.n_capped == 1
+    assert stats.dropped_rows == 7
+    assert stats.dropped_pairs == 21
+    assert stats.max_group == 7
+    # the capped cluster contributes no pairs; the small one still does
+    pairs = semantic_pairs(emb, k=2, cap=4, seed=7).count()
+    assert pairs == 3  # C(3,2) within the under-cap cluster
+    ok = semantic_pairs_stats(emb, k=2, cap=4000, seed=7).first()
+    assert ok.n_capped == 0 and ok.dropped_pairs == 0
+
+
+def test_registered_audit_query_covers_all_paths(spark, sf_dir):
+    from udacity_data_engineering_spark.plans.registry import all_queries
+
+    q = all_queries()["q_neardup_drop_accounting"]
+    rows = q.fn(spark, sf_dir).collect()
+    assert [r.path for r in rows] == [
+        "embedding_lsh",
+        "minhash_lsh",
+        "semdedup",
+        "simhash_lsh",
+    ]
+    for r in rows:
+        assert r.n_groups > 0 and r.max_group > 0
+        assert 0 <= r.n_capped <= r.n_groups
+        assert r.dropped_rows >= 0 and r.dropped_pairs >= 0

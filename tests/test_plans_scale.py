@@ -70,6 +70,9 @@ PYTHON_PATH_QUERIES = {
     "q_minhash_candidates",
     "q_neardup_pipeline",
     "q_embedding_neardup_lsh",
+    # drop-accounting audit reuses the same Arrow-batched signature/bucket
+    # kernels as the paths it audits (see test_drop_accounting.py):
+    "q_neardup_drop_accounting",
     # PQ: the one-off encode pass is an Arrow-batched GEMM argmin; the
     # per-query ADC scan itself is codegen over the cached codes (see
     # test_pq.py::test_pq_adc_scan_has_no_python_eval).

@@ -227,6 +227,73 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lsh_bucketed(
+    embeddings: DataFrame, n_tables: int, n_planes: int, dim: int
+) -> DataFrame:
+    """Shared bucketing pass for embedding_neardup_lsh and its stats
+    companion: unit-normalize once, then one posexplode of the
+    per-table bucket keys — (vec_id, u, tid, bucket)."""
+    emb = spread(embeddings).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    unit = emb.select("vec_id", "e", l2_norm(F.col("e")).alias("nrm")).select(
+        "vec_id", F.transform("e", lambda x: x / F.col("nrm")).alias("u")
+    )
+    return unit.select(
+        "vec_id",
+        "u",
+        F.posexplode(lsh_bucket_keys(F.col("u"), n_tables, n_planes, dim)).alias(
+            "tid", "bucket"
+        ),
+    )
+
+
+def embedding_neardup_lsh_stats(
+    embeddings: DataFrame,
+    n_tables: int = 12,
+    n_planes: int = 4,
+    dim: int = 64,
+    cap: int = 1000,
+) -> DataFrame:
+    """Drop accounting for embedding_neardup_lsh (same buckets, same
+    cap): one row — n_groups, n_capped, dropped_rows, dropped_pairs,
+    max_group. Note dropped_pairs counts per-table collisions; a pair
+    dropped in one table may still surface via another (OR
+    amplification), so it is an upper bound on lost pairs."""
+    from udacity_data_engineering_spark.operators.similarity import candidate_stats
+
+    bucketed = _lsh_bucketed(embeddings, n_tables, n_planes, dim)
+    return candidate_stats(
+        bucketed.select("vec_id", "tid", "bucket"),
+        ["tid", "bucket"],
+        cap=cap,
+        path="embedding_lsh",
+    )
+
+
+def simhash_candidate_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bands: int = 4,
+    cap: int = 100,
+) -> DataFrame:
+    """Drop accounting for simhash_candidates: same banding, same
+    bucket_pairs cap."""
+    from udacity_data_engineering_spark.operators.similarity import candidate_stats
+
+    r = 32 // bands
+    sig = spread(docs).select(
+        F.col(id_col).alias("doc_id"), simhash32(F.col(text_col)).alias("sig")
+    )
+    banded = sig.select(
+        "doc_id", band_explode(F.col("sig"), bands, r).alias("b")
+    ).select("doc_id", "b.band_id", "b.band_key")
+    return candidate_stats(
+        banded, ["band_id", "band_key"], cap=cap, path="simhash_lsh"
+    )
+
+
 def embedding_neardup_lsh(
     embeddings: DataFrame,
     threshold: float = NEARDUP_THRESHOLD,
@@ -250,19 +317,7 @@ def embedding_neardup_lsh(
     """
     import pandas as pd
 
-    emb = spread(embeddings).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("e")
-    )
-    unit = emb.select("vec_id", "e", l2_norm(F.col("e")).alias("nrm")).select(
-        "vec_id", F.transform("e", lambda x: x / F.col("nrm")).alias("u")
-    )
-    bucketed = unit.select(
-        "vec_id",
-        "u",
-        F.posexplode(lsh_bucket_keys(F.col("u"), n_tables, n_planes, dim)).alias(
-            "tid", "bucket"
-        ),
-    )
+    bucketed = _lsh_bucketed(embeddings, n_tables, n_planes, dim)
 
     def _verify(pdf: pd.DataFrame) -> pd.DataFrame:
         m = len(pdf)
@@ -294,4 +349,35 @@ def embedding_neardup_lsh(
         .applyInPandas(_verify, "vec_a long, vec_b long, sim double")
         .groupBy("vec_a", "vec_b")
         .agg(F.round(F.max("sim"), 6).alias("cos_sim"))
+    )
+
+
+@register(
+    "q_neardup_drop_accounting",
+    doc="Drop-accounting audit for every capped candidate path: one row "
+    "per path (embedding_lsh, minhash_lsh, semdedup, simhash_lsh) with "
+    "n_groups, n_capped, dropped_rows, dropped_pairs, max_group at the "
+    "production caps. All-zero n_capped = full candidate coverage; "
+    "non-zero = the silent-truncation condition, now observable. "
+    "Hash-function/seed-specific bucketing => rows-only; "
+    "tests/test_drop_accounting.py asserts exact counts on crafted "
+    "hot-bucket inputs.",
+    tags=("E12", "dedup"),
+)
+def q_neardup_drop_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from udacity_data_engineering_spark.operators.semdedup import (
+        semantic_pairs_stats,
+    )
+    from udacity_data_engineering_spark.operators.similarity import (
+        minhash_candidate_stats,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    emb = table(spark, sf_dir, "embeddings")
+    return (
+        embedding_neardup_lsh_stats(emb)
+        .unionByName(minhash_candidate_stats(docs))
+        .unionByName(semantic_pairs_stats(emb))
+        .unionByName(simhash_candidate_stats(docs))
+        .orderBy("path")
     )

@@ -106,6 +106,27 @@ def semantic_pairs(
     )
 
 
+def semantic_pairs_stats(
+    emb: DataFrame,
+    k: int = 16,
+    cap: int = 4000,
+    seed: int = 7,
+    assigned: DataFrame | None = None,
+) -> DataFrame:
+    """Drop accounting for semantic_pairs' cluster cap: one row —
+    n_groups, n_capped, dropped_rows, dropped_pairs, max_group. A
+    non-zero n_capped means k is too small for the corpus (SemDeDup
+    sizes k so corpus/k stays under cap); this makes that condition
+    observable instead of silently losing within-cluster pairs."""
+    from udacity_data_engineering_spark.operators.similarity import candidate_stats
+
+    if assigned is None:
+        assigned, _ = ivf_assign(emb, k=k, seed=seed)
+    return candidate_stats(
+        assigned.select("vec_id", "cluster"), ["cluster"], cap=cap, path="semdedup"
+    )
+
+
 def semantic_dedup(
     emb: DataFrame,
     threshold: float = SEMDEDUP_THRESHOLD,

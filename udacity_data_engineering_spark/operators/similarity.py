@@ -296,6 +296,74 @@ def capped_buckets(
     )
 
 
+def candidate_stats(
+    bucketed: DataFrame,
+    bucket_cols: list[str],
+    cap: int = 100,
+    path: str | None = None,
+) -> DataFrame:
+    """ONE-row drop-accounting summary for any capped bucket/cluster
+    candidate path. The accounting contract (SCALE.md): every operator
+    that drops over-full groups must have a stats companion built on
+    this, so silent truncation is observable, not inferred.
+
+    Columns: [path,] n_groups, n_capped, dropped_rows (members of
+    over-cap groups), dropped_pairs (triangular pairs those groups would
+    have produced), max_group. All zeros when nothing was dropped —
+    including on empty input.
+
+    Scale shape: one partial-aggregating groupBy on the same keys the
+    candidate path shuffles on, then a scalar agg — strictly cheaper
+    than the candidate job it audits.
+    """
+    sizes = bucketed.groupBy(*bucket_cols).agg(F.count(F.lit(1)).alias("m"))
+    over = F.col("m") > cap
+    z = F.lit(0).cast("long")
+    stats = sizes.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.coalesce(F.sum(F.when(over, 1).otherwise(0)), z).alias("n_capped"),
+        F.coalesce(F.sum(F.when(over, F.col("m")).otherwise(0)), z).alias(
+            "dropped_rows"
+        ),
+        F.coalesce(
+            F.sum(
+                F.when(over, (F.col("m") * (F.col("m") - 1) / 2).cast("long"))
+                .otherwise(0)
+            ),
+            z,
+        ).alias("dropped_pairs"),
+        F.coalesce(F.max("m"), z).alias("max_group"),
+    )
+    if path is not None:
+        stats = stats.select(F.lit(path).alias("path"), "*")
+    return stats
+
+
+def minhash_candidate_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    cap: int = 100,
+) -> DataFrame:
+    """Drop accounting for minhash_candidates: same banding, same cap."""
+    r = num_hashes // bands
+    sig = spread(docs).select(
+        F.col(id_col).alias("doc_id"),
+        minhash_signature(shingles(F.col(text_col), shingle_n), num_hashes).alias(
+            "sig"
+        ),
+    )
+    banded = sig.select(
+        "doc_id", band_explode(F.col("sig"), bands, r).alias("b")
+    ).select("doc_id", "b.band_id", "b.band_key")
+    return candidate_stats(
+        banded, ["band_id", "band_key"], cap=cap, path="minhash_lsh"
+    )
+
+
 def band_explode(sig_col: Column, bands: int, r: int) -> Column:
     """LSH banding: explode a length-(bands*r) signature array into
     (band_id, band_key) structs — band i's key is the comma-joined
