@@ -1,0 +1,48 @@
+"""Recall floors for the approximate paths that had none (RECALL.md
+records the measured sf0.1 numbers; these pin them with slack at test
+scale so a regression fails pytest, not a production run).
+
+Existing floors elsewhere: minhash planted pairs (test_similarity.py),
+embedding-LSH planted + measured >=0.6 (test_neardup.py), IVF / PQ
+top-10 overlap >=5 (test_ann.py / test_pq.py).
+"""
+
+from __future__ import annotations
+
+from udacity_data_engineering_spark.operators.neardup import (
+    exact_hamming_pairs,
+    simhash_candidates,
+)
+from udacity_data_engineering_spark.operators.semdedup import semantic_pairs
+from udacity_data_engineering_spark.plans.registry import all_queries
+from udacity_data_engineering_spark.session import table
+
+
+def test_simhash_recall_is_exactly_one(spark, sf_dir):
+    """Pigeonhole guarantee: 4 bands, Hamming<=3 => one identical band,
+    so with the band-keyspace-sized production cap every true pair is a
+    candidate — recall is an EQUALITY, not a floor. (With the old
+    minhash-sized cap of 100 this was 0.081 at sf0.1 — the measured
+    silent-cap loss that drop accounting now reports; see RECALL.md.)"""
+    docs = table(spark, sf_dir, "documents")
+    truth = exact_hamming_pairs(docs)
+    got = {(r.doc_a, r.doc_b) for r in simhash_candidates(docs).collect()}
+    assert truth, "degenerate fixture: no Hamming<=3 pairs"
+    assert got == truth  # exhaustive AND exact (verified Hamming)
+
+
+def test_semdedup_pair_recall_floor(spark, sf_dir):
+    """SemDeDup misses cross-cluster pairs by design; on uniform-random
+    embeddings (its worst case — no real cluster structure) the within-
+    cluster share of cosine>=0.4 pairs still stays above this floor.
+    Seeds pinned (k-means seed=7), so the measured value is stable for
+    a given testdata vintage: 0.333 at sf0.001 (round 5)."""
+    emb = table(spark, sf_dir, "embeddings")
+    truth = {
+        (r.vec_a, r.vec_b)
+        for r in all_queries()["q_embedding_neardup"].fn(spark, sf_dir).collect()
+    }
+    got = {(r.vec_a, r.vec_b) for r in semantic_pairs(emb).collect()}
+    assert got <= truth  # within-cluster pairs are exact-cosine verified
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.2, f"semdedup pair recall {recall:.3f} below floor"

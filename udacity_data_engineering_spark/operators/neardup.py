@@ -78,18 +78,31 @@ def hamming(a: Column, b: Column) -> Column:
     )
 
 
+#: SimHash bucket cap. An 8-bit band has only 256 distinct keys, so
+#: bucket sizes grow LINEARLY with corpus size (unlike MinHash's
+#: 31-bit-per-row band keys) — a cap sized for minhash (100) silently
+#: dropped 92% of the true Hamming<=3 pairs at sf0.1 (measured; see
+#: RECALL.md). 5000 covers the sf0.1 hot buckets (max 840) with room;
+#: past ~100k docs the 32-bit/4-band scheme itself saturates — use
+#: wider signatures/bands or MinHash, and watch
+#: q_neardup_drop_accounting for n_capped > 0.
+SIMHASH_BUCKET_CAP = 5000
+
+
 def simhash_candidates(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     bands: int = 4,
     max_hamming: int = 3,
+    cap: int = SIMHASH_BUCKET_CAP,
 ) -> DataFrame:
     """SimHash near-dup pairs: band the 32 bits into ``bands`` chunks —
     any pair within Hamming distance (bands-1) shares at least one whole
     band (pigeonhole), so bucketing on (band_id, band_bits) finds them
     with one shuffle. Candidates are then verified exactly with the full
-    Hamming distance."""
+    Hamming distance. The pigeonhole guarantee holds only for buckets
+    under ``cap`` — simhash_candidate_stats reports what a cap drops."""
     r = 32 // bands
     sig = spread(docs).select(
         F.col(id_col).alias("doc_id"), simhash32(F.col(text_col)).alias("sig")
@@ -98,7 +111,7 @@ def simhash_candidates(
         "doc_id", "sig", band_explode(F.col("sig"), bands, r).alias("b")
     ).select("doc_id", "sig", "b.band_id", "b.band_key")
     pairs = bucket_pairs(
-        banded, ["band_id", "band_key"], F.struct("doc_id", "sig")
+        banded, ["band_id", "band_key"], F.struct("doc_id", "sig"), cap=cap
     )
     return (
         pairs.select(
@@ -109,6 +122,32 @@ def simhash_candidates(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def exact_hamming_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> set[tuple[int, int]]:
+    """Exact all-pairs Hamming<=k ground truth for SimHash — the recall
+    yardstick (RECALL.md, tests/test_recall_floors.py). Driver-side by
+    design: signatures are N x 32 bits (measurement-sized), and hamming
+    = |a| + |b| - 2 a.b for 0/1 vectors via one GEMM. Quadratic — a
+    measurement tool, never a production path."""
+    sig = (
+        spread(docs)
+        .select(F.col(id_col).alias("doc_id"), simhash32(F.col(text_col)).alias("sig"))
+        .collect()
+    )
+    ids = np.array([r.doc_id for r in sig], dtype=np.int64)
+    bits = np.array([r.sig for r in sig], dtype=np.int32)
+    ones = bits.sum(axis=1)
+    ham = ones[:, None] + ones[None, :] - 2 * (bits @ bits.T)
+    ia, ib = np.where(np.triu(ham <= max_hamming, k=1))
+    return {
+        (int(min(x, y)), int(max(x, y))) for x, y in zip(ids[ia], ids[ib])
+    }
 
 
 @register(
@@ -276,7 +315,7 @@ def simhash_candidate_stats(
     id_col: str = "doc_id",
     text_col: str = "text",
     bands: int = 4,
-    cap: int = 100,
+    cap: int = SIMHASH_BUCKET_CAP,
 ) -> DataFrame:
     """Drop accounting for simhash_candidates: same banding, same
     bucket_pairs cap."""

@@ -389,6 +389,7 @@ def minhash_candidates(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 3,
+    cap: int = 100,
 ) -> DataFrame:
     """LSH banding: docs sharing any band of their MinHash signature become
     candidate pairs. rows = bands * r where r = num_hashes // bands.
@@ -407,7 +408,7 @@ def minhash_candidates(
         "doc_id", band_explode(F.col("sig"), bands, r).alias("b")
     ).select("doc_id", "b.band_id", "b.band_key")
     return (
-        bucket_pairs(banded, ["band_id", "band_key"], F.col("doc_id"))
+        bucket_pairs(banded, ["band_id", "band_key"], F.col("doc_id"), cap=cap)
         .select(
             F.least("a", "b").alias("doc_a"), F.greatest("a", "b").alias("doc_b")
         )
