@@ -35,15 +35,15 @@ def test_window_covers_core_parity_and_extension_families():
 
 
 def test_window_oracle_coverage_never_regresses():
-    """45 of the 50 driver-window slots are hash-proven as of round 4;
-    the 5 rows-only residents are all genuinely non-SQL-expressible
-    (schema-inference corrupt-record semantics, seeded LSH/IVF paths).
-    Adding a window query without an oracle, or dropping an oracle from
-    a window query, must be a deliberate decision — not drift."""
+    """46 of the 50 driver-window slots are hash-proven as of round 5
+    (q_json_infer_scan gained a read_json+raw-line oracle); the 4
+    rows-only residents are all genuinely non-SQL-expressible (seeded
+    LSH/IVF paths). Adding a window query without an oracle, or dropping
+    an oracle from a window query, must be a deliberate decision — not
+    drift."""
     qs = all_queries()
     no_oracle = {n for n in DRIVER_PRIORITY if not qs[n].oracle}
     assert no_oracle == {
-        "q_json_infer_scan",
         "q_minhash_dedup_survivors",
         "q_embedding_neardup_lsh",
         "q_simhash_candidates",
