@@ -1,5 +1,6 @@
 from __future__ import annotations
 
+import os
 import sys
 from pathlib import Path
 
@@ -7,6 +8,30 @@ import duckdb
 import pytest
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def _enable_protobuf_shim() -> None:
+    """Make google.protobuf importable (driver AND Spark Python workers)
+    via the narrow vendor/protobuf_shim bridge to the Cloud SDK's
+    bundled pure-Python runtime — see vendor/protobuf_shim/google/
+    __init__.py. No-op where protobuf is really installed or the SDK
+    copy is absent. Must run BEFORE the Spark JVM starts so workers
+    inherit PYTHONPATH."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return
+    except ImportError:
+        pass
+    shim = str(Path(__file__).resolve().parents[1] / "vendor" / "protobuf_shim")
+    if not (Path(shim) / "google" / "__init__.py").exists():
+        return
+    sys.path.insert(0, shim)
+    os.environ["PYTHONPATH"] = shim + os.pathsep + os.environ.get("PYTHONPATH", "")
+    os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
+
+
+_enable_protobuf_shim()
 
 from udacity_data_engineering_spark.session import TABLES, build_session
 

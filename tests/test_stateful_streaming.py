@@ -166,9 +166,10 @@ def test_transform_with_state_matches_batch(spark, sf_dir, tmp_path):
     as the batch groupBy (and as the applyInPandasWithState variant),
     over the RocksDB state store.
 
-    Skipped where protobuf is missing: the TWS state-server protocol
-    imports google.protobuf in the Python driver worker — an environment
-    dependency, not an engine one (same posture as the PIL decode test).
+    google.protobuf comes from vendor/protobuf_shim (wired in conftest
+    before the JVM starts, so workers inherit it via PYTHONPATH);
+    importorskip only fires where even the shim has no runtime to
+    bridge to.
     """
     import pytest
 

@@ -69,9 +69,10 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
 
     Caller must set ``spark.sql.streaming.stateStore.providerClass`` to
     ``ROCKSDB_PROVIDER`` before starting the query. The TWS state-server
-    protocol also needs ``google.protobuf`` in the Python environment
-    (absent in this container, so the parity test is skip-marked there —
-    applyInPandasWithState above is the fully-exercised path).
+    protocol needs ``google.protobuf`` in driver and worker Python envs;
+    this container has no protobuf package, so the test env bridges to
+    the Cloud SDK's bundled pure-Python runtime (vendor/protobuf_shim,
+    wired in tests/conftest.py) and the parity test runs for real.
     """
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
