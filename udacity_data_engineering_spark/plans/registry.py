@@ -121,8 +121,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_tumbling_agg",          # E13
     "q_session_window",        # E13
     "q_multimodal_decode",     # E15
-    "q_salted_agg",            # physical/skew
-    "q_salted_join",           # physical/skew
+    "q_salted_agg",            # physical/skew (q_salted_join is the same
+                               # family, hash-proven, rotated just past
+                               # the window in round 5 to make room for
+                               # E14's first declared slot below)
+    "q_streaming_dedup_watermark",  # E14 — real availableNow stream run,
+                                    # hash-proven via exact-redelivery
+                                    # injection (round 5)
     "q_stratified_mix",        # sampling / corpus mixing
     "q_cluster_centroids",     # embedding-housekeeping family (round 2;
                                # flagship TPC-H q_shipping_priority was
@@ -137,6 +142,7 @@ def all_queries() -> dict[str, Query]:
     import udacity_data_engineering_spark.functions  # noqa: F401
     import udacity_data_engineering_spark.operators  # noqa: F401
     import udacity_data_engineering_spark.sources  # noqa: F401
+    import udacity_data_engineering_spark.streaming.stream_queries  # noqa: F401
 
     missing = [n for n in DRIVER_PRIORITY if n not in _REGISTRY]
     if missing:

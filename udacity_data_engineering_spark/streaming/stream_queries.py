@@ -1,0 +1,79 @@
+"""Declared (driver-checkable) streaming queries — E14 (SURVEY.md §2B).
+
+The rest of E14 is proven by tests/test_streaming.py's batch/stream
+parity suite; this module additionally surfaces the streaming-ingest
+dedup path as a *declared query* the driver can hash-prove against a
+DuckDB oracle. The trick that makes a probabilistically-ordered
+streaming operator hash-provable: inject EXACT full-row redeliveries
+(same event_id, same ts, same payload), so whichever physical copy
+``dropDuplicatesWithinWatermark`` keeps, the output multiset is the
+original events table — order- and survivor-insensitive.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from udacity_data_engineering_spark.plans.registry import register
+from udacity_data_engineering_spark.session import table
+from udacity_data_engineering_spark.streaming.event_stream import (
+    deduped_events,
+    run_available_now,
+    stream_events,
+)
+
+
+@register(
+    "q_streaming_dedup_watermark",
+    oracle="""
+        SELECT event_id, ts, user_id, event_type, value, props
+        FROM events
+    """,
+    doc="E14: streaming ingest dedup via dropDuplicatesWithinWatermark, "
+    "executed for real (file stream -> availableNow -> memory sink) over "
+    "a feed with deterministically injected exact redeliveries "
+    "(event_id % 7 == 0 rows appear twice). Exact copies make the output "
+    "survivor-insensitive, so the result equals the original events "
+    "table and hash-proves against SELECT * FROM events. State is "
+    "watermark-bounded (key state evicted once the watermark passes "
+    "ts + delay), the property that keeps this runnable forever at "
+    "100 TB/day where streaming dropDuplicates' unbounded state cannot.",
+    tags=("E14", "streaming", "dedup"),
+)
+def q_streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    # at-least-once redelivery: every 7th event is delivered twice,
+    # byte-identical — the kafka-redelivery / file-replay-overlap shape
+    feed = ev.unionAll(ev.where(F.col("event_id") % 7 == 0))
+
+    run_id = uuid.uuid4().hex[:12]
+    tmp = tempfile.mkdtemp(prefix=f"stream_dedup_{run_id}_")
+    feed_dir = os.path.join(tmp, "feed")
+    # a handful of files, all consumed in ONE availableNow micro-batch
+    # (no maxFilesPerTrigger): within a single batch the first-batch
+    # watermark is still epoch-0, so no row can be late-dropped and the
+    # output multiset is fully deterministic. A multi-batch replay of
+    # historical data could legitimately late-drop BOTH copies of an old
+    # event (correct streaming semantics, but not oracle-comparable).
+    feed.coalesce(4).write.mode("overwrite").parquet(feed_dir)
+
+    sink = f"stream_dedup_sink_{run_id}"
+    run_available_now(
+        deduped_events(stream_events(spark, feed_dir)),
+        sink,
+        os.path.join(tmp, "ckpt"),
+        output_mode="append",
+    )
+    return spark.table(sink).select(
+        "event_id",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
