@@ -1,0 +1,162 @@
+"""Constrained-memory spill probe: prove the heaviest operator shapes
+DEGRADE GRACEFULLY (spill to disk and finish) instead of OOMing when the
+executor heap is a fraction of the working set.
+
+At 100 TB per-executor memory is always smaller than the data; every
+shuffle/sort/agg must be able to spill. Local mode can't vary executor
+count, but it CAN vary the one thing that matters: heap per core. A
+2 GiB JVM driving 32 task threads gives ~35 MiB of execution memory per
+task slot — far below the 10x-replica working set, forcing Spark's
+UnsafeExternalSorter / ExternalAppendOnlyUnsafeRowArray spill paths.
+
+The probe runs the heaviest declared shapes (MinHash dedup-survivors and
+semantic dedup at sf0.1, plus sort / high-cardinality agg / sort-merge
+join on the 10x replica) and reports wall time and the stage-level
+memoryBytesSpilled / diskBytesSpilled totals from the status REST API.
+Success = rc 0 AND nonzero spill (the constraint actually bound) —
+recorded in SCALE.md.
+
+Usage: python scripts/spill_probe.py [heap, default 2g]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+import urllib.request
+from pathlib import Path
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from udacity_data_engineering_spark.session import configure, table
+
+SF_DIR = "/root/testdata/sf0.1"
+UI_PORT = 4049
+
+
+def build_constrained_session(heap: str) -> SparkSession:
+    # build_session disables the UI; the probe needs it for spill metrics,
+    # and the heap is the experiment variable — so build directly, then
+    # apply the same runtime confs through configure().
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName(f"spill-probe-{heap}")
+        .config("spark.driver.memory", heap)
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "true")
+        .config("spark.ui.port", str(UI_PORT))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+    return configure(spark)
+
+
+def rest_spill_totals() -> dict[str, int]:
+    base = f"http://localhost:{UI_PORT}/api/v1"
+    apps = json.load(urllib.request.urlopen(f"{base}/applications"))
+    app_id = apps[0]["id"]
+    stages = json.load(urllib.request.urlopen(f"{base}/applications/{app_id}/stages"))
+    return {
+        "memoryBytesSpilled": sum(s.get("memoryBytesSpilled", 0) for s in stages),
+        "diskBytesSpilled": sum(s.get("diskBytesSpilled", 0) for s in stages),
+        "stages": len(stages),
+    }
+
+
+def main() -> int:
+    heap = sys.argv[1] if len(sys.argv) > 1 else "2g"
+    spark = build_constrained_session(heap)
+
+    # 10x replica (shared with scale_probe.py; build it there first)
+    big_base = "/tmp/scale_probe_x10"
+    have_replica = Path(f"{big_base}/_done").exists()
+
+    from udacity_data_engineering_spark.plans.registry import all_queries
+
+    manifest = all_queries()
+    results: dict[str, float] = {}
+
+    def run(name, thunk):
+        t0 = time.time()
+        n = thunk()
+        results[name] = round(time.time() - t0, 1)
+        print(f"done {name}: {n} rows in {results[name]}s", flush=True)
+
+    # the two heaviest declared pipelines, exactly as the driver runs them
+    run("q_minhash_dedup_survivors", lambda: len(manifest["q_minhash_dedup_survivors"].fn(spark, SF_DIR).collect()))
+    run("q_semantic_dedup", lambda: len(manifest["q_semantic_dedup"].fn(spark, SF_DIR).collect()))
+
+    if have_replica:
+        li = spark.read.parquet(f"{big_base}/lineitem")   # 6M rows
+        od = spark.read.parquet(f"{big_base}/orders")     # 1.5M rows
+        # global sort: the classic spill shape — write so the sort cannot
+        # be optimized away. Writer row groups are shrunk to 8 MiB: parquet
+        # write buffers are UNMANAGED memory (they cannot spill), and at the
+        # default 128 MiB block size, 32 concurrent writer tasks alone need
+        # ~4 GiB of heap — that is writer-concurrency headroom, not a spill
+        # question (the 512m probe run proved it by OOMing in
+        # FileFormatWriter, not in the sort). Rule of thumb recorded in
+        # SCALE.md: reserve cores x parquet.block.size heap for write stages.
+        run(
+            "replica_global_sort_write",
+            lambda: li.orderBy("l_shipdate", "l_orderkey")
+            .write.mode("overwrite")
+            .option("parquet.block.size", 8 * 1024 * 1024)
+            .parquet("/tmp/spill_probe_sorted"),
+        )
+        # high-cardinality hash agg: ~1.5M groups per partition working set
+        run(
+            "replica_highcard_agg",
+            lambda: li.groupBy("l_orderkey")
+            .agg(F.sum("l_extendedprice"), F.count(F.lit(1)))
+            .count(),
+        )
+        # sort-merge join of the two replicas (both sides over the heap)
+        run(
+            "replica_sortmerge_join",
+            lambda: li.hint("merge")
+            .join(od, li.l_orderkey == od.o_orderkey)
+            .select(od.o_orderdate, li.l_extendedprice)
+            .count(),
+        )
+        # COARSE-partition variants: 6M rows through 4 partitions means
+        # ~300 MiB of sort working set per task — guaranteed to exceed any
+        # per-task slice of a small heap. This is the per-task shape of a
+        # real 100 TB stage (tasks sized in the hundreds of MiB), so the
+        # spill path, not the happy path, is what runs here.
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        run(
+            "replica_global_sort_p4_write",
+            lambda: li.orderBy("l_shipdate", "l_orderkey")
+            .write.mode("overwrite")
+            .option("parquet.block.size", 8 * 1024 * 1024)
+            .parquet("/tmp/spill_probe_sorted_p4"),
+        )
+        run(
+            "replica_sortmerge_join_p4",
+            lambda: li.hint("merge")
+            .join(od, li.l_orderkey == od.o_orderkey)
+            .select(od.o_orderdate, li.l_extendedprice)
+            .count(),
+        )
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+    else:
+        print("NOTE: 10x replica missing; run scripts/scale_probe.py first", flush=True)
+
+    spill = rest_spill_totals()
+    out = {
+        "heap": heap,
+        "timings_s": results,
+        **spill,
+        "replica": have_replica,
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
