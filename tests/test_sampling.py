@@ -76,3 +76,31 @@ def test_hash_pct_no_overflow_above_2_32(spark):
             f"SELECT ((({k} % 2147483648) * 2654435761) % 4294967296) % 100"
         ).fetchone()[0]
         assert got[k] == want, (k, got[k], want)
+
+
+def test_temperature_mix_flattens_distribution(spark, sf_dir):
+    """T=2 mixing must pull every domain's sampled share toward uniform:
+    over-represented langs get rate < 1, the rarest lang keeps the most.
+    Compares max/min share ratio before vs after — after must be flatter."""
+    from udacity_data_engineering_spark.operators.sampling import q_temperature_mix
+    from udacity_data_engineering_spark.session import table
+
+    docs = table(spark, sf_dir, "documents")
+    nat = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    mixed = q_temperature_mix(spark, sf_dir)
+    got = {r["lang"]: r["n"] for r in mixed.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(got) == set(nat)  # no domain dropped entirely
+    skew = lambda d: max(d.values()) / min(d.values())
+    assert skew(got) < skew(nat), (nat, got)
+
+
+def test_temperature_rates_clamped_and_integer(spark, sf_dir):
+    from udacity_data_engineering_spark.operators.sampling import temperature_rates
+    from udacity_data_engineering_spark.session import table
+
+    docs = table(spark, sf_dir, "documents")
+    rates = temperature_rates(docs, "lang").collect()
+    assert all(0 <= r["thr"] <= 100 for r in rates), rates
+    # a budget_frac of 0.5 with T=2 upweighting must clamp no rate above 100
+    # while keeping at least one domain below 100 (something is downsampled)
+    assert any(r["thr"] < 100 for r in rates), rates

@@ -84,3 +84,83 @@ def q_stratified_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(hash_pct(F.col("doc_id")) < rate).select(
         "doc_id", "lang", "source"
     )
+
+
+def temperature_rates(
+    docs: DataFrame, domain: str, temperature: float = 2.0, budget_frac: float = 0.5
+) -> DataFrame:
+    """Per-domain keep-rate thresholds for temperature-scaled mixing.
+
+    The standard multilingual/data-mix reweighting: sample domains with
+    probability q_i ∝ p_i^(1/T) instead of their natural share p_i, so a
+    T > 1 flattens the distribution toward low-resource domains. Given a
+    row budget B = budget_frac * N, the per-domain Bernoulli keep rate is
+    ``min(1, q_i * B / n_i)``, emitted as an integer percent threshold
+    ``thr`` for the deterministic hash filter.
+
+    Engine-portability note: with T=2 the exponent is a square root, and
+    sqrt / * / / / floor are all correctly-rounded IEEE-754 ops, so the
+    thresholds are bit-identical in any engine (an arbitrary pow(x, 1/T)
+    is NOT correctly rounded and could flip a floor boundary). The
+    domain-count aggregate is a handful of rows; everything downstream of
+    it is a broadcast join + scan-side predicate.
+    """
+    if temperature != 2.0:
+        raise ValueError(
+            "temperature_rates pins T=2 (sqrt) for cross-engine bit-exact "
+            "thresholds; generalize with round-before-floor if you need "
+            "other temperatures"
+        )
+    from pyspark.sql.window import Window
+
+    counts = docs.groupBy(domain).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    everything = Window.partitionBy()  # counts is domain-cardinality tiny
+    wt = F.sqrt(F.col("n"))
+    rate = F.least(
+        F.lit(1.0),
+        wt / F.sum(wt).over(everything)
+        * F.sum("n").over(everything) * F.lit(budget_frac) / F.col("n"),
+    )
+    return counts.select(
+        F.col(domain), F.floor(F.lit(100) * rate).cast("int").alias("thr")
+    )
+
+
+@register(
+    "q_temperature_mix",
+    oracle="""
+        WITH c AS (
+            SELECT lang, CAST(count(*) AS DOUBLE) AS n
+            FROM documents GROUP BY lang
+        ),
+        r AS (
+            SELECT lang,
+                   CAST(floor(100 * least(
+                       1.0,
+                       sqrt(n) / sum(sqrt(n)) OVER ()
+                       * sum(n) OVER () * 0.5 / n
+                   )) AS INT) AS thr
+            FROM c
+        )
+        SELECT d.doc_id, d.lang, r.thr
+        FROM documents d JOIN r ON d.lang = r.lang
+        WHERE ((d.doc_id % 2147483648) * 2654435761) % 4294967296 % 100 < r.thr
+    """,
+    doc="Temperature-scaled corpus mixing (T=2, budget 50%): domain "
+    "keep-rates ∝ share^(1/T) / share, normalized to the row budget — "
+    "the standard low-resource-language upweighting. Rates come from a "
+    "domain-cardinality aggregate (tiny), broadcast-joined back; "
+    "membership is the same Knuth-hash scan predicate as "
+    "q_stratified_mix, so the cut is reproducible on any partitioning. "
+    "T=2 keeps every float op correctly-rounded (sqrt), making the "
+    "integer thresholds bit-identical across engines.",
+    tags=("sampling", "llm-pipeline"),
+)
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    rates = temperature_rates(docs, "lang", temperature=2.0, budget_frac=0.5)
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .filter(hash_pct(F.col("doc_id")) < F.col("thr"))
+        .select("doc_id", "lang", "thr")
+    )

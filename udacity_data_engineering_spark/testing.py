@@ -47,3 +47,30 @@ def compare(spark_rows, spark_cols, oracle_rows, oracle_cols) -> list[str]:
             extra_o = [k for k in om if om[k] != sm.get(k, 0)][:3]
             problems.append(f"values spark-only={extra_s} oracle-only={extra_o}")
     return problems
+
+
+def chaos_fail_first_attempt(df, partitions=(0,)):
+    """Chaos-testing wrapper: an identity ``mapInPandas`` stage that raises
+    on the FIRST attempt of the given partition ids and succeeds on retry.
+
+    Proves the everyday 100 TB failure mode locally: tasks die (preemption,
+    OOM-kill, node loss) and Spark recomputes them — results must be
+    IDENTICAL, which holds only if every kernel in the lineage is
+    deterministic and side-effect-free per partition. Requires a master
+    with task retries enabled, e.g. ``local[8, 2]`` (the second number is
+    maxFailures; the default local master would fail the whole job).
+    """
+    parts = set(partitions)
+
+    def gen(batches):
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        if ctx.partitionId() in parts and ctx.attemptNumber() == 0:
+            raise RuntimeError(
+                f"chaos: injected first-attempt failure in partition "
+                f"{ctx.partitionId()}"
+            )
+        yield from batches
+
+    return df.mapInPandas(gen, schema=df.schema)
