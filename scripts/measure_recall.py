@@ -178,14 +178,18 @@ Reading the numbers:
   and missed pairs are the pairs near the threshold.
 - **SimHash** banding is exhaustive for Hamming<=3 by pigeonhole
   (4 bands, <=3 differing bits => one band identical) — recall is
-  exactly 1.0 *provided no bucket exceeds the cap*. An 8-bit band has
-  only 256 keys, so bucket sizes grow linearly with the corpus: with
-  the minhash-sized cap (100) this measurement read 0.081 at sf0.1
-  (56 capped buckets, 2.6M dropped candidate pairs — caught by the
-  round-5 drop accounting, q_neardup_drop_accounting). The production
-  cap is SIMHASH_BUCKET_CAP=5000, sized to the band keyspace; past
-  ~100k docs the 32-bit/4-band scheme saturates regardless — use
-  wider bands or MinHash, and watch the accounting for n_capped > 0.
+  exactly 1.0 *provided no clique or bucket exceeds the cap*. History:
+  the original 32-bit signature's 8-bit bands had only 256 keys, so
+  bucket sizes grew linearly with the corpus and the minhash-sized cap
+  (100) read recall 0.081 at sf0.1 (56 capped buckets, 2.6M dropped
+  candidate pairs — caught by the round-5 drop accounting,
+  q_neardup_drop_accounting). Round 5 moved to the classic 64-bit /
+  4x16-bit-band design (Manku et al., WWW'07): 65,536 keys per band,
+  identical signatures collapsed before banding, packed two-long
+  signatures verified via bit_count(xor). The production cap is
+  SIMHASH_BUCKET_CAP=5000 distinct signatures per band bucket (and
+  docs per identical-sig clique); watch the accounting for
+  n_capped > 0.
 - **Embedding LSH** analytic floor on this data: per-plane agreement
   p = 1 - theta/pi with theta ~ 66deg at cosine 0.4 -> ~0.63;
   1-(1-p^4)^12 ~ 0.87.

@@ -100,12 +100,20 @@ def test_minhash_stats_report_crafted_hot_bucket(spark):
 
 
 def test_simhash_stats_report_crafted_hot_bucket(spark):
+    """8 identical docs are ONE signature clique (identical sigs are
+    collapsed before banding), so the cap frontier is the clique itself:
+    over-cap -> the clique's 8 docs and C(8,2) pairs are reported
+    dropped, and the candidate path emits nothing."""
     docs = _hot_docs(spark, 8)
     stats = simhash_candidate_stats(docs, cap=5).first()
     assert stats.path == "simhash_lsh"
-    assert stats.n_capped == 4  # all 4 bands hot
-    assert stats.dropped_rows == 32
-    assert stats.dropped_pairs == 4 * 28
+    assert stats.n_capped == 1  # the 8-doc clique, not 4 band buckets
+    assert stats.dropped_rows == 8
+    assert stats.dropped_pairs == 28
+    assert stats.max_group == 8
+    assert simhash_candidates(docs, cap=5).count() == 0  # dropped, accounted
+    ok = simhash_candidate_stats(docs, cap=100).first()
+    assert ok.n_capped == 0 and ok.dropped_pairs == 0
     assert simhash_candidates(docs).count() == 28  # production cap covers it
 
 

