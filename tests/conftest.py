@@ -27,7 +27,10 @@ def _enable_protobuf_shim() -> None:
     if not (Path(shim) / "google" / "__init__.py").exists():
         return
     sys.path.insert(0, shim)
-    os.environ["PYTHONPATH"] = shim + os.pathsep + os.environ.get("PYTHONPATH", "")
+    # no trailing empty component when PYTHONPATH was unset — "shim:"
+    # would add cwd to every worker/subprocess import path
+    existing = os.environ.get("PYTHONPATH", "")
+    os.environ["PYTHONPATH"] = shim + (os.pathsep + existing if existing else "")
     os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
 
 

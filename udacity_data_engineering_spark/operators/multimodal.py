@@ -151,13 +151,15 @@ def frame_sample(df: DataFrame, n_frames: int = 4) -> DataFrame:
     n = int(n_frames)
     # Exact integer DIV for the boundaries (not double division + cast):
     # [i*L DIV n, (i+1)*L DIV n) holds for ANY n, not just powers of two.
+    # i and length() are INTs — promote to BIGINT before the multiply so a
+    # multi-GB payload cannot ANSI-overflow (i * 750MB already exceeds 2^31)
     frames = F.expr(
         f"""transform(sequence(0, {n - 1}), i -> struct(
             CAST(i AS INT) AS frame_id,
             substring(content,
-                9 + CAST((i * (length(content) - 8)) DIV {n} AS INT),
-                CAST(((i + 1) * (length(content) - 8)) DIV {n} AS INT)
-                  - CAST((i * (length(content) - 8)) DIV {n} AS INT)
+                9 + CAST((CAST(i AS BIGINT) * (length(content) - 8)) DIV {n} AS INT),
+                CAST((CAST(i + 1 AS BIGINT) * (length(content) - 8)) DIV {n} AS INT)
+                  - CAST((CAST(i AS BIGINT) * (length(content) - 8)) DIV {n} AS INT)
             ) AS frame))"""
     )
     return df.select("path", F.explode(frames).alias("f")).select(

@@ -167,6 +167,32 @@ def hamming(a: Column, b: Column) -> Column:
 SIMHASH_BUCKET_CAP = 5000
 
 
+def simhash_groups(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(lo, hi, ids): one row per distinct packed 64-bit signature with
+    its sorted member doc ids — the ONE definition of the signature +
+    clique grouping, shared by simhash_candidates and its stats
+    companion so the audit can never drift from the audited path."""
+    sig = spread(docs).select(
+        F.col(id_col).alias("doc_id"), simhash64_packed(F.col(text_col)).alias("s")
+    ).select("doc_id", "s.lo", "s.hi")
+    return sig.groupBy("lo", "hi").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ids")
+    )
+
+
+def simhash_banded(groups: DataFrame) -> DataFrame:
+    """Explode signature groups into (lo, hi, ids, band_id, band_key)
+    bucketing rows — the shared banding definition."""
+    return groups.select(
+        "lo",
+        "hi",
+        "ids",
+        F.explode(packed_band_keys(F.col("lo"), F.col("hi"))).alias("b"),
+    ).select("lo", "hi", "ids", "b.band_id", "b.band_key")
+
+
 def simhash_candidates(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -201,14 +227,7 @@ def simhash_candidates(
     verify volume, not banding, dominates."""
     if bands != 4:
         raise ValueError("packed simhash banding is fixed at 4 x 16 bits")
-    sig = spread(docs).select(
-        F.col(id_col).alias("doc_id"), simhash64_packed(F.col(text_col)).alias("s")
-    ).select("doc_id", "s.lo", "s.hi")
-    groups = (
-        sig.groupBy("lo", "hi")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") <= cap)
-    )
+    groups = simhash_groups(docs, id_col, text_col).filter(F.size("ids") <= cap)
     # intra-clique pairs (identical sigs, Hamming 0): double-explode of
     # the member array — streams m^2 pairs without ever materializing a
     # C(m,2) pair array in one row
@@ -223,9 +242,7 @@ def simhash_candidates(
             F.lit(0).alias("hamming"),
         )
     )
-    banded = groups.select(
-        "lo", "hi", "ids", F.explode(packed_band_keys(F.col("lo"), F.col("hi"))).alias("b")
-    ).select("lo", "hi", "ids", "b.band_id", "b.band_key")
+    banded = simhash_banded(groups)
     # ordered by group min-id (unique per signature group), so pairs come
     # out canonically oriented and the same group pair seen in several
     # bands collapses in ONE distinct — before the member expansion,
@@ -272,6 +289,8 @@ def exact_hamming_pairs(
         .select(F.col(id_col).alias("doc_id"), simhash64(F.col(text_col)).alias("sig"))
         .collect()
     )
+    if not sig:
+        return set()
     ids = np.array([r.doc_id for r in sig], dtype=np.int64)
     bits = np.array([r.sig for r in sig], dtype=np.int32)
     ones = bits.sum(axis=1)
@@ -461,18 +480,16 @@ def simhash_candidate_stats(
 
     if bands != 4:
         raise ValueError("packed simhash banding is fixed at 4 x 16 bits")
-    sig = spread(docs).select(
-        F.col(id_col).alias("doc_id"), simhash64_packed(F.col(text_col)).alias("s")
-    ).select("doc_id", "s.lo", "s.hi")
-    clique = candidate_stats(sig, ["lo", "hi"], cap=cap, path="simhash_lsh")
-    groups = (
-        sig.groupBy("lo", "hi")
-        .agg(F.count(F.lit(1)).alias("m"))
-        .filter(F.col("m") <= cap)
+    groups = simhash_groups(docs, id_col, text_col)
+    clique = candidate_stats(
+        groups.select("lo", "hi", F.explode("ids").alias("doc_id")),
+        ["lo", "hi"],
+        cap=cap,
+        path="simhash_lsh",
     )
-    banded = groups.select(
-        F.explode(packed_band_keys(F.col("lo"), F.col("hi"))).alias("b")
-    ).select("b.band_id", "b.band_key")
+    banded = simhash_banded(groups.filter(F.size("ids") <= cap)).select(
+        "band_id", "band_key"
+    )
     bucket = candidate_stats(
         banded, ["band_id", "band_key"], cap=cap, path="simhash_lsh"
     )
@@ -567,12 +584,18 @@ def q_neardup_drop_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_candidate_stats,
     )
 
+    from udacity_data_engineering_spark.operators.ann import cached_ivf_index
+
     docs = table(spark, sf_dir, "documents")
     emb = table(spark, sf_dir, "embeddings")
+    # reuse the session's cached k-means assignment (same k/seed as
+    # semantic_dedup) — the audit must stay cheaper than the jobs it
+    # audits, not retrain the clustering
+    assigned, _ = cached_ivf_index(spark, sf_dir, emb)
     return (
         embedding_neardup_lsh_stats(emb)
         .unionByName(minhash_candidate_stats(docs))
-        .unionByName(semantic_pairs_stats(emb))
+        .unionByName(semantic_pairs_stats(emb, assigned=assigned))
         .unionByName(simhash_candidate_stats(docs))
         .orderBy("path")
     )

@@ -99,11 +99,17 @@ def temperature_rates(
     ``thr`` for the deterministic hash filter.
 
     Engine-portability note: with T=2 the exponent is a square root, and
-    sqrt / * / / / floor are all correctly-rounded IEEE-754 ops, so the
-    thresholds are bit-identical in any engine (an arbitrary pow(x, 1/T)
-    is NOT correctly rounded and could flip a floor boundary). The
-    domain-count aggregate is a handful of rows; everything downstream of
-    it is a broadcast join + scan-side predicate.
+    sqrt / * / / / floor are all correctly-rounded IEEE-754 ops (an
+    arbitrary pow(x, 1/T) is NOT). The one op that is *not*
+    order-deterministic is sum(sqrt(n)) — float addition is
+    non-associative and aggregation order varies by engine and
+    partitioning — so the floor gets a +1e-9 guard: a last-ulp
+    (~1e-16 relative) reassociation difference can then never flip a
+    threshold unless 100*rate sits within 1e-9 of an integer from
+    below, which the committed fixtures do not (and the oracle applies
+    the identical guard). The domain-count aggregate is a handful of
+    rows; everything downstream of it is a broadcast join + scan-side
+    predicate.
     """
     if temperature != 2.0:
         raise ValueError(
@@ -122,7 +128,8 @@ def temperature_rates(
         * F.sum("n").over(everything) * F.lit(budget_frac) / F.col("n"),
     )
     return counts.select(
-        F.col(domain), F.floor(F.lit(100) * rate).cast("int").alias("thr")
+        F.col(domain),
+        F.floor(F.lit(100) * rate + F.lit(1e-9)).cast("int").alias("thr"),
     )
 
 
@@ -139,7 +146,7 @@ def temperature_rates(
                        1.0,
                        sqrt(n) / sum(sqrt(n)) OVER ()
                        * sum(n) OVER () * 0.5 / n
-                   )) AS INT) AS thr
+                   ) + 1e-9) AS INT) AS thr
             FROM c
         )
         SELECT d.doc_id, d.lang, r.thr
@@ -152,8 +159,9 @@ def temperature_rates(
     "domain-cardinality aggregate (tiny), broadcast-joined back; "
     "membership is the same Knuth-hash scan predicate as "
     "q_stratified_mix, so the cut is reproducible on any partitioning. "
-    "T=2 keeps every float op correctly-rounded (sqrt), making the "
-    "integer thresholds bit-identical across engines.",
+    "T=2 keeps every per-value float op correctly-rounded (sqrt); the "
+    "one order-dependent op (the float sum of weights) is absorbed by a "
+    "1e-9 floor guard applied identically on both engines.",
     tags=("sampling", "llm-pipeline"),
 )
 def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:

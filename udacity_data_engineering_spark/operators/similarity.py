@@ -363,9 +363,11 @@ def candidate_stats(
             "dropped_rows"
         ),
         F.coalesce(
+            # integer DIV, not float /: m*(m-1)/2 through a double loses
+            # exactness past m ~ 9.5e7 — the accounting must stay exact
+            # at any group size the cap comment plans for
             F.sum(
-                F.when(over, (F.col("m") * (F.col("m") - 1) / 2).cast("long"))
-                .otherwise(0)
+                F.when(over, F.expr("(m * (m - 1)) DIV 2")).otherwise(F.lit(0))
             ),
             z,
         ).alias("dropped_pairs"),
@@ -374,6 +376,30 @@ def candidate_stats(
     if path is not None:
         stats = stats.select(F.lit(path).alias("path"), "*")
     return stats
+
+
+def minhash_banded(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(doc_id, band_id, band_key) bucketing rows — the ONE definition of
+    the MinHash banding, shared by minhash_candidates and its stats
+    companion so the audit can never drift from the audited path (the
+    same pattern as _lsh_bucketed for the embedding path)."""
+    r = num_hashes // bands
+    sig = spread(docs).select(
+        F.col(id_col).alias("doc_id"),
+        minhash_signature(shingles(F.col(text_col), shingle_n), num_hashes).alias(
+            "sig"
+        ),
+    )
+    return sig.select(
+        "doc_id", band_explode(F.col("sig"), bands, r).alias("b")
+    ).select("doc_id", "b.band_id", "b.band_key")
 
 
 def minhash_candidate_stats(
@@ -386,16 +412,7 @@ def minhash_candidate_stats(
     cap: int = 100,
 ) -> DataFrame:
     """Drop accounting for minhash_candidates: same banding, same cap."""
-    r = num_hashes // bands
-    sig = spread(docs).select(
-        F.col(id_col).alias("doc_id"),
-        minhash_signature(shingles(F.col(text_col), shingle_n), num_hashes).alias(
-            "sig"
-        ),
-    )
-    banded = sig.select(
-        "doc_id", band_explode(F.col("sig"), bands, r).alias("b")
-    ).select("doc_id", "b.band_id", "b.band_key")
+    banded = minhash_banded(docs, id_col, text_col, num_hashes, bands, shingle_n)
     return candidate_stats(
         banded, ["band_id", "band_key"], cap=cap, path="minhash_lsh"
     )
@@ -436,14 +453,7 @@ def minhash_candidates(
     single groupBy per bucket with triangular pair expansion
     (bucket_pairs). No doc×doc comparison and no signature recompute.
     """
-    r = num_hashes // bands
-    sig = spread(docs).select(
-        F.col(id_col).alias("doc_id"),
-        minhash_signature(shingles(F.col(text_col), shingle_n), num_hashes).alias("sig"),
-    )
-    banded = sig.select(
-        "doc_id", band_explode(F.col("sig"), bands, r).alias("b")
-    ).select("doc_id", "b.band_id", "b.band_key")
+    banded = minhash_banded(docs, id_col, text_col, num_hashes, bands, shingle_n)
     return (
         bucket_pairs(banded, ["band_id", "band_key"], F.col("doc_id"), cap=cap)
         .select(

@@ -122,7 +122,10 @@ def _peek_ts_dtype(path: str) -> str:
 
     first = None
     for dirpath, dirnames, filenames in os.walk(path):
-        dirnames.sort()
+        # prune hidden/commit-protocol dirs (_temporary, .staging, ...):
+        # an in-progress writer's uncommitted task file must never be the
+        # schema source
+        dirnames[:] = sorted(d for d in dirnames if not d.startswith(("_", ".")))
         hit = sorted(
             f for f in filenames
             if f.endswith(".parquet") and not f.startswith(("_", "."))
