@@ -54,10 +54,12 @@ def exact_hamming_pairs(spark, sf_dir, max_hamming=3):
     return _ehp(table(spark, sf_dir, "documents"), max_hamming=max_hamming)
 
 
-def topk_recall(spark, sf_dir, n_queries, k=10):
-    """Mean recall@k of IVF and PQ vs exact brute force, over the first
-    n_queries vec_ids. Exact ranking is computed driver-side in numpy
-    (measurement harness); the approximate paths run their real plans."""
+def topk_recall(spark, sf_dir, n_queries, k=10, nprobes=(4,), reranks=(50,)):
+    """Mean recall@k of IVF (per nprobe setting) and PQ (per rerank
+    setting) vs exact brute force, over the first n_queries vec_ids.
+    Exact ranking is computed driver-side in numpy (measurement
+    harness); the approximate paths run their real plans. Returns
+    ({nprobe: recall}, {rerank: recall}, n_queries)."""
     emb = table(spark, sf_dir, "embeddings")
     rows = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e")).collect()
     ids = np.array([r.vec_id for r in rows], dtype=np.int64)
@@ -70,7 +72,8 @@ def topk_recall(spark, sf_dir, n_queries, k=10):
     encoded = pq_encode(emb, books).cache()
 
     qids = sorted(by_id)[:n_queries]
-    ivf_hits = pq_hits = 0
+    ivf_hits = {p: 0 for p in nprobes}
+    pq_hits = {r: 0 for r in reranks}
     for qid in qids:
         qi = by_id[qid]
         sims = unit @ unit[qi]
@@ -78,23 +81,30 @@ def topk_recall(spark, sf_dir, n_queries, k=10):
         order = np.lexsort((ids, -sims))  # sim desc, vec_id asc tiebreak
         exact = {int(ids[j]) for j in order[:k]}
         qvec = [float(x) for x in mat[qi]]
-        ivf = {
-            r.vec_id
-            for r in ivf_topk(
-                emb, qvec, k_neighbors=k, exclude_vec_id=qid, index=index
-            ).collect()
-        }
-        pq = {
-            r.vec_id
-            for r in pq_topk(
-                encoded, emb, qvec, codebooks=books, k_neighbors=k,
-                exclude_vec_id=qid,
-            ).collect()
-        }
-        ivf_hits += len(exact & ivf)
-        pq_hits += len(exact & pq)
+        for p in nprobes:
+            ivf = {
+                r.vec_id
+                for r in ivf_topk(
+                    emb, qvec, k_neighbors=k, nprobe=p,
+                    exclude_vec_id=qid, index=index,
+                ).collect()
+            }
+            ivf_hits[p] += len(exact & ivf)
+        for rr in reranks:
+            pqr = {
+                r.vec_id
+                for r in pq_topk(
+                    encoded, emb, qvec, codebooks=books, k_neighbors=k,
+                    rerank=rr, exclude_vec_id=qid,
+                ).collect()
+            }
+            pq_hits[rr] += len(exact & pqr)
     n = len(qids) * k
-    return ivf_hits / n, pq_hits / n, len(qids)
+    return (
+        {p: h / n for p, h in ivf_hits.items()},
+        {r: h / n for r, h in pq_hits.items()},
+        len(qids),
+    )
 
 
 def main() -> int:
@@ -127,8 +137,12 @@ def main() -> int:
     sem = pair_set(semantic_pairs(emb, assigned=assigned), "vec_a", "vec_b")
     r_sem = len(sem & cos_truth) / len(cos_truth) if cos_truth else 1.0
 
-    # -- top-k ANN paths ----------------------------------------------
-    r_ivf, r_pq, nq = topk_recall(spark, sf, args.queries)
+    # -- top-k ANN paths (with the accuracy/cost knob sweeps) ----------
+    NPROBES, RERANKS = (2, 4, 8, 16), (25, 50, 100, 200)
+    ivf_curve, pq_curve, nq = topk_recall(
+        spark, sf, args.queries, nprobes=NPROBES, reranks=RERANKS
+    )
+    r_ivf, r_pq = ivf_curve[4], pq_curve[50]  # production defaults
 
     out = {
         "sf": sf,
@@ -167,6 +181,17 @@ Data: `{sf}` — {n_docs} documents, {n_emb} embeddings.
 | IVF top-10 (k=16, nprobe=4) | brute-force cosine top-10, {nq} queries | {r_ivf:.3f} | recall@10 | >=5/10 overlap (test_ann.py) |
 | PQ top-10 (8x16 codes, rerank 50) | brute-force cosine top-10, {nq} queries | {r_pq:.3f} | recall@10 | >=5/10 overlap (test_pq.py) |
 
+The ANN accuracy/cost knobs, measured on the same queries (cost scales
+linearly: nprobe/16 of the corpus scanned; rerank exact re-scores per
+query). The curves are how a user picks an operating point — recall at
+the exhaustive end of each knob is the sanity bound:
+
+| IVF nprobe (of 16 lists) | recall@10 | | PQ rerank depth | recall@10 |
+|---|---|---|---|---|
+""" + "".join(
+        f"| {p} | {ivf_curve[p]:.3f} | | {r} | {pq_curve[r]:.3f} |\n"
+        for p, r in zip(NPROBES, RERANKS)
+    ) + f"""
 Reading the numbers:
 
 - **MinHash** at Jaccard s has per-band collision p = s^4; at the 0.5
