@@ -7,6 +7,7 @@ from udacity_data_engineering_spark.streaming.event_stream import (  # noqa: F40
 )
 from udacity_data_engineering_spark.streaming.joins import (  # noqa: F401
     purchases_after_signup,
+    signups_with_conversion,
 )
 from udacity_data_engineering_spark.streaming.stateful import (  # noqa: F401
     running_user_totals,
