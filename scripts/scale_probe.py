@@ -121,11 +121,23 @@ def main() -> None:
         def sem():
             return semantic_dedup(emb, k=k_clusters).count()
 
+        def sh():
+            # the replica repeats every text FACTOR times with new ids, so
+            # this stresses exactly the clique path the 64-bit redesign
+            # added: FACTOR-sized identical-signature groups collapse to
+            # one banded row each, with intra pairs streamed per clique
+            from udacity_data_engineering_spark.operators.neardup import (
+                simhash_candidates,
+            )
+
+            return simhash_candidates(docs).count()
+
         return {
             "incremental_dedup": inc,
             "minhash_survivors": mh,
             "pq_train_encode": pq,
             "semantic_dedup": sem,
+            "simhash_candidates": sh,
         }
 
     results = {}

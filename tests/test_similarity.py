@@ -110,3 +110,33 @@ def test_regex_tokenizer(spark):
         regex_tokens(F.col("text")).alias("t")
     )
     assert df.collect()[0].t == ["Hello", ",", "world", "!", "42", "x"]
+
+
+def test_streamed_and_collected_pair_expansion_agree(spark):
+    """bucket_pairs (collect + triangular explode, small caps) and
+    bucket_pairs_streamed (linear member array + double explode, large
+    caps) must emit the same unordered pair multiset for the same
+    buckets — including dropping the same over-cap bucket."""
+    import random
+
+    from udacity_data_engineering_spark.operators.similarity import (
+        bucket_pairs,
+        bucket_pairs_streamed,
+    )
+
+    rng = random.Random(11)
+    rows = [(rng.randrange(6), i) for i in range(120)]  # bucket 6 sizes vary
+    df = spark.createDataFrame(rows, "bucket int, id long")
+    for cap in (5, 30, 200):
+        collected = {
+            tuple(sorted((r.a, r.b)))
+            for r in bucket_pairs(df, ["bucket"], F.col("id"), cap=cap).collect()
+        }
+        streamed = {
+            tuple(sorted((r.a, r.b)))
+            for r in bucket_pairs_streamed(
+                df, ["bucket"], F.col("id"), F.col("id"), cap=cap
+            ).collect()
+        }
+        assert streamed == collected, f"cap={cap}"
+    assert collected  # largest cap covers every bucket: non-empty
