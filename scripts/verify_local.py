@@ -29,9 +29,22 @@ def main() -> int:
     ap.add_argument("--sf", default="/root/testdata/sf0.001")
     ap.add_argument("-q", "--queries", default="")
     ap.add_argument("--skip-rows-only", action="store_true")
+    ap.add_argument(
+        "--stock",
+        action="store_true",
+        help="driver simulation: a STOCK SparkSession (local[5], default "
+        "200 shuffle partitions, none of this repo's confs) — the engine "
+        "must self-configure at runtime, exactly as under the external "
+        "driver; run from a cwd outside the repo for the full simulation",
+    )
     args = ap.parse_args()
 
-    spark = build_session(app_name="verify-local")
+    if args.stock:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[5]").getOrCreate()
+    else:
+        spark = build_session(app_name="verify-local")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
