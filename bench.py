@@ -166,6 +166,8 @@ def main() -> None:
         "q_vocab_topk", "q_ngram_counts", "q_text_normalize",
         "q_train_val_split", "q_cluster_centroids", "q_embedding_quantize",
         "q_corpus_pipeline",
+        "q_temperature_mix",
+        "q_streaming_dedup_watermark",
     ):
         best = float("inf")
         for _ in range(REPS):  # best-of-3, matching BASELINE.md methodology

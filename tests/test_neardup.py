@@ -107,3 +107,43 @@ def test_oracle_scale_guard_fires(spark, sf_dir, monkeypatch):
     monkeypatch.delenv("SPARK_GRAFT_ORACLE_MAX_ROWS")
     # within the default ceiling both still run
     assert all_queries()["q_embedding_neardup"].fn(spark, sf_dir).count() > 0
+
+
+def test_packed_signature_equals_array_signature(spark):
+    """simhash64_packed is a bijective packing of simhash64's bit array,
+    and hamming_packed(bit_count ^) equals the array-fold hamming — the
+    invariant that lets the candidates path run packed while the exact
+    ground truth (exact_hamming_pairs) stays on arrays."""
+    from udacity_data_engineering_spark.operators.neardup import (
+        hamming_packed,
+        simhash64,
+        simhash64_packed,
+    )
+
+    texts = [
+        ("alpha beta gamma delta epsilon",),
+        ("alpha beta gamma delta zeta",),
+        ("the quick brown fox jumps over the lazy dog",),
+        ("x",),
+        (" ".join(f"tok{i}" for i in range(100)),),
+    ]
+    df = spark.createDataFrame(texts, "text string").select(
+        simhash64(F.col("text")).alias("bits"),
+        simhash64_packed(F.col("text")).alias("p"),
+    )
+    rows = df.collect()
+    for r in rows:
+        lo = sum(b << i for i, b in enumerate(r.bits[:32]))
+        hi = sum(b << i for i, b in enumerate(r.bits[32:]))
+        assert (r.p.lo, r.p.hi) == (lo, hi), r.bits
+    # pairwise: packed hamming == array hamming for every pair
+    a = df.selectExpr("bits as ab", "p as ap")
+    b = df.selectExpr("bits as bb", "p as bp")
+    both = a.crossJoin(b).select(
+        hamming(F.col("ab"), F.col("bb")).alias("h_arr"),
+        hamming_packed(
+            F.col("ap.lo"), F.col("ap.hi"), F.col("bp.lo"), F.col("bp.hi")
+        ).alias("h_pack"),
+    )
+    for r in both.collect():
+        assert r.h_arr == r.h_pack
