@@ -13,6 +13,7 @@ original events table — order- and survivor-insensitive.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 import uuid
 
@@ -69,6 +70,10 @@ def q_streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(tmp, "ckpt"),
         output_mode="append",
     )
+    # the memory sink holds the result rows; the feed and checkpoint are
+    # only needed while the stream runs — don't leak a dir per invocation
+    # (on failure the artifacts are left in place for debugging)
+    shutil.rmtree(tmp, ignore_errors=True)
     return spark.table(sink).select(
         "event_id",
         F.col("ts").cast("timestamp_ntz").alias("ts"),
