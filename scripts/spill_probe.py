@@ -38,18 +38,38 @@ SF_DIR = "/root/testdata/sf0.1"
 UI_PORT = 4049
 
 
-def build_constrained_session(heap: str) -> SparkSession:
+def build_constrained_session(heap: str, slots: int = 32) -> SparkSession:
     # build_session disables the UI; the probe needs it for spill metrics,
-    # and the heap is the experiment variable — so build directly, then
-    # apply the same runtime confs through configure().
+    # and the heap (and task-slot count) are the experiment variables —
+    # so build directly, then apply the same runtime confs through
+    # configure(). slots is the fourth memory knob: spill machinery only
+    # bounds MANAGED memory, so heap must still cover slots x (codegen
+    # row intermediates + Arrow buffers + writer buffers); when it
+    # can't, the deployment answer is fewer concurrent tasks per GB,
+    # not more spilling.
     spark = (
-        SparkSession.builder.master("local[32]")
-        .appName(f"spill-probe-{heap}")
+        SparkSession.builder.master(f"local[{slots}]")
+        .appName(f"spill-probe-{heap}-{slots}")
         .config("spark.driver.memory", heap)
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.ui.enabled", "true")
         .config("spark.ui.port", str(UI_PORT))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # broadcast hash tables are built ON THE DRIVER HEAP and cannot
+        # spill: under a small heap, AQE's auto-broadcast conversion
+        # intermittently dies with "Not enough memory to build and
+        # broadcast" (observed at 1g on the 10x minhash pipeline). A
+        # memory-constrained deployment lowers the auto threshold so only
+        # genuinely tiny sides broadcast — explicit broadcast() hints in
+        # operators still apply. This knob IS one of the probe's findings.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(1024 * 1024))
+        # Arrow transfer buffers are the third unmanaged floor: the
+        # default 10k-rows-per-batch times 32 concurrent tasks times a
+        # shingle-exploded text payload is GBs of unspillable JVM
+        # allocation (observed OOM at 1g on the 10x minhash pipeline).
+        # Constrained deployments size batches to ~heap/(cores x row
+        # width), same reasoning as the parquet writer block size.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2000")
         .getOrCreate()
     )
     return configure(spark)
@@ -69,7 +89,8 @@ def rest_spill_totals() -> dict[str, int]:
 
 def main() -> int:
     heap = sys.argv[1] if len(sys.argv) > 1 else "2g"
-    spark = build_constrained_session(heap)
+    slots = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    spark = build_constrained_session(heap, slots)
 
     # 10x replica (shared with scale_probe.py; build it there first)
     big_base = "/tmp/scale_probe_x10"
@@ -144,12 +165,27 @@ def main() -> int:
             .count(),
         )
         spark.conf.set("spark.sql.shuffle.partitions", "32")
+        # the two heaviest PIPELINES on the 10x corpus under the same
+        # constrained heap: iterative components + per-cluster GEMMs must
+        # also degrade gracefully, not just the relational shapes
+        from udacity_data_engineering_spark.operators.components import (
+            neardup_survivors,
+        )
+        from udacity_data_engineering_spark.operators.semdedup import semantic_dedup
+
+        docs_big = spark.read.parquet(f"{big_base}/documents")
+        emb_big = spark.read.parquet(f"{big_base}/embeddings")
+        run("replica_minhash_survivors", lambda: neardup_survivors(docs_big).count())
+        # k scaled 16 -> 160 with the corpus, the documented SemDeDup
+        # discipline (per-cluster GEMM work stays constant)
+        run("replica_semantic_dedup", lambda: semantic_dedup(emb_big, k=160).count())
     else:
         print("NOTE: 10x replica missing; run scripts/scale_probe.py first", flush=True)
 
     spill = rest_spill_totals()
     out = {
         "heap": heap,
+        "slots": slots,
         "timings_s": results,
         **spill,
         "replica": have_replica,
