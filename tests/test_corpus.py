@@ -128,3 +128,29 @@ def test_word_ngrams_custom_and_regex_special_sep(spark):
     assert df2.select(
         word_ngrams(F.col("text"), 2).alias("g")
     ).first().g == ["x y", "y z"]
+
+
+def test_quality_classifier_separates_and_orders_sensibly(spark, sf_dir):
+    """The fused-SQL classifier must actually separate the corpus (both
+    labels present) and score in the right direction: more stopwords
+    (natural prose) raises the score, more repetition lowers it."""
+    from udacity_data_engineering_spark.operators.quality import (
+        classifier_score,
+        gopher_signals,
+    )
+    from udacity_data_engineering_spark.session import table
+
+    scored = classifier_score(gopher_signals(table(spark, sf_dir, "documents")))
+    labels = {r.keep for r in scored.select("keep").distinct().collect()}
+    assert labels == {True, False}
+
+    prose = "the cat sat on the mat and then the dog was in the house"
+    spam = "buy buy buy buy buy buy buy buy buy buy buy buy buy buy"
+    df = spark.createDataFrame(
+        [(1, prose), (2, spam)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r.score
+        for r in classifier_score(gopher_signals(df)).collect()
+    }
+    assert got[1] > got[2], got

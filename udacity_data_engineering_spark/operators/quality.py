@@ -111,6 +111,85 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sig.withColumn("n_words", F.col("n_words").cast("int"))
 
 
+#: Distilled linear quality classifier — fixed weights over the Gopher
+#: signals, the fastText-style "model-based quality filter" stage of a
+#: pretraining pipeline, executed as PURE fused SQL expressions (no UDF,
+#: no model server; cf. the operator-fusion-in-SQL inference pattern,
+#: ICDE 2025 in PAPERS.md). At 100 TB this is the difference between a
+#: scan-speed filter and shipping every document through Python.
+QUALITY_CLF = {
+    "bias": -2.6,
+    "n_words": 0.01,  # applied to least(n_words, 1000)
+    "mean_word_len": 0.5,
+    "stopword_frac": 20.0,  # natural-prose signal, strongest weight
+    "top_token_frac": -15.0,  # repetition penalty
+}
+
+
+def classifier_score(sig: DataFrame) -> DataFrame:
+    """Logistic score over the (already 6-rounded) Gopher signal columns.
+
+    Determinism contract: the inputs are identically rounded on any
+    engine, the linear term is exact IEEE arithmetic, and only exp() is
+    libm-dependent — so the score is rounded to 6 decimals and the label
+    derives from the ROUNDED score, keeping both hash-comparable."""
+    w = QUALITY_CLF
+    z = (
+        F.lit(w["bias"])
+        + F.lit(w["n_words"]) * F.least(F.col("n_words").cast("double"), F.lit(1000.0))
+        + F.lit(w["mean_word_len"]) * F.col("mean_word_len")
+        + F.lit(w["stopword_frac"]) * F.col("stopword_frac")
+        + F.lit(w["top_token_frac"]) * F.col("top_token_frac")
+    )
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    return sig.select(
+        "doc_id", score.alias("score"), (score >= 0.5).alias("keep")
+    )
+
+
+@register(
+    "q_quality_classifier",
+    oracle=f"""
+        WITH sig AS (
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS n_words,
+                   round((length(text) - len(string_split(text, ' ')) + 1.0)
+                         / len(string_split(text, ' ')), 6) AS mean_word_len,
+                   round(CAST(len(list_filter(string_split(text, ' '),
+                         t -> list_contains({list(STOPWORDS)}, t))) AS DOUBLE)
+                         / len(string_split(text, ' ')), 6) AS stopword_frac,
+                   round(CAST(list_max(list_transform(
+                         list_distinct(string_split(text, ' ')),
+                         d -> len(list_filter(string_split(text, ' '),
+                                  t -> t = d)))) AS DOUBLE)
+                         / len(string_split(text, ' ')), 6) AS top_token_frac
+            FROM documents
+        ),
+        scored AS (
+            SELECT doc_id,
+                   round(1.0 / (1.0 + exp(-(
+                       {QUALITY_CLF["bias"]}
+                       + {QUALITY_CLF["n_words"]} * least(CAST(n_words AS DOUBLE), 1000.0)
+                       + {QUALITY_CLF["mean_word_len"]} * mean_word_len
+                       + {QUALITY_CLF["stopword_frac"]} * stopword_frac
+                       + {QUALITY_CLF["top_token_frac"]} * top_token_frac
+                   ))), 6) AS score
+            FROM sig
+        )
+        SELECT doc_id, score, (score >= 0.5) AS keep FROM scored
+    """,
+    doc="Model-based quality filtering as pure fused SQL: a fixed-weight "
+    "logistic classifier over the Gopher signals, scored inside the scan "
+    "projection — no UDF, no Python, no model server; inference IS the "
+    "query (the operator-fusion-in-SQL pattern). Signals are rounded "
+    "identically on both engines; the label derives from the rounded "
+    "score, so the query hash-proves despite libm exp().",
+    tags=("E10", "quality", "llm-pipeline"),
+)
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return classifier_score(gopher_signals(table(spark, sf_dir, "documents")))
+
+
 def repetition_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Duplicate-token fraction + top-bigram coverage, per-row JVM-side."""
     toks = _toks(F.col(text_col))
