@@ -104,3 +104,27 @@ def test_temperature_rates_clamped_and_integer(spark, sf_dir):
     # a budget_frac of 0.5 with T=2 upweighting must clamp no rate above 100
     # while keeping at least one domain below 100 (something is downsampled)
     assert any(r["thr"] < 100 for r in rates), rates
+
+
+def test_epoch_upsample_matches_weights(spark, sf_dir):
+    """Realized copies per domain must track the fractional epoch
+    weights: de ~2.4x its corpus count, en ~0.5x, others exactly 1x —
+    and epoch indices are dense from 0."""
+    from udacity_data_engineering_spark.operators.sampling import (
+        EPOCH_WEIGHTS,
+        epoch_upsample,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    nat = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    up = epoch_upsample(docs, "lang", EPOCH_WEIGHTS)
+    got = {r.lang: r.n for r in up.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for lang, n in nat.items():
+        w = EPOCH_WEIGHTS.get(lang, 1.0)
+        ratio = got.get(lang, 0) / n
+        assert abs(ratio - w) < 0.2, (lang, w, ratio)
+    # integer-weight domains are exact, fractional ones are hash-chosen
+    exact = [l for l in nat if EPOCH_WEIGHTS.get(l, 1.0) == int(EPOCH_WEIGHTS.get(l, 1.0))]
+    for lang in exact:
+        assert got[lang] == nat[lang] * int(EPOCH_WEIGHTS.get(lang, 1.0))
+    assert up.agg(F.min("epoch")).first()[0] == 0

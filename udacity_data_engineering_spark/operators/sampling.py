@@ -172,3 +172,71 @@ def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(hash_pct(F.col("doc_id")) < F.col("thr"))
         .select("doc_id", "lang", "thr")
     )
+
+
+#: Per-domain epoch weights for q_epoch_upsample: en is downsampled to
+#: half an epoch, de repeated 2.4x, everything else seen exactly once.
+EPOCH_WEIGHTS = {"en": 0.5, "de": 2.4}
+
+
+def epoch_upsample(
+    docs: DataFrame, domain: str, weights: dict[str, float], salt: int = 12345
+) -> DataFrame:
+    """Fractional-epoch repetition — the "see domain X 2.4 times" mixing
+    primitive: floor(e) full copies of every row plus one extra copy for
+    a deterministic hash-chosen fraction of rows, each tagged with its
+    0-based ``epoch`` index.
+
+    Scale shape: a generated-column explode on the scan — no shuffle, no
+    join, output rows ≈ sum(n_domain * e_domain). Membership of the
+    fractional copy uses the same Knuth hash as the other samplers but
+    over ``doc_id + salt``, so the fractional cut is independent of any
+    other hash-sampled cut of the same corpus. Weights are percent-exact
+    (floor(100*frac) thresholds), so any engine reproduces the row set.
+    """
+    e = None
+    for dom, w in weights.items():
+        cond = F.col(domain) == dom
+        e = F.when(cond, F.lit(float(w))) if e is None else e.when(cond, F.lit(float(w)))
+    e = e.otherwise(F.lit(1.0)) if e is not None else F.lit(1.0)
+    full = F.floor(e).cast("int")
+    thr = F.floor(F.lit(100) * (e - full) + F.lit(1e-9)).cast("int")
+    extra = (hash_pct(F.col("doc_id") + F.lit(salt)) < thr).cast("int")
+    n_copies = full + extra
+    return docs.select(
+        "doc_id",
+        F.col(domain),
+        F.posexplode(F.array_repeat(F.lit(1), n_copies)).alias("epoch", "_one"),
+    ).drop("_one")
+
+
+@register(
+    "q_epoch_upsample",
+    oracle="""
+        SELECT doc_id, lang,
+               unnest(generate_series(0, n_copies - 1)) AS epoch
+        FROM (
+            SELECT doc_id, lang,
+                   CAST(floor(e) AS INT)
+                   + CASE WHEN (((doc_id + 12345) % 2147483648) * 2654435761)
+                              % 4294967296 % 100
+                          < CAST(floor(100 * (e - floor(e)) + 1e-9) AS INT)
+                     THEN 1 ELSE 0 END AS n_copies
+            FROM (
+                SELECT doc_id, lang,
+                       CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 2.4
+                                 ELSE 1.0 END AS e
+                FROM documents
+            )
+        )
+    """,
+    doc="Fractional-epoch data mixing (en 0.5 epochs, de 2.4, rest 1.0): "
+    "floor(e) full copies per row plus a salted-Knuth-hash-chosen "
+    "fraction getting one more, each output row tagged with its epoch "
+    "index. A generated-column explode on the scan — no shuffle, no "
+    "join; the salt decorrelates the fractional cut from every other "
+    "hash sample of the corpus.",
+    tags=("sampling", "llm-pipeline"),
+)
+def q_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return epoch_upsample(table(spark, sf_dir, "documents"), "lang", EPOCH_WEIGHTS)
