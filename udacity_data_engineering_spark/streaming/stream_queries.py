@@ -82,3 +82,44 @@ def q_streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         "props",
     )
+
+
+@register(
+    "q_streaming_tumbling",
+    oracle="""
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               count(*) AS cnt, round(sum(value), 2) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    doc="E14: the tumbling event-time aggregate executed AS A STREAM "
+    "(file source -> watermark -> windowed agg -> availableNow -> memory "
+    "sink, complete mode) and hash-proven against the same DuckDB oracle "
+    "as its batch twin q_tumbling_agg — stream/batch parity as a "
+    "driver-checked fact, not just a pytest assertion. Complete output "
+    "mode replays the full aggregate, so the single-batch availableNow "
+    "run is deterministic.",
+    tags=("E14", "E13", "streaming"),
+)
+def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from udacity_data_engineering_spark.streaming.event_stream import (
+        windowed_counts,
+    )
+
+    run_id = uuid.uuid4().hex[:12]
+    tmp = tempfile.mkdtemp(prefix=f"stream_tumble_{run_id}_")
+    feed_dir = os.path.join(tmp, "feed")
+    table(spark, sf_dir, "events").coalesce(4).write.mode("overwrite").parquet(
+        feed_dir
+    )
+    sink = f"stream_tumble_sink_{run_id}"
+    run_available_now(
+        windowed_counts(stream_events(spark, feed_dir)),
+        sink,
+        os.path.join(tmp, "ckpt"),
+        output_mode="complete",
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    return spark.table(sink).select(
+        "window_start", "event_type", "cnt", "sum_value"
+    )
