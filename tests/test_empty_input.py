@@ -1,0 +1,57 @@
+"""Empty-input robustness: a partition-pruned-to-empty input is routine
+at scale (a date filter past the newest partition, a tenant with no data
+yet) — operators must return empty results, never throw.
+
+The full 172-query sweep lives in scripts/empty_probe.py (round 5: all
+green after fixing 5 crashes); this test keeps the PREVIOUSLY-CRASHING
+queries pinned plus one representative per heavy family, cheap enough
+for every suite run.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from udacity_data_engineering_spark.plans.registry import all_queries
+
+# the five round-5 crashers + family representatives
+PINNED = [
+    "q_ivf_topk",            # KMeans.fit on zero rows
+    "q_pq_topk",             # codebook training on an empty sample
+    "q_semantic_dedup",      # KMeans.fit via semdedup
+    "q_neardup_drop_accounting",  # KMeans.fit via the audit
+    "q_parquet_partitioned",  # schema-less re-read of a file-less write
+    "q_minhash_dedup_survivors",
+    "q_simhash_candidates",
+    "q_corpus_pipeline",
+    "q_temperature_mix",
+    "q_epoch_upsample",
+    "q_quality_classifier",
+    "q_groupby_agg",
+    "q_window_rank",
+    "q_asof_join",
+]
+
+
+@pytest.fixture(scope="module")
+def empty_dir(tmp_path_factory):
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "scripts"))
+    from empty_probe import build_empty_dir
+
+    return build_empty_dir(
+        "/root/testdata/sf0.001", str(tmp_path_factory.mktemp("sf_empty"))
+    )
+
+
+@pytest.mark.parametrize("name", PINNED)
+def test_query_survives_empty_input(name, spark, empty_dir):
+    rows = all_queries()[name].fn(spark, empty_dir).collect()
+    # drop accounting legitimately reports its all-zero audit rows;
+    # everything else must be empty-in, empty-out
+    if name != "q_neardup_drop_accounting":
+        assert rows == [], rows
+    else:
+        assert all(r.n_capped == 0 and r.dropped_rows == 0 for r in rows)

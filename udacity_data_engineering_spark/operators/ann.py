@@ -57,6 +57,13 @@ def ivf_assign(
     prepped = emb.withColumn("emb_d", emb_d).withColumn(
         "_features", array_to_vector(unit)
     )
+    # empty relation (a partition-pruned-to-nothing input is routine at
+    # scale): KMeans.fit throws on zero rows — the correct result is an
+    # empty assignment and no centroids, not a crash
+    if prepped.isEmpty():
+        return prepped.drop("_features").withColumn(
+            "cluster", F.lit(0).cast("int")
+        ), []
     model = KMeans(
         k=k, seed=seed, maxIter=max_iter, featuresCol="_features",
         predictionCol="cluster",
@@ -149,8 +156,8 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     index = cached_ivf_index(spark, sf_dir, emb)
     # the query vector is a parameter of the search, not data — one row
-    qvec = [
-        float(x)
-        for x in emb.filter(F.col("vec_id") == 0).select("embedding").head().embedding
-    ]
+    head = emb.filter(F.col("vec_id") == 0).select("embedding").head()
+    if head is None:  # empty (or pruned-empty) corpus: top-k of nothing
+        return spark.createDataFrame([], "vec_id long, cos_sim double")
+    qvec = [float(x) for x in head.embedding]
     return ivf_topk(emb, qvec, exclude_vec_id=0, index=index)

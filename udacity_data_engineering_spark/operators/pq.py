@@ -207,13 +207,15 @@ def _evict_put(cache: dict, key, value, cap: int = 2) -> None:
 )
 def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
+    # empty (or pruned-empty) corpus: nothing to train on and nothing to
+    # rank — top-k of nothing, not a vstack crash in codebook training
+    head = emb.filter(F.col("vec_id") == 0).select("embedding").head()
+    if head is None:
+        return spark.createDataFrame([], "vec_id long, cos_sim double")
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _PQ_INDEX:
         books = pq_train(emb)
         _evict_put(_PQ_INDEX, key, (pq_encode(emb, books).cache(), books))
     encoded, books = _PQ_INDEX[key]
-    qvec = [
-        float(x)
-        for x in emb.filter(F.col("vec_id") == 0).select("embedding").head().embedding
-    ]
+    qvec = [float(x) for x in head.embedding]
     return pq_topk(encoded, emb, qvec, codebooks=books, exclude_vec_id=0)

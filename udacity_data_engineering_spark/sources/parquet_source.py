@@ -119,7 +119,10 @@ def q_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         }
     )
     write_partitioned(orders, out, ["year", "month"])
-    back = spark.read.parquet(out)
+    # explicit schema on the re-read: an empty (pruned-empty) input
+    # writes only _SUCCESS, and a schema-less read of a file-less dir is
+    # UNABLE_TO_INFER_SCHEMA instead of an empty relation
+    back = spark.read.schema(orders.schema).parquet(out)
     return back.filter(F.col("year") == 1995).select(
         "o_orderkey", "o_custkey", "year", "month"
     )
