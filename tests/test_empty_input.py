@@ -55,3 +55,51 @@ def test_query_survives_empty_input(name, spark, empty_dir):
         assert rows == [], rows
     else:
         assert all(r.n_capped == 0 and r.dropped_rows == 0 for r in rows)
+
+
+NULL_PINNED = [
+    "q_embedding_neardup_lsh",  # null embedding reaching the GEMM kernel
+    "q_ivf_topk",               # null embedding reaching KMeans.fit
+    "q_pq_topk",                # null embedding reaching encode/vstack
+    "q_semantic_dedup",
+    "q_sequence_packing",       # null text poisoning the packing kernel
+    "q_textfile_parse",         # concat_ws silently dropping null fields
+]
+
+
+@pytest.fixture(scope="module")
+def nulls_dir(tmp_path_factory):
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "scripts"))
+    from empty_probe import build_nulls_dir
+
+    return build_nulls_dir(
+        "/root/testdata/sf0.001", str(tmp_path_factory.mktemp("sf_nulls"))
+    )
+
+
+@pytest.mark.parametrize("name", NULL_PINNED)
+def test_query_survives_null_values(name, spark, nulls_dir):
+    rows = all_queries()[name].fn(spark, nulls_dir).collect()
+    assert rows is not None  # contract: null-respecting result, no throw
+
+
+def test_line_serializer_preserves_null_positions(spark):
+    """The write_lines/read_lines_parsed round trip must keep nulls in
+    place: a null MIDDLE field must not shift its neighbors (concat_ws
+    alone would)."""
+    from udacity_data_engineering_spark.sources.text_source import (
+        read_lines_parsed,
+        write_lines,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None, "c"), (2, "b", None)], "a int, b string, c string"
+    )
+    out = "/tmp/uds_nulltext_test"
+    write_lines(df, out)
+    back = read_lines_parsed(spark, out, df.schema)
+    got = {tuple(r) for r in back.collect()}
+    assert got == {(1, None, "c"), (2, "b", None)}

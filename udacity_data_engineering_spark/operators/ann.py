@@ -54,8 +54,13 @@ def ivf_assign(
 
     emb_d = F.col(vec_col).cast("array<double>")
     unit = F.transform(emb_d, lambda x: x / l2_norm(emb_d))
-    prepped = emb.withColumn("emb_d", emb_d).withColumn(
-        "_features", array_to_vector(unit)
+    # a NULL embedding cannot be clustered — drop it here (KMeans.fit
+    # throws on null feature vectors); dedup/ANN semantics over vectors
+    # only ever apply to rows that have one
+    prepped = (
+        emb.filter(F.col(vec_col).isNotNull())
+        .withColumn("emb_d", emb_d)
+        .withColumn("_features", array_to_vector(unit))
     )
     # empty relation (a partition-pruned-to-nothing input is routine at
     # scale): KMeans.fit throws on zero rows — the correct result is an

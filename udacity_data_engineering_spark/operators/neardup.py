@@ -425,7 +425,9 @@ def _lsh_bucketed(
     """Shared bucketing pass for embedding_neardup_lsh and its stats
     companion: unit-normalize once, then one posexplode of the
     per-table bucket keys — (vec_id, u, tid, bucket)."""
-    emb = spread(embeddings).select(
+    # NULL embeddings have no hyperplane signs — near-dup semantics only
+    # apply to rows that carry a vector
+    emb = spread(embeddings.filter(F.col("embedding").isNotNull())).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
     unit = emb.select("vec_id", "e", l2_norm(F.col("e")).alias("nrm")).select(

@@ -129,7 +129,9 @@ def pack_greedy(
         pdf["bin_fill"] = pd.Series(fills, dtype="int64")
         return pdf[["doc_id", "pack_group", "n_tokens", "bin_id", "bin_fill"]]
 
-    n_tok = F.size(F.split(F.col(text_col), " "))
+    # size(split(NULL)) is NULL (not -1) on Spark 3+: a null-text doc
+    # occupies a slot with zero tokens rather than poisoning the kernel
+    n_tok = F.coalesce(F.size(F.split(F.col(text_col), " ")), F.lit(0))
     prepped = docs.select(
         "doc_id", F.col(group_col).alias("pack_group"), n_tok.alias("n_tokens")
     )

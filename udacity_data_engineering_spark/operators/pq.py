@@ -88,6 +88,7 @@ def pq_train(
     frac = min(1.0, (4.0 * sample_n) / max(n, 1))
     sample = (
         emb.select(F.col(vec_col).cast("array<double>").alias("e"))
+        .filter(F.col("e").isNotNull())  # null vectors can't train codebooks
         .sample(fraction=frac, seed=seed)
         .limit(sample_n)
         .collect()
@@ -123,7 +124,9 @@ def pq_encode(
             out[:, i] = d2.argmin(1)
         return pd.Series(list(out))
 
-    return emb.withColumn(
+    # a null vector has no codes and could never be returned by a
+    # similarity search — drop it from the encoded index
+    return emb.filter(F.col(vec_col).isNotNull()).withColumn(
         "codes", _codes(F.col(vec_col).cast("array<double>"))
     )
 
@@ -188,9 +191,13 @@ _PQ_INDEX: dict[tuple[str, str], tuple[DataFrame, list[list[list[float]]]]] = {}
 
 
 def _evict_put(cache: dict, key, value, cap: int = 2) -> None:
-    """FIFO insert: unpersist + drop the oldest entries beyond ``cap``."""
+    """FIFO insert: unpersist + drop the oldest entries beyond ``cap``.
+
+    (dict.pop returns the VALUE — a (cached_df, model_metadata) tuple;
+    the original mis-unpack only surfaced once a session actually
+    touched a third sf_dir, i.e. the eviction path had never run.)"""
     while len(cache) >= cap:
-        _, (old_df, _) = cache.pop(next(iter(cache)))
+        old_df, _ = cache.pop(next(iter(cache)))
         old_df.unpersist()
     cache[key] = value
 

@@ -22,20 +22,37 @@ from udacity_data_engineering_spark.sources.parquet_source import scratch_dir
 SEP = "\x1f"  # ASCII unit separator — cannot appear in the text columns
 
 
+#: Hive-TextFormat-style null sentinel. concat_ws silently SKIPS null
+#: arguments, which would shift every later field one position left —
+#: a row with a null middle column would otherwise parse its neighbors
+#: into the wrong fields (and under ANSI, element_at past the shortened
+#: array throws). Encoding nulls explicitly keeps field positions fixed.
+NULL_SENTINEL = "\\N"
+
+
 def write_lines(df: DataFrame, path: str) -> None:
     """Serialize every row to one delimited line (all columns cast to
-    string) and write via the text sink."""
-    line = F.concat_ws(SEP, *[F.col(c).cast("string") for c in df.columns])
+    string, nulls as the \\N sentinel) and write via the text sink."""
+    line = F.concat_ws(
+        SEP,
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit(NULL_SENTINEL))
+            for c in df.columns
+        ],
+    )
     df.select(line.alias("value")).write.mode("overwrite").text(path)
 
 
 def read_lines_parsed(spark: SparkSession, path: str, schema) -> DataFrame:
     """Read lines and parse back to the declared schema: split on the
-    delimiter, positional element_at, cast per field — all codegen'd."""
+    delimiter, positional element_at, sentinel-to-null, cast per field —
+    all codegen'd."""
     parts = F.split(F.col("value"), SEP)
     return spark.read.text(path).select(
         *[
-            F.element_at(parts, i + 1).cast(f.dataType).alias(f.name)
+            F.nullif(F.element_at(parts, i + 1), F.lit(NULL_SENTINEL))
+            .cast(f.dataType)
+            .alias(f.name)
             for i, f in enumerate(schema.fields)
         ]
     )
