@@ -66,9 +66,9 @@ def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     src = args[0] if args else "/root/testdata/sf0.001"
     if "--nulls" in sys.argv:
-        dst = build_nulls_dir(src, "/tmp/sf_nulls_probe")
+        mode, dst = "10%-null", build_nulls_dir(src, "/tmp/sf_nulls_probe")
     else:
-        dst = build_empty_dir(src, "/tmp/sf_empty_probe")
+        mode, dst = "empty", build_empty_dir(src, "/tmp/sf_empty_probe")
 
     from udacity_data_engineering_spark.plans.registry import all_queries
 
@@ -82,7 +82,7 @@ def main() -> int:
             crashed.append((name, type(e).__name__, msg))
             print(f"FAIL {name}: {type(e).__name__}: {msg}")
     n = len(all_queries())
-    print(f"\n{len(crashed)} of {n} queries crash on empty input")
+    print(f"\n{len(crashed)} of {n} queries crash on {mode} input")
     return 1 if crashed else 0
 
 

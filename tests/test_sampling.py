@@ -128,3 +128,24 @@ def test_epoch_upsample_matches_weights(spark, sf_dir):
     for lang in exact:
         assert got[lang] == nat[lang] * int(EPOCH_WEIGHTS.get(lang, 1.0))
     assert up.agg(F.min("epoch")).first()[0] == 0
+
+
+def test_hash_cuts_compose_independently(spark, sf_dir):
+    """Composed sampling must behave like independent draws: the joint
+    keep-rate of a hash_pct cut and a hash_pct2 cut over the same keys
+    must be ~the product of the marginals. (A salted key into the SAME
+    multiplicative hash fails this badly — it is an affine rotation,
+    giving joint rates of 0 or 2x; that regression is why hash_pct2
+    exists.)"""
+    from udacity_data_engineering_spark.operators.sampling import (
+        hash_pct,
+        hash_pct2,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    n = docs.count()
+    joint = docs.filter(
+        (hash_pct(F.col("doc_id")) < 30) & (hash_pct2(F.col("doc_id")) < 40)
+    ).count()
+    expected = 0.30 * 0.40
+    assert abs(joint / n - expected) < 0.05, (joint / n, expected)

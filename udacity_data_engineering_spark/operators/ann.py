@@ -162,7 +162,9 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     index = cached_ivf_index(spark, sf_dir, emb)
     # the query vector is a parameter of the search, not data — one row
     head = emb.filter(F.col("vec_id") == 0).select("embedding").head()
-    if head is None:  # empty (or pruned-empty) corpus: top-k of nothing
+    # empty/pruned-empty corpus, or the query row exists with a NULL
+    # embedding: top-k of nothing either way
+    if head is None or head.embedding is None:
         return spark.createDataFrame([], "vec_id long, cos_sim double")
     qvec = [float(x) for x in head.embedding]
     return ivf_topk(emb, qvec, exclude_vec_id=0, index=index)

@@ -217,7 +217,7 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # empty (or pruned-empty) corpus: nothing to train on and nothing to
     # rank — top-k of nothing, not a vstack crash in codebook training
     head = emb.filter(F.col("vec_id") == 0).select("embedding").head()
-    if head is None:
+    if head is None or head.embedding is None:
         return spark.createDataFrame([], "vec_id long, cos_sim double")
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _PQ_INDEX:

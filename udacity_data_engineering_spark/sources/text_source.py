@@ -27,6 +27,11 @@ SEP = "\x1f"  # ASCII unit separator — cannot appear in the text columns
 #: a row with a null middle column would otherwise parse its neighbors
 #: into the wrong fields (and under ANSI, element_at past the shortened
 #: array throws). Encoding nulls explicitly keeps field positions fixed.
+#: Format contract (same kind as SEP above): a string field whose
+#: literal value is the two characters backslash-N cannot round-trip —
+#: it reads back as NULL, exactly as in Hive's TextFormat. Data that
+#: may legitimately contain it belongs in parquet/ORC, not a
+#: delimited-text sink.
 NULL_SENTINEL = "\\N"
 
 
@@ -62,10 +67,12 @@ def read_lines_parsed(spark: SparkSession, path: str, schema) -> DataFrame:
     "q_textfile_parse",
     oracle="SELECT * FROM nation",
     doc="Text-file ingest: rows serialized to unit-separator-delimited "
-    "lines, re-read with spark.read.text and parsed back to the "
-    "declared schema by codegen'd split/element_at/cast — the raw-log "
-    "ingest shape with zero Python after the scan. Round-trip fidelity "
-    "makes the table itself the oracle.",
+    "lines (nulls as the Hive-style \\N sentinel — concat_ws alone "
+    "SKIPS nulls and would shift later fields), re-read with "
+    "spark.read.text and parsed back to the declared schema by "
+    "codegen'd split/element_at/nullif/cast — the raw-log ingest shape "
+    "with zero Python after the scan. Round-trip fidelity makes the "
+    "table itself the oracle.",
     tags=("sources",),
 )
 def q_textfile_parse(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -70,18 +70,27 @@ def q_streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(tmp, "ckpt"),
         output_mode="append",
     )
-    # the memory sink holds the result rows; the feed and checkpoint are
-    # only needed while the stream runs — don't leak a dir per invocation
-    # (on failure the artifacts are left in place for debugging)
-    shutil.rmtree(tmp, ignore_errors=True)
-    return spark.table(sink).select(
-        "event_id",
-        F.col("ts").cast("timestamp_ntz").alias("ts"),
-        "user_id",
-        "event_type",
-        "value",
-        "props",
+    # the feed/checkpoint dirs and the uuid-named memory-sink view are
+    # per-invocation scratch: materialize the result (localCheckpoint —
+    # released by the context cleaner when the DataFrame goes away),
+    # then drop both so repeated runs (bench reps, driver + verifier in
+    # one session) don't accumulate sink tables in driver memory.
+    # On failure everything is left in place for debugging.
+    out = (
+        spark.table(sink)
+        .select(
+            "event_id",
+            F.col("ts").cast("timestamp_ntz").alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+        .localCheckpoint(eager=True)
     )
+    spark.catalog.dropTempView(sink)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
 
 
 @register(
@@ -119,7 +128,11 @@ def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(tmp, "ckpt"),
         output_mode="complete",
     )
-    shutil.rmtree(tmp, ignore_errors=True)
-    return spark.table(sink).select(
-        "window_start", "event_type", "cnt", "sum_value"
+    out = (
+        spark.table(sink)
+        .select("window_start", "event_type", "cnt", "sum_value")
+        .localCheckpoint(eager=True)
     )
+    spark.catalog.dropTempView(sink)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
