@@ -147,3 +147,18 @@ def test_packed_signature_equals_array_signature(spark):
     )
     for r in both.collect():
         assert r.h_arr == r.h_pack
+
+
+def test_simhash_ignores_null_text(spark):
+    """Null-text docs must NOT pair with each other: without the filter
+    they all collapse to the all-zero signature and surface as
+    Hamming-0 'duplicates' — similarity applies only to rows with text."""
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "real text here"), (4, None)],
+        "doc_id long, text string",
+    )
+    assert simhash_candidates(df).count() == 0
+    from udacity_data_engineering_spark.operators.neardup import (
+        exact_hamming_pairs,
+    )
+    assert exact_hamming_pairs(df) == set()

@@ -64,7 +64,9 @@ def ivf_assign(
     )
     # empty relation (a partition-pruned-to-nothing input is routine at
     # scale): KMeans.fit throws on zero rows — the correct result is an
-    # empty assignment and no centroids, not a crash
+    # empty assignment and no centroids, not a crash. isEmpty() is one
+    # read-until-first-row job, noise next to fit()'s max_iter full
+    # passes; acceptable on the non-empty path too.
     if prepped.isEmpty():
         return prepped.drop("_features").withColumn(
             "cluster", F.lit(0).cast("int")

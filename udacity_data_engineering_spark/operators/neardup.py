@@ -173,8 +173,15 @@ def simhash_groups(
     """(lo, hi, ids): one row per distinct packed 64-bit signature with
     its sorted member doc ids — the ONE definition of the signature +
     clique grouping, shared by simhash_candidates and its stats
-    companion so the audit can never drift from the audited path."""
-    sig = spread(docs).select(
+    companion so the audit can never drift from the audited path.
+
+    NULL text is filtered (same rule as the embedding paths): a null doc
+    has no tokens to vote, so it would collapse to the all-zero
+    signature and every null-text doc would surface as a Hamming-0
+    "duplicate" of every other — similarity semantics only apply to rows
+    that carry text. The exact ground truth (exact_hamming_pairs)
+    applies the identical filter."""
+    sig = spread(docs.filter(F.col(text_col).isNotNull())).select(
         F.col(id_col).alias("doc_id"), simhash64_packed(F.col(text_col)).alias("s")
     ).select("doc_id", "s.lo", "s.hi")
     return sig.groupBy("lo", "hi").agg(
@@ -285,7 +292,7 @@ def exact_hamming_pairs(
     = |a| + |b| - 2 a.b for 0/1 vectors via one GEMM. Quadratic — a
     measurement tool, never a production path."""
     sig = (
-        spread(docs)
+        spread(docs.filter(F.col(text_col).isNotNull()))  # same rule as simhash_groups
         .select(F.col(id_col).alias("doc_id"), simhash64(F.col(text_col)).alias("sig"))
         .collect()
     )

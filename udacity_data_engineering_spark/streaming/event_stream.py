@@ -109,15 +109,30 @@ def _peek_ts_dtype(path: str) -> str:
     import pyarrow.parquet as pq
 
     if path.startswith("file:"):
-        # file:/p, file:///p -> /p
+        # file:/p, file:///p -> /p ; file://HOST/p carries an authority —
+        # only the local-loopback forms are peekable (stripping the host
+        # into a path component would silently walk the wrong directory)
         stripped = path[5:]
-        while stripped.startswith("//"):
-            stripped = stripped[1:]
+        if stripped.startswith("//"):
+            host, _, rest = stripped[2:].partition("/")
+            if host not in ("", "localhost"):
+                raise ValueError(
+                    f"_peek_ts_dtype cannot read a footer from remote "
+                    f"file URI {path!r} (authority {host!r})"
+                )
+            stripped = "/" + rest
         path = stripped
     if "://" in path:
         raise ValueError(
             f"_peek_ts_dtype cannot read a footer from non-local path "
             f"{path!r}; pass ts_dtype explicitly for remote filesystems"
+        )
+    if not os.path.isdir(path):
+        # os.walk on a missing path silently yields NOTHING — preserve
+        # the fail-loudly contract the pre-recursive scandir had: a
+        # nonexistent stream source is a config error, not an empty dir
+        raise FileNotFoundError(
+            f"events stream path does not exist: {path!r}"
         )
 
     first = None
