@@ -38,6 +38,7 @@ def test_candidate_stats_exact_arithmetic(spark):
     got = candidate_stats(df, ["g"], cap=3, path="x").first().asDict()
     assert got == {
         "path": "x",
+        "units": "rows",
         "n_groups": 4,
         "n_capped": 2,
         "dropped_rows": 9,  # 5 + 4
@@ -103,18 +104,53 @@ def test_simhash_stats_report_crafted_hot_bucket(spark):
     """8 identical docs are ONE signature clique (identical sigs are
     collapsed before banding), so the cap frontier is the clique itself:
     over-cap -> the clique's 8 docs and C(8,2) pairs are reported
-    dropped, and the candidate path emits nothing."""
+    dropped (simhash_clique row), and the candidate path emits nothing.
+    With no other signatures there is no cross-band exposure, so the
+    xband and band rows are all-zero."""
     docs = _hot_docs(spark, 8)
-    stats = simhash_candidate_stats(docs, cap=5).first()
-    assert stats.path == "simhash_lsh"
-    assert stats.n_capped == 1  # the 8-doc clique, not 4 band buckets
-    assert stats.dropped_rows == 8
-    assert stats.dropped_pairs == 28
-    assert stats.max_group == 8
+    rows = {r.path: r for r in simhash_candidate_stats(docs, cap=5).collect()}
+    assert set(rows) == {"simhash_clique", "simhash_clique_xband", "simhash_band"}
+    clique = rows["simhash_clique"]
+    assert clique.units == "docs"
+    assert clique.n_capped == 1  # the 8-doc clique, not 4 band buckets
+    assert clique.dropped_rows == 8
+    assert clique.dropped_pairs == 28
+    assert clique.max_group == 8
+    assert rows["simhash_clique_xband"].n_capped == 0
+    assert rows["simhash_clique_xband"].dropped_pairs == 0
+    assert rows["simhash_band"].n_capped == 0
     assert simhash_candidates(docs, cap=5).count() == 0  # dropped, accounted
-    ok = simhash_candidate_stats(docs, cap=100).first()
-    assert ok.n_capped == 0 and ok.dropped_pairs == 0
+    ok = {r.path: r for r in simhash_candidate_stats(docs, cap=100).collect()}
+    assert all(r.n_capped == 0 and r.dropped_pairs == 0 for r in ok.values())
     assert simhash_candidates(docs).count() == 28  # production cap covers it
+
+
+def test_simhash_xband_exposure_of_dropped_clique(spark):
+    """The second loss surface of the clique cap (the round-5 audit gap):
+    a dropped clique's signature also vanishes from banding, losing its
+    band collisions with OTHER signatures. Crafted fixture: single-token
+    docs have signature == the token's own hash bits, and the tokens
+    'tok0' / 'tok130511' were searched (one-off xxhash64 scan over 200k
+    candidate tokens) to share a 16-bit band while having distinct
+    signatures. An over-cap 'tok0' clique must surface its collision
+    with the surviving 'tok130511' clique in the simhash_clique_xband
+    row instead of losing it silently."""
+    docs = spark.createDataFrame(
+        [(i, "tok0") for i in range(8)]
+        + [(100, "tok130511"), (101, "tok130511")],
+        "doc_id long, text string",
+    )
+    rows = {r.path: r for r in simhash_candidate_stats(docs, cap=5).collect()}
+    x = rows["simhash_clique_xband"]
+    assert x.units == "sig_group_pairs"
+    assert x.n_groups == 1 and x.n_capped == 1  # one dropped clique, exposed
+    assert x.dropped_pairs == 1  # its (distinct) co-banded signature pair
+    assert x.max_group == 1
+    # the clique frontier still accounts the intra loss in doc units
+    assert rows["simhash_clique"].dropped_rows == 8
+    # and the surviving 2-doc clique still emits its Hamming-0 pair
+    got = simhash_candidates(docs, cap=5).collect()
+    assert {(r.doc_a, r.doc_b) for r in got} == {(100, 101)}
 
 
 def _planted_identical_embeddings(spark, n=10, dim=64):
@@ -179,9 +215,15 @@ def test_registered_audit_query_covers_all_paths(spark, sf_dir):
         "embedding_lsh",
         "minhash_lsh",
         "semdedup",
-        "simhash_lsh",
+        "simhash_band",
+        "simhash_clique",
+        "simhash_clique_xband",
     ]
     for r in rows:
-        assert r.n_groups > 0 and r.max_group > 0
-        assert 0 <= r.n_capped <= r.n_groups
+        assert 0 <= r.n_capped <= max(r.n_groups, 1)
         assert r.dropped_rows >= 0 and r.dropped_pairs >= 0
+        if r.path not in ("simhash_clique_xband",):
+            # real frontiers over real data are populated; the xband row
+            # is zero whenever no clique was dropped (the normal state)
+            assert r.n_groups > 0 and r.max_group > 0
+            assert r.units in ("docs", "vecs", "sig_groups")

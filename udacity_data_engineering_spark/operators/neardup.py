@@ -135,10 +135,12 @@ def hamming_packed(a_lo: Column, a_hi: Column, b_lo: Column, b_hi: Column) -> Co
 
 def packed_band_keys(lo: Column, hi: Column) -> Column:
     """The 4 x 16-bit band keys of a packed signature as an array of
-    (band_id, band_key) structs — integer DIV/mod on non-negative longs,
-    no bit array materialized."""
+    (band_id, band_key) structs — unsigned shift + mask on the packed
+    longs, no bit array materialized and no float arithmetic (a Column/lit
+    divide is a double Divide — exact only while words stay under 2^53;
+    the shift form has no such precondition if the layout ever widens)."""
     def _k(word: Column, shift: int) -> Column:
-        return ((word / F.lit(1 << shift)).cast("long")) % F.lit(1 << 16)
+        return F.shiftrightunsigned(word, shift).bitwiseAND(F.lit((1 << 16) - 1))
 
     return F.array(
         F.struct(F.lit(0).alias("band_id"), _k(lo, 0).alias("band_key")),
@@ -469,6 +471,7 @@ def embedding_neardup_lsh_stats(
         ["tid", "bucket"],
         cap=cap,
         path="embedding_lsh",
+        units="vecs",
     )
 
 
@@ -479,12 +482,26 @@ def simhash_candidate_stats(
     bands: int = 4,
     cap: int = SIMHASH_BUCKET_CAP,
 ) -> DataFrame:
-    """Drop accounting for simhash_candidates — BOTH capped frontiers:
-    identical-signature cliques over ``cap`` (dropped_rows/dropped_pairs
-    in document units) and band buckets holding more than ``cap``
-    distinct signatures (units are signature GROUPS — a lower bound on
-    the document pairs lost). One combined row, same schema as every
-    other stats companion."""
+    """Drop accounting for simhash_candidates — one row PER capped
+    frontier, with explicit units (summing them was unreadable: the
+    frontiers count different things):
+
+    - ``simhash_clique`` (units: docs) — identical-signature cliques
+      over ``cap``: their member docs and intra-clique C(m,2) pairs are
+      dropped by the group filter in simhash_candidates.
+    - ``simhash_clique_xband`` (units: sig_group_pairs) — the SECOND
+      loss surface of that same filter: a dropped clique's signature
+      also vanishes from banding, so its Hamming-1..3 pairs with OTHER
+      signatures are lost too. dropped_pairs = distinct (dropped-sig,
+      co-banded-sig) group pairs, a pre-verify upper bound on lost
+      inter-group candidates; n_groups/n_capped = dropped cliques with
+      at least one band co-occupant; max_group = the most co-occupants
+      any one dropped signature had.
+    - ``simhash_band`` (units: sig_groups) — band buckets holding more
+      than ``cap`` distinct surviving signatures; a lower bound in
+      document terms (each signature group may hold many docs).
+
+    All-zero n_capped across the three rows = full candidate coverage."""
     from udacity_data_engineering_spark.operators.similarity import candidate_stats
 
     if bands != 4:
@@ -494,25 +511,46 @@ def simhash_candidate_stats(
         groups.select("lo", "hi", F.explode("ids").alias("doc_id")),
         ["lo", "hi"],
         cap=cap,
-        path="simhash_lsh",
+        path="simhash_clique",
+        units="docs",
     )
-    banded = simhash_banded(groups.filter(F.size("ids") <= cap)).select(
-        "band_id", "band_key"
-    )
+    kept = groups.filter(F.size("ids") <= cap)
     bucket = candidate_stats(
-        banded, ["band_id", "band_key"], cap=cap, path="simhash_lsh"
+        simhash_banded(kept).select("band_id", "band_key"),
+        ["band_id", "band_key"],
+        cap=cap,
+        path="simhash_band",
+        units="sig_groups",
     )
-    return (
-        clique.unionAll(bucket)
-        .groupBy("path")
-        .agg(
-            F.sum("n_groups").alias("n_groups"),
-            F.sum("n_capped").alias("n_capped"),
-            F.sum("dropped_rows").alias("dropped_rows"),
-            F.sum("dropped_pairs").alias("dropped_pairs"),
-            F.max("max_group").alias("max_group"),
-        )
+    # cross-band exposure of dropped cliques: join their band keys
+    # against ALL groups' band keys (left side is empty unless a clique
+    # was actually dropped, so the join costs nothing in the normal case)
+    over_b = simhash_banded(groups.filter(F.size("ids") > cap)).select(
+        "band_id",
+        "band_key",
+        F.col("lo").alias("o_lo"),
+        F.col("hi").alias("o_hi"),
     )
+    all_b = simhash_banded(groups).select("band_id", "band_key", "lo", "hi")
+    collisions = (
+        over_b.join(all_b, ["band_id", "band_key"])
+        .filter((F.col("o_lo") != F.col("lo")) | (F.col("o_hi") != F.col("hi")))
+        .select("o_lo", "o_hi", "lo", "hi")
+        .distinct()
+    )
+    z = F.lit(0).cast("long")
+    xband = collisions.groupBy("o_lo", "o_hi").agg(
+        F.count(F.lit(1)).alias("m")
+    ).agg(
+        F.lit("simhash_clique_xband").alias("path"),
+        F.lit("sig_group_pairs").alias("units"),
+        F.coalesce(F.count(F.lit(1)), z).alias("n_groups"),
+        F.coalesce(F.count(F.lit(1)), z).alias("n_capped"),
+        z.alias("dropped_rows"),
+        F.coalesce(F.sum("m"), z).alias("dropped_pairs"),
+        F.coalesce(F.max("m"), z).alias("max_group"),
+    )
+    return clique.unionAll(xband).unionAll(bucket)
 
 
 def embedding_neardup_lsh(
@@ -576,13 +614,14 @@ def embedding_neardup_lsh(
 @register(
     "q_neardup_drop_accounting",
     doc="Drop-accounting audit for every capped candidate path: one row "
-    "per path (embedding_lsh, minhash_lsh, semdedup, simhash_lsh) with "
-    "n_groups, n_capped, dropped_rows, dropped_pairs, max_group at the "
-    "production caps. All-zero n_capped = full candidate coverage; "
-    "non-zero = the silent-truncation condition, now observable. "
-    "Hash-function/seed-specific bucketing => rows-only; "
-    "tests/test_drop_accounting.py asserts exact counts on crafted "
-    "hot-bucket inputs.",
+    "per capped frontier (embedding_lsh, minhash_lsh, semdedup, and the "
+    "three simhash frontiers simhash_clique / simhash_clique_xband / "
+    "simhash_band) with its units plus n_groups, n_capped, dropped_rows, "
+    "dropped_pairs, max_group at the production caps. All-zero n_capped "
+    "= full candidate coverage; non-zero = the silent-truncation "
+    "condition, now observable. Hash-function/seed-specific bucketing "
+    "=> rows-only; tests/test_drop_accounting.py asserts exact counts "
+    "on crafted hot-bucket inputs.",
     tags=("E12", "dedup"),
 )
 def q_neardup_drop_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -123,7 +123,11 @@ def semantic_pairs_stats(
     if assigned is None:
         assigned, _ = ivf_assign(emb, k=k, seed=seed)
     return candidate_stats(
-        assigned.select("vec_id", "cluster"), ["cluster"], cap=cap, path="semdedup"
+        assigned.select("vec_id", "cluster"),
+        ["cluster"],
+        cap=cap,
+        path="semdedup",
+        units="vecs",
     )
 
 

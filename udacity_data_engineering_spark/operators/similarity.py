@@ -338,16 +338,22 @@ def candidate_stats(
     bucket_cols: list[str],
     cap: int = 100,
     path: str | None = None,
+    units: str = "rows",
 ) -> DataFrame:
     """ONE-row drop-accounting summary for any capped bucket/cluster
     candidate path. The accounting contract (SCALE.md): every operator
     that drops over-full groups must have a stats companion built on
     this, so silent truncation is observable, not inferred.
 
-    Columns: [path,] n_groups, n_capped, dropped_rows (members of
+    Columns: [path, units,] n_groups, n_capped, dropped_rows (members of
     over-cap groups), dropped_pairs (triangular pairs those groups would
     have produced), max_group. All zeros when nothing was dropped —
-    including on empty input.
+    including on empty input. ``units`` names what one *member* is for
+    this path (emitted only alongside ``path``): different frontiers
+    count different things (docs, vecs, signature groups), and a summed
+    or compared reading across paths is only meaningful with the units
+    visible (the simhash companion once summed documents and signature
+    groups into one row — unreadable against corpus size or the cap).
 
     Scale shape: one partial-aggregating groupBy on the same keys the
     candidate path shuffles on, then a scalar agg — strictly cheaper
@@ -374,7 +380,9 @@ def candidate_stats(
         F.coalesce(F.max("m"), z).alias("max_group"),
     )
     if path is not None:
-        stats = stats.select(F.lit(path).alias("path"), "*")
+        stats = stats.select(
+            F.lit(path).alias("path"), F.lit(units).alias("units"), "*"
+        )
     return stats
 
 
@@ -414,7 +422,7 @@ def minhash_candidate_stats(
     """Drop accounting for minhash_candidates: same banding, same cap."""
     banded = minhash_banded(docs, id_col, text_col, num_hashes, bands, shingle_n)
     return candidate_stats(
-        banded, ["band_id", "band_key"], cap=cap, path="minhash_lsh"
+        banded, ["band_id", "band_key"], cap=cap, path="minhash_lsh", units="docs"
     )
 
 
