@@ -108,3 +108,261 @@ def test_max_files_per_trigger_bounds_microbatches(spark, sf_dir, events_dir, tm
     got = spark.sql("SELECT * FROM rate_limited_sink").collect()
     want = MANIFEST["q_tumbling_agg"].fn(spark, sf_dir).collect()
     assert _norm(got) == _norm(want)
+
+
+# ---------------------------------------------------------------------------
+# Multi-batch watermark semantics (round-6): everything above replays in a
+# single availableNow batch, where the watermark never advances past epoch
+# and the two behaviors the 100 TB claims rest on — late-row dropping and
+# state eviction — are never exercised. These tests drive the stream ONE
+# FILE PER MICRO-BATCH (maxFilesPerTrigger=1, strictly increasing file
+# mtimes so FileStreamSource's oldest-first ordering is deterministic) so
+# the watermark genuinely advances between batches, then observe both
+# behaviors through the progress metrics and the sink.
+# ---------------------------------------------------------------------------
+
+import glob
+import os
+import time
+
+_EVENT_COLS = "event_id long, ts string, user_id long, event_type string, value double, props string"
+
+
+def _events(spark, rows):
+    """rows: (event_id, 'YYYY-MM-DD HH:MM:SS', user_id, event_type, value)."""
+    return (
+        spark.createDataFrame(
+            [(i, ts, u, et, v, "{}") for i, ts, u, et, v in rows], _EVENT_COLS
+        )
+        .withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    )
+
+
+def _add_file(df, feed_dir, name, mtime):
+    """Stage one parquet file into the stream source dir with a pinned
+    mtime — the knob that fixes FileStreamSource's batch order."""
+    stage = os.path.join(feed_dir, f"_stage_{name}")
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+    dst = os.path.join(feed_dir, f"{name}.parquet")
+    os.replace(part, dst)
+    shutil.rmtree(stage, ignore_errors=True)
+    os.utime(dst, (mtime, mtime))
+    return dst
+
+
+def _run_one_file_per_batch(stream_df, sink, ckpt, output_mode):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q.recentProgress
+
+
+def _state_metric(progresses, key):
+    return [
+        p["stateOperators"][0][key]
+        for p in progresses
+        if p.get("stateOperators")
+    ]
+
+
+def test_watermark_drops_late_rows_and_evicts_window_state(spark, tmp_path):
+    """The E14 contract, observed across micro-batches: (a) an event
+    older than the advanced watermark is dropped, (b) finalized-window
+    state is evicted (numRowsTotal falls), (c) the appended (finalized)
+    windows match the batch aggregate over the on-time rows only.
+
+    Batch staging encodes the two-watermark semantics Spark has used
+    since 3.4 (SPARK-42376): within batch N, LATE-ROW FILTERING uses the
+    previous batch's watermark (eventTimeWatermarkForLateEvents) while
+    STATE EVICTION uses the current one — so a row only reads as late
+    one batch after the data that advanced the watermark past it, and
+    the late file here arrives two batches after the hour-10 file."""
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+    base = int(time.time()) - 1000
+    # batch 0: hours 0-1 of Jan 1 — two windows' worth of state
+    _add_file(
+        _events(
+            spark,
+            [
+                (1, "2025-01-01 00:10:00", 1, "click", 1.0),
+                (2, "2025-01-01 00:20:00", 2, "click", 2.0),
+                (3, "2025-01-01 01:10:00", 1, "view", 3.0),
+                (4, "2025-01-01 01:40:00", 3, "click", 4.0),
+            ],
+        ),
+        feed, "f1", base,
+    )
+    # batch 1: hour 10 — after this batch the 2h watermark is 08:30; the
+    # hour-0/1 windows finalize and evict during batch 2
+    _add_file(
+        _events(
+            spark,
+            [
+                (5, "2025-01-01 10:00:00", 1, "click", 5.0),
+                (6, "2025-01-01 10:30:00", 2, "view", 6.0),
+            ],
+        ),
+        feed, "f2", base + 60,
+    )
+    # batch 2: on-time spacer — its completion promotes 08:30 from the
+    # eviction watermark to the late-row-filter watermark
+    _add_file(
+        _events(spark, [(8, "2025-01-01 10:40:00", 1, "click", 7.0)]),
+        feed, "f3", base + 120,
+    )
+    # batch 3: the late row — 00:30 is now below the LATE-EVENTS
+    # watermark (08:30), so it is dropped, not aggregated
+    _add_file(
+        _events(spark, [(7, "2025-01-01 00:30:00", 9, "click", 100.0)]),
+        feed, "f4", base + 180,
+    )
+
+    stream = windowed_counts(
+        stream_events(spark, feed, max_files_per_trigger=1), watermark="2 hours"
+    )
+    progresses = _run_one_file_per_batch(
+        stream, "wm_window_sink", str(tmp_path / "ckpt"), "append"
+    )
+
+    # (a) exactly the one late row was dropped at the watermark
+    dropped = _state_metric(progresses, "numRowsDroppedByWatermark")
+    assert sum(dropped) == 1, f"late-row drop not observed: {dropped}"
+
+    # (b) state eviction: the finalized hour-0/1 windows left the store
+    totals = _state_metric(progresses, "numRowsTotal")
+    assert max(totals) > totals[-1], f"no state eviction observed: {totals}"
+
+    # (c) the appended rows are the finalized windows, aggregated from
+    # on-time rows only — late event 7 is absent, hour-10 windows are
+    # still open (watermark 08:40 < their end) and so not yet emitted
+    got = _norm(spark.table("wm_window_sink").collect())
+    want = [
+        ("2025-01-01 00:00:00", "click", 2, 3.0),
+        ("2025-01-01 01:00:00", "click", 1, 4.0),
+        ("2025-01-01 01:00:00", "view", 1, 3.0),
+    ]
+    assert [
+        (str(w), et, c, s) for w, et, c, s in got
+    ] == want, f"finalized windows diverge: {got}"
+
+
+def test_watermark_emission_matches_batch_on_time_subset(spark, tmp_path):
+    """Stream/batch parity under late data: the union of everything the
+    append-mode stream emits (finalized windows) plus the still-open
+    state equals the BATCH aggregate over on-time rows only — i.e. late
+    drops are the stream's ONLY divergence from batch, and it is exactly
+    the documented one."""
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+    base = int(time.time()) - 1000
+    on_time = [
+        (1, "2025-01-01 00:10:00", 1, "click", 1.0),
+        (2, "2025-01-01 00:20:00", 2, "click", 2.0),
+        (5, "2025-01-01 10:00:00", 1, "click", 5.0),
+        (8, "2025-01-01 10:40:00", 1, "view", 7.0),
+    ]
+    _add_file(_events(spark, on_time[:2]), feed, "f1", base)
+    _add_file(_events(spark, [on_time[2]]), feed, "f2", base + 60)
+    _add_file(_events(spark, [on_time[3]]), feed, "f3", base + 120)
+    _add_file(
+        _events(spark, [(9, "2025-01-01 00:45:00", 9, "click", 99.0)]),
+        feed, "f4", base + 180,
+    )
+
+    stream = windowed_counts(
+        stream_events(spark, feed, max_files_per_trigger=1), watermark="2 hours"
+    )
+    progresses = _run_one_file_per_batch(
+        stream, "wm_parity_sink", str(tmp_path / "ckpt"), "append"
+    )
+    assert sum(_state_metric(progresses, "numRowsDroppedByWatermark")) == 1
+
+    emitted = {
+        (str(r.window_start), r.event_type): (r.cnt, r.sum_value)
+        for r in spark.table("wm_parity_sink").collect()
+    }
+    batch_on_time = {
+        (str(r.window_start), r.event_type): (r.cnt, r.sum_value)
+        for r in (
+            _events(spark, on_time)
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.round(F.sum("value"), 2).alias("sum_value"),
+            )
+            .select(
+                F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+                "event_type", "cnt", "sum_value",
+            )
+            .collect()
+        )
+    }
+    # every emitted (finalized) window agrees exactly with the batch
+    # aggregate of the on-time rows; the rest is still open state
+    for k, v in emitted.items():
+        assert batch_on_time[k] == v, (k, v, batch_on_time.get(k))
+    assert ("2025-01-01 00:00:00", "click") in emitted
+
+
+def test_watermark_evicts_dedup_state_and_drops_late_redelivery(spark, tmp_path):
+    """dropDuplicatesWithinWatermark across micro-batches: key state is
+    evicted once the watermark passes it (numRowsTotal falls), and a
+    redelivery arriving AFTER eviction — older than the watermark — is
+    dropped by the watermark filter rather than re-emitted, so the sink
+    still holds each event exactly once."""
+    from udacity_data_engineering_spark.streaming import deduped_events
+
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+    base = int(time.time()) - 1000
+    hour0 = [
+        (i, f"2025-01-01 00:0{i}:00", i, "click", float(i)) for i in range(1, 6)
+    ]
+    _add_file(_events(spark, hour0), feed, "f1", base)
+    # in-watermark redelivery of event 2 (state still live): deduped
+    # against state; e7 at 10:00 pushes the eviction watermark to 08:00
+    _add_file(
+        _events(
+            spark,
+            [
+                hour0[1],
+                (6, "2025-01-01 00:50:00", 6, "view", 6.0),
+                (7, "2025-01-01 10:00:00", 7, "click", 7.0),
+            ],
+        ),
+        feed, "f2", base + 60,
+    )
+    # batch 2 (spacer): hour-0 key state is evicted here with the 08:00
+    # eviction watermark, whose completion also promotes 08:00 to the
+    # late-row-filter watermark (SPARK-42376 two-watermark semantics)
+    _add_file(
+        _events(spark, [(8, "2025-01-01 10:10:00", 8, "click", 8.0)]),
+        feed, "f3", base + 120,
+    )
+    # batch 3: post-eviction redelivery of event 2 — older than the
+    # late-events watermark -> dropped pre-state (NOT emitted again)
+    _add_file(_events(spark, [hour0[1]]), feed, "f4", base + 180)
+
+    stream = deduped_events(stream_events(spark, feed, max_files_per_trigger=1))
+    progresses = _run_one_file_per_batch(
+        stream, "wm_dedup_sink", str(tmp_path / "ckpt"), "append"
+    )
+
+    dropped = _state_metric(progresses, "numRowsDroppedByWatermark")
+    assert sum(dropped) == 1, f"late redelivery not dropped: {dropped}"
+    totals = _state_metric(progresses, "numRowsTotal")
+    assert max(totals) >= 7  # hour-0 keys + e6 + e7 held at peak
+    assert totals[-1] < max(totals), f"no dedup-state eviction: {totals}"
+
+    got = spark.table("wm_dedup_sink")
+    assert got.count() == 8  # events 1..8, each exactly once
+    assert got.select("event_id").distinct().count() == 8
+    assert got.filter(F.col("event_id") == 2).count() == 1
