@@ -170,6 +170,7 @@ def main() -> None:
         "q_epoch_upsample",
         "q_quality_classifier",
         "q_streaming_dedup_watermark",
+        "q_neardup_ensemble",
     ):
         best = float("inf")
         for _ in range(REPS):  # best-of-3, matching BASELINE.md methodology

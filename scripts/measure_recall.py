@@ -137,6 +137,21 @@ def main() -> int:
     sem = pair_set(semantic_pairs(emb, assigned=assigned), "vec_a", "vec_b")
     r_sem = len(sem & cos_truth) / len(cos_truth) if cos_truth else 1.0
 
+    # the recommended composition: ensemble of all exact-verified legs
+    from udacity_data_engineering_spark.operators.ensemble import (
+        neardup_ensemble,
+    )
+
+    ens_rows = neardup_ensemble(
+        table(spark, sf, "documents"), emb, assigned=assigned
+    ).collect()
+    ens_sem = {
+        (r.doc_a, r.doc_b) for r in ens_rows if r.cos_sim is not None
+    }
+    ens_lex = {(r.doc_a, r.doc_b) for r in ens_rows if r.jaccard is not None}
+    r_ens_sem = len(ens_sem & cos_truth) / len(cos_truth) if cos_truth else 1.0
+    r_ens_lex = len(ens_lex & jac_truth) / len(jac_truth) if jac_truth else 1.0
+
     # -- top-k ANN paths (with the accuracy/cost knob sweeps) ----------
     NPROBES, RERANKS = (2, 4, 8, 16), (25, 50, 100, 200)
     ivf_curve, pq_curve, nq = topk_recall(
@@ -155,6 +170,8 @@ def main() -> int:
         "embedding_lsh_pair_recall": round(r_lsh, 4),
         "cosine_truth_pairs": len(cos_truth),
         "semdedup_pair_recall": round(r_sem, 4),
+        "ensemble_semantic_pair_recall": round(r_ens_sem, 4),
+        "ensemble_lexical_pair_recall": round(r_ens_lex, 4),
         "ivf_recall_at_10": round(r_ivf, 4),
         "pq_recall_at_10": round(r_pq, 4),
         "topk_queries": nq,
@@ -178,6 +195,8 @@ Data: `{sf}` — {n_docs} documents, {n_emb} embeddings.
 | SimHash candidates (4 bands, Hamming<=3) | exact all-pairs Hamming<=3 | {r_simhash:.3f} | {len(ham_truth)} pairs | == 1.0 by pigeonhole (test_recall_floors.py) |
 | Embedding LSH (12x4 hyperplanes) | cosine >= 0.4 (`q_embedding_neardup`) | {r_lsh:.3f} | {len(cos_truth)} pairs | >= 0.6 measured + planted 100% (test_neardup.py) |
 | SemDeDup within-cluster pairs (k=16) | cosine >= 0.4 (`q_embedding_neardup`) | {r_sem:.3f} | {len(cos_truth)} pairs | floor (test_recall_floors.py) |
+| **Ensemble** (`q_neardup_ensemble`), semantic legs | cosine >= 0.4 (`q_embedding_neardup`) | {r_ens_sem:.3f} | {len(cos_truth)} pairs | dominates every leg (test_recall_floors.py) |
+| **Ensemble**, lexical leg (Jaccard >= 0.5 verify) | 3-gram Jaccard >= 0.5 (`q_ngram_jaccard`) | {r_ens_lex:.3f} | {len(jac_truth)} pairs | same as MinHash row (exact-verified) |
 | IVF top-10 (k=16, nprobe=4) | brute-force cosine top-10, {nq} queries | {r_ivf:.3f} | recall@10 | >=5/10 overlap (test_ann.py) |
 | PQ top-10 (8x16 codes, rerank 50) | brute-force cosine top-10, {nq} queries | {r_pq:.3f} | recall@10 | >=5/10 overlap (test_pq.py) |
 
@@ -222,6 +241,16 @@ Reading the numbers:
   documented approximation); near-identical vectors co-cluster with
   overwhelming probability, so recall rises toward 1 as similarity
   -> 1 (the planted-paraphrase test in test_semdedup.py finds 100%).
+- **Ensemble** (`q_neardup_ensemble`) is the production
+  recommendation: the union of the exact-verified MinHash+Jaccard,
+  embedding-LSH, and SemDeDup pair sets (SemDeDup reuses the cached
+  IVF clustering, so the leg is nearly free). Each leg's misses are
+  another leg's operating regime — SemDeDup's cross-cluster misses
+  are LSH's bread and butter, LSH's near-threshold misses are often
+  co-clustered — so the union's recall dominates the best single leg
+  at the cost of one extra pair-key groupBy. Precision stays 1.0
+  against each leg's own threshold because every emitted pair carries
+  an exact verified score.
 - **IVF/PQ** on uniform-random data have weak cluster structure to
   exploit; both recover most of the true top-10 via exact
   verification (IVF: exact cosine within probed lists; PQ: exact

@@ -46,3 +46,42 @@ def test_semdedup_pair_recall_floor(spark, sf_dir):
     assert got <= truth  # within-cluster pairs are exact-cosine verified
     recall = len(got & truth) / len(truth)
     assert recall >= 0.2, f"semdedup pair recall {recall:.3f} below floor"
+
+
+def test_ensemble_recall_dominates_every_leg(spark, sf_dir):
+    """The ensemble's pair set is a superset of each leg's, so its
+    semantic recall vs the cosine>=0.4 truth must dominate both the
+    embedding-LSH and SemDeDup legs (the round-5 coverage hole: SemDeDup
+    standalone reads 0.300 and nothing pointed users at the union) —
+    and every semantically-surfaced pair is exact-verified, so the
+    semantic side ships precision 1.0 against the truth set."""
+    from udacity_data_engineering_spark.operators.ensemble import (
+        neardup_ensemble,
+    )
+    from udacity_data_engineering_spark.operators.neardup import (
+        embedding_neardup_lsh,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    emb = table(spark, sf_dir, "embeddings")
+    truth = {
+        (r.vec_a, r.vec_b)
+        for r in all_queries()["q_embedding_neardup"].fn(spark, sf_dir).collect()
+    }
+    ens = neardup_ensemble(docs, emb).collect()
+    got_sem = {(r.doc_a, r.doc_b) for r in ens if r.cos_sim is not None}
+    lsh = {
+        (r.vec_a, r.vec_b) for r in embedding_neardup_lsh(emb).collect()
+    }
+    sem = {(r.vec_a, r.vec_b) for r in semantic_pairs(emb).collect()}
+
+    assert got_sem <= truth  # exact-verified: precision 1.0
+    assert got_sem >= lsh and got_sem >= sem  # union dominates each leg
+    recall = len(got_sem & truth) / len(truth)
+    lsh_recall = len(lsh & truth) / len(truth)
+    assert recall >= max(lsh_recall, 0.6), (
+        f"ensemble semantic recall {recall:.3f} below best leg"
+    )
+    # the lexical leg rides along with its own exact verification
+    lex = {(r.doc_a, r.doc_b) for r in ens if r.jaccard is not None}
+    assert lex, "lexical leg empty on fixture data"

@@ -1,0 +1,118 @@
+"""Near-duplicate ENSEMBLE — the recommended production composition of
+the three verified near-dup paths (charter E12; closes the round-5
+coverage note that SemDeDup alone reads recall 0.300 while nothing
+guided a user to the union):
+
+- lexical: MinHash-LSH candidates verified with exact 3-gram Jaccard
+  (similarity.jaccard_verified_pairs) — catches copy/paste and
+  boilerplate duplicates that embedding models may map apart;
+- semantic/LSH: random-hyperplane embedding LSH, cosine-verified within
+  buckets (neardup.embedding_neardup_lsh) — catches paraphrases across
+  the whole space, recall 0.888 on the uniform-random worst case;
+- semantic/clustered: SemDeDup within-cluster pairs
+  (semdedup.semantic_pairs) — cheap, catches the co-clustered mass,
+  misses cross-cluster pairs by design (standalone recall 0.300).
+
+Every leg is exact-verified before the union, so ensemble precision
+stays 1.0 against its own thresholds while the union recall dominates
+every member (RECALL.md: measured ensemble numbers + floors in
+tests/test_recall_floors.py).
+
+Scale shape: the three legs are the already-bucketed operators — no new
+shuffle classes — and the union groups on the (doc_a, doc_b) pair key
+once. The document and embedding id spaces coincide by construction in
+this corpus (embeddings.vec_id IS a doc_id); corpora where they differ
+pass an explicit mapping upstream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from udacity_data_engineering_spark.operators.neardup import (
+    NEARDUP_THRESHOLD,
+    embedding_neardup_lsh,
+)
+from udacity_data_engineering_spark.operators.semdedup import semantic_pairs
+from udacity_data_engineering_spark.operators.similarity import (
+    jaccard_verified_pairs,
+)
+from udacity_data_engineering_spark.plans.registry import register
+from udacity_data_engineering_spark.session import table
+
+
+def neardup_ensemble(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    jaccard_threshold: float = 0.5,
+    cosine_threshold: float = NEARDUP_THRESHOLD,
+    assigned: DataFrame | None = None,
+) -> DataFrame:
+    """Union of the three verified near-dup pair sets, one row per
+    unordered pair: (doc_a, doc_b, methods, jaccard, cos_sim).
+
+    ``methods`` is the sorted '+'-joined set of legs that surfaced the
+    pair (e.g. 'embedding_lsh+semdedup'); ``jaccard``/``cos_sim`` carry
+    the exact verified scores (NULL when no lexical/semantic leg found
+    it). Pass ``assigned`` (an ivf_assign result) to reuse an existing
+    clustering for the SemDeDup leg, as q_neardup_ensemble does via the
+    session's cached IVF index."""
+    lex = jaccard_verified_pairs(docs, threshold=jaccard_threshold).select(
+        "doc_a",
+        "doc_b",
+        F.lit("minhash_jaccard").alias("method"),
+        F.col("jaccard"),
+        F.lit(None).cast("double").alias("cos_sim"),
+    )
+    lsh = embedding_neardup_lsh(embeddings, threshold=cosine_threshold).select(
+        F.col("vec_a").alias("doc_a"),
+        F.col("vec_b").alias("doc_b"),
+        F.lit("embedding_lsh").alias("method"),
+        F.lit(None).cast("double").alias("jaccard"),
+        F.col("cos_sim"),
+    )
+    sem = semantic_pairs(
+        embeddings, threshold=cosine_threshold, assigned=assigned
+    ).select(
+        F.col("vec_a").alias("doc_a"),
+        F.col("vec_b").alias("doc_b"),
+        F.lit("semdedup").alias("method"),
+        F.lit(None).cast("double").alias("jaccard"),
+        F.col("cos_sim"),
+    )
+    return (
+        lex.unionByName(lsh)
+        .unionByName(sem)
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("method")), "+").alias(
+                "methods"
+            ),
+            F.max("jaccard").alias("jaccard"),
+            F.round(F.max("cos_sim"), 6).alias("cos_sim"),
+        )
+    )
+
+
+@register(
+    "q_neardup_ensemble",
+    doc="E12: the near-dup ENSEMBLE — union of exact-verified pairs from "
+    "MinHash+Jaccard (lexical, >=0.5), embedding-LSH (cosine >=0.4), and "
+    "SemDeDup (cosine >=0.4, reusing the session's cached IVF "
+    "clustering), deduplicated on the pair key with a methods column. "
+    "The composition RECALL.md recommends: each leg's misses are another "
+    "leg's operating regime (SemDeDup alone: 0.300 vs the cosine truth; "
+    "the ensemble's semantic recall dominates the best single leg). "
+    "Hash/seed-specific bucketing => rows-only; measured recall in "
+    "RECALL.md with floors in tests/test_recall_floors.py.",
+    tags=("E12", "dedup"),
+)
+def q_neardup_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from udacity_data_engineering_spark.operators.ann import cached_ivf_index
+
+    emb = table(spark, sf_dir, "embeddings")
+    assigned, _ = cached_ivf_index(spark, sf_dir, emb)
+    return neardup_ensemble(
+        table(spark, sf_dir, "documents"), emb, assigned=assigned
+    )

@@ -471,17 +471,12 @@ def minhash_candidates(
     )
 
 
-@register(
-    "q_neardup_pipeline",
-    doc="End-to-end near-dup pipeline: MinHash-LSH candidate generation "
-    "-> exact 3-gram Jaccard verification on candidates only -> "
-    "confirmed pairs (jaccard >= 0.7). The production composition: "
-    "verification cost is O(candidates), never O(pairs). Probabilistic "
-    "candidate stage -> rows-only check.",
-    tags=("E12", "dedup"),
-)
-def q_neardup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+def jaccard_verified_pairs(docs: DataFrame, threshold: float = 0.7) -> DataFrame:
+    """MinHash-LSH candidates verified with EXACT 3-gram Jaccard —
+    (doc_a, doc_b, jaccard >= threshold). The production composition:
+    verification cost is O(candidates), never O(pairs), and precision is
+    1.0 by construction (every emitted pair is exact-verified). Shared
+    by q_neardup_pipeline and the lexical leg of q_neardup_ensemble."""
     cand = minhash_candidates(docs)
     tok = shingle_sets(spread(docs))
     cnt = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
@@ -499,9 +494,22 @@ def q_neardup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         inter.join(cnt.selectExpr("doc_id AS doc_a", "n AS na"), "doc_a")
         .join(cnt.selectExpr("doc_id AS doc_b", "n AS nb"), "doc_b")
-        .filter(jac >= 0.7)
+        .filter(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+@register(
+    "q_neardup_pipeline",
+    doc="End-to-end near-dup pipeline: MinHash-LSH candidate generation "
+    "-> exact 3-gram Jaccard verification on candidates only -> "
+    "confirmed pairs (jaccard >= 0.7). The production composition: "
+    "verification cost is O(candidates), never O(pairs). Probabilistic "
+    "candidate stage -> rows-only check.",
+    tags=("E12", "dedup"),
+)
+def q_neardup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jaccard_verified_pairs(table(spark, sf_dir, "documents"))
 
 
 @register(
