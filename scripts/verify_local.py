@@ -5,6 +5,14 @@ scale factor, then compares row count, sorted column names, and an
 order-insensitive multiset of normalized rows. Exits non-zero on any
 mismatch. Use -q to restrict to a comma-separated subset.
 
+A FULL zero-failure run (no -q filter, no --skip-rows-only) stamps
+SWEEP.json at the repo root with the registry size, a hash of the sorted
+query names, and the verified scale. tests/test_sweep_stamp.py compares
+that stamp against the live registry — the same drift guard
+INVENTORY.md has — so a "all N queries verified at 3 scales" claim goes
+stale loudly (pytest) instead of silently (SCALE.md prose), the failure
+mode rounds 4 and 5 each hit once.
+
 Usage: python scripts/verify_local.py [--sf /root/testdata/sf0.001] [-q name1,name2]
 """
 
@@ -88,7 +96,40 @@ def main() -> int:
             print(f"ok   {name}: {len(srows)} rows match ({time.time()-t0:.1f}s)")
 
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    if not failures and not wanted and not args.skip_rows_only:
+        _stamp_sweep(manifest, args.sf)
     return 1 if failures else 0
+
+
+def _stamp_sweep(manifest, sf: str) -> None:
+    """Record a completed full zero-failure sweep in SWEEP.json (merging
+    with other scales' records; a registry change invalidates them all
+    since the names hash no longer matches the live registry)."""
+    import datetime
+    import hashlib
+    import json
+
+    stamp_path = Path(__file__).resolve().parents[1] / "SWEEP.json"
+    names = sorted(manifest)
+    record = {
+        "registry_count": len(names),
+        "names_sha256": hashlib.sha256("\n".join(names).encode()).hexdigest(),
+    }
+    existing = {}
+    if stamp_path.exists():
+        existing = json.loads(stamp_path.read_text())
+    scales = existing.get("scales", {}) if (
+        existing.get("registry_count") == record["registry_count"]
+        and existing.get("names_sha256") == record["names_sha256"]
+    ) else {}
+    scale_key = Path(sf).name  # e.g. sf0.01
+    scales[scale_key] = {
+        "date": datetime.date.today().isoformat(),
+        "failures": 0,
+    }
+    record["scales"] = dict(sorted(scales.items()))
+    stamp_path.write_text(json.dumps(record, indent=2) + "\n")
+    print(f"stamped SWEEP.json: {len(names)} queries @ {scale_key}")
 
 
 if __name__ == "__main__":

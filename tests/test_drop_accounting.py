@@ -227,3 +227,40 @@ def test_registered_audit_query_covers_all_paths(spark, sf_dir):
             # is zero whenever no clique was dropped (the normal state)
             assert r.n_groups > 0 and r.max_group > 0
             assert r.units in ("docs", "vecs", "sig_groups")
+
+
+def test_fail_on_drops_enforces_the_contract(spark):
+    """fail_on_drops=True converts observable truncation into a raised
+    error on every capped path — and stays silent when nothing drops."""
+    import numpy as np
+
+    docs = _hot_docs(spark, 8)
+    with pytest.raises(ValueError, match="minhash_candidates.*n_capped"):
+        minhash_candidates(docs, cap=5, fail_on_drops=True)
+    assert minhash_candidates(docs, cap=100, fail_on_drops=True).count() == 28
+
+    with pytest.raises(ValueError, match="simhash_candidates.*simhash_clique"):
+        simhash_candidates(docs, cap=5, fail_on_drops=True)
+    assert simhash_candidates(docs, cap=100, fail_on_drops=True).count() == 28
+
+    emb = _planted_identical_embeddings(spark, 10)
+    with pytest.raises(ValueError, match="embedding_neardup_lsh.*n_capped"):
+        embedding_neardup_lsh(emb, cap=5, fail_on_drops=True)
+    assert embedding_neardup_lsh(emb, fail_on_drops=True).count() == 45
+
+    rng = np.random.default_rng(3)
+    e1, e2 = rng.normal(size=64), rng.normal(size=64)
+    rows = [
+        (i, [float(x) for x in (e1 + rng.normal(scale=0.01, size=64))])
+        for i in range(7)
+    ] + [
+        (100 + i, [float(x) for x in (e2 + rng.normal(scale=0.01, size=64))])
+        for i in range(3)
+    ]
+    hot = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="semantic_pairs.*semdedup"):
+        semantic_pairs(hot, k=2, cap=4, seed=7, fail_on_drops=True)
+    assert (
+        semantic_pairs(hot, k=2, cap=4000, seed=7, fail_on_drops=True).count()
+        == 24  # C(7,2) + C(3,2)
+    )

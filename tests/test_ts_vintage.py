@@ -164,3 +164,59 @@ def test_peek_treats_tz_aware_nanos_as_bigint(tmp_path):
     )
     pq.write_table(tbl, str(d / "events.parquet"), version="2.6")
     assert _peek_ts_dtype(str(d)) == "bigint"
+
+
+def test_hadoop_peek_resolves_both_vintages_over_a_scheme(spark, tmp_path):
+    """Round-6: remote-scheme paths self-configure through the JVM
+    gateway's Hadoop FileSystem instead of the round-5 fail-loud
+    stopgap. Exercised over Hadoop's own file:// scheme (the same
+    FileSystem API s3a/hdfs connectors implement), including a hive-
+    partitioned layout with commit-protocol noise that must be pruned,
+    an empty source, and a missing path."""
+    from udacity_data_engineering_spark.session import configure
+    from udacity_data_engineering_spark.streaming.event_stream import (
+        _peek_ts_dtype,
+        _peek_ts_dtype_hadoop,
+    )
+
+    configure(spark)  # nanosAsLong shim, as stream_events guarantees
+    nested = tmp_path / "part" / "dt=2024-01-01"
+    _write_events(nested, "ns")
+    # commit-protocol noise a real writer leaves behind
+    (tmp_path / "part" / "_temporary").mkdir()
+    (tmp_path / "part" / "_SUCCESS").touch()
+    uri = "file://" + str(tmp_path / "part")
+    assert _peek_ts_dtype_hadoop(spark, uri) == "bigint"
+
+    micros = tmp_path / "micros"
+    _write_events(micros, "us")
+    assert _peek_ts_dtype_hadoop(spark, "file://" + str(micros)) == "timestamp_ntz"
+
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    assert _peek_ts_dtype_hadoop(spark, "file://" + str(empty)) == "timestamp_ntz"
+
+    with pytest.raises(FileNotFoundError):
+        _peek_ts_dtype_hadoop(spark, "file://" + str(tmp_path / "nope"))
+
+    # routing: a scheme'd path WITH a session takes the Hadoop branch...
+    assert _peek_ts_dtype(uri, spark=spark) == "bigint"
+    # ...and still fails loudly without one (config error, not a default)
+    with pytest.raises(ValueError, match="non-local"):
+        _peek_ts_dtype("s3a://bucket/events")
+
+
+def test_stream_events_reads_hadoop_scheme_source(spark, tmp_path):
+    """End-to-end: stream_events over a file:// URI source — the peek,
+    the declared schema, and the stream itself all route through the
+    Hadoop filesystem as they would on s3a/hdfs."""
+    src = tmp_path / "scheme_src"
+    _write_events(src, "ns")
+    stream = stream_events(spark, "file://" + str(src))
+    assert stream.isStreaming
+    run_available_now(
+        stream, "hadoop_scheme_sink", str(tmp_path / "ckpt"), output_mode="append"
+    )
+    got = spark.table("hadoop_scheme_sink")
+    assert got.count() == 3
+    assert [f.name for f in got.schema.fields][:2] == ["event_id", "ts"]

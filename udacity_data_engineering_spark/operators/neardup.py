@@ -209,6 +209,7 @@ def simhash_candidates(
     bands: int = 4,
     max_hamming: int = 3,
     cap: int = SIMHASH_BUCKET_CAP,
+    fail_on_drops: bool = False,
 ) -> DataFrame:
     """SimHash near-dup pairs: band the 64 signature bits into ``bands``
     chunks — any pair within Hamming distance (bands-1) shares at least
@@ -233,9 +234,22 @@ def simhash_candidates(
     carries 16 bytes instead of a 64-element array, and the per-pair
     verify is two bit_count(xor) ops — on a homogeneous corpus a single
     hot band can hold hundreds of similar-but-distinct signatures, so
-    verify volume, not banding, dominates."""
+    verify volume, not banding, dominates.
+
+    ``fail_on_drops=True`` raises (one extra eager audit job) if ANY of
+    the three capped frontiers dropped work — over-cap cliques, their
+    cross-band exposure, or over-cap band buckets."""
     if bands != 4:
         raise ValueError("packed simhash banding is fixed at 4 x 16 bits")
+    if fail_on_drops:
+        from udacity_data_engineering_spark.operators.similarity import (
+            assert_no_drops,
+        )
+
+        assert_no_drops(
+            simhash_candidate_stats(docs, id_col, text_col, bands, cap),
+            "simhash_candidates",
+        )
     groups = simhash_groups(docs, id_col, text_col).filter(F.size("ids") <= cap)
     # intra-clique pairs (identical sigs, Hamming 0): double-explode of
     # the member array — streams m^2 pairs without ever materializing a
@@ -560,6 +574,7 @@ def embedding_neardup_lsh(
     n_planes: int = 4,
     dim: int = 64,
     cap: int = 1000,
+    fail_on_drops: bool = False,
 ) -> DataFrame:
     """LSH-bucketed near-dup pairs over (vec_id, embedding float[]).
 
@@ -573,9 +588,20 @@ def embedding_neardup_lsh(
     is near-identical content that exact dedup should consume first.
     A pair colliding in several tables is deduplicated by the final
     groupBy; max() collapses the GEMM's float reassociation jitter.
+    ``fail_on_drops=True`` raises (one extra eager audit job) if any
+    table bucket exceeded ``cap``.
     """
     import pandas as pd
 
+    if fail_on_drops:
+        from udacity_data_engineering_spark.operators.similarity import (
+            assert_no_drops,
+        )
+
+        assert_no_drops(
+            embedding_neardup_lsh_stats(embeddings, n_tables, n_planes, dim, cap),
+            "embedding_neardup_lsh",
+        )
     bucketed = _lsh_bucketed(embeddings, n_tables, n_planes, dim)
 
     def _verify(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -53,17 +53,28 @@ def semantic_pairs(
     cap: int = 4000,
     seed: int = 7,
     assigned: DataFrame | None = None,
+    fail_on_drops: bool = False,
 ) -> DataFrame:
     """Within-cluster near-dup pairs (vec_a < vec_b, cos_sim). One GEMM
     per cluster; clusters above ``cap`` members are skipped (size k to
     the corpus so this never fires — a hot cluster means k is too small
     for the data). Pass a prebuilt ``assigned`` (from ivf_assign) to
     reuse an existing clustering — the assignment is amortized state
-    shared with IVF search."""
+    shared with IVF search. ``fail_on_drops=True`` raises (one extra
+    eager audit job) if any cluster exceeded ``cap``."""
     import pandas as pd
 
     if assigned is None:
         assigned, _ = ivf_assign(emb, k=k, seed=seed)
+    if fail_on_drops:
+        from udacity_data_engineering_spark.operators.similarity import (
+            assert_no_drops,
+        )
+
+        assert_no_drops(
+            semantic_pairs_stats(emb, k=k, cap=cap, seed=seed, assigned=assigned),
+            "semantic_pairs",
+        )
     # Norm computed ONCE per row: a norm inside the transform lambda
     # would re-evaluate the O(d) aggregate per element (higher-order
     # lambdas get no subexpression elimination) — O(d^2) per row.

@@ -386,6 +386,29 @@ def candidate_stats(
     return stats
 
 
+def assert_no_drops(stats: DataFrame, op_name: str) -> None:
+    """Enforce the drop-accounting contract (round-6: the stats
+    companions made truncation *observable*; this makes it
+    *enforceable*). Runs the companion eagerly — one extra partial-agg
+    job on keys the operator shuffles anyway — and raises if any capped
+    frontier dropped work, so a pipeline that must not silently lose
+    candidates can opt into failing instead."""
+    bad = [r for r in stats.collect() if r.n_capped > 0]
+    if bad:
+        detail = "; ".join(
+            f"{r.path}: n_capped={r.n_capped} ({r.units}), "
+            f"dropped_rows={r.dropped_rows}, dropped_pairs={r.dropped_pairs}, "
+            f"max_group={r.max_group}"
+            for r in bad
+        )
+        raise ValueError(
+            f"{op_name}: candidate cap dropped work — {detail}. Raise the "
+            f"cap, run exact dedup first (hot groups are near-identical "
+            f"content), or call with fail_on_drops=False and audit via "
+            f"the stats companion / q_neardup_drop_accounting."
+        )
+
+
 def minhash_banded(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -452,6 +475,7 @@ def minhash_candidates(
     bands: int = 8,
     shingle_n: int = 3,
     cap: int = 100,
+    fail_on_drops: bool = False,
 ) -> DataFrame:
     """LSH banding: docs sharing any band of their MinHash signature become
     candidate pairs. rows = bands * r where r = num_hashes // bands.
@@ -460,7 +484,18 @@ def minhash_candidates(
     exploded to (doc, band_id, band_key) — O(docs × bands) rows — then a
     single groupBy per bucket with triangular pair expansion
     (bucket_pairs). No doc×doc comparison and no signature recompute.
+
+    ``fail_on_drops=True`` raises (via assert_no_drops, one extra
+    eager audit job) if any band bucket exceeds ``cap`` — the
+    enforceable form of the drop-accounting contract.
     """
+    if fail_on_drops:
+        assert_no_drops(
+            minhash_candidate_stats(
+                docs, id_col, text_col, num_hashes, bands, shingle_n, cap
+            ),
+            "minhash_candidates",
+        )
     banded = minhash_banded(docs, id_col, text_col, num_hashes, bands, shingle_n)
     return (
         bucket_pairs(banded, ["band_id", "band_key"], F.col("doc_id"), cap=cap)

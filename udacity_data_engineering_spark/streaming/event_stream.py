@@ -70,7 +70,7 @@ def stream_events(
     A nonexistent path still fails loudly (it is a config error, not an
     empty source)."""
     configure(spark)
-    ts_dtype = _peek_ts_dtype(path)
+    ts_dtype = _peek_ts_dtype(path, spark=spark)
     reader = spark.readStream
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -97,25 +97,31 @@ def stream_events(
     )
 
 
-def _peek_ts_dtype(path: str) -> str:
+def _peek_ts_dtype(path: str, spark: SparkSession | None = None) -> str:
     """Spark-equivalent dtype of ``ts`` from the first parquet footer under
     ``path`` (one footer read, no directory-wide batch scan). Recurses into
     partitioned subdirectories; strips a ``file:`` URI scheme. Remote URI
-    schemes (s3a://, hdfs://) are not peekable locally and raise a clear
-    error rather than silently defaulting. Empty directory ->
-    'timestamp_ntz' (current vintage); missing path raises."""
+    schemes (s3a://, hdfs://, or a file:// with a real authority) are
+    peeked through the JVM's Hadoop FileSystem when ``spark`` is passed
+    (_peek_ts_dtype_hadoop — stream_events always passes it); without a
+    session they raise a clear error rather than silently defaulting.
+    Empty directory -> 'timestamp_ntz' (current vintage); missing path
+    raises."""
     import os
 
     import pyarrow.parquet as pq
 
     if path.startswith("file:"):
         # file:/p, file:///p -> /p ; file://HOST/p carries an authority —
-        # only the local-loopback forms are peekable (stripping the host
-        # into a path component would silently walk the wrong directory)
+        # only the local-loopback forms are peekable via the os.walk fast
+        # path (stripping the host into a path component would silently
+        # walk the wrong directory); other authorities go through Hadoop
         stripped = path[5:]
         if stripped.startswith("//"):
             host, _, rest = stripped[2:].partition("/")
             if host not in ("", "localhost"):
+                if spark is not None:
+                    return _peek_ts_dtype_hadoop(spark, path)
                 raise ValueError(
                     f"_peek_ts_dtype cannot read a footer from remote "
                     f"file URI {path!r} (authority {host!r})"
@@ -123,9 +129,12 @@ def _peek_ts_dtype(path: str) -> str:
             stripped = "/" + rest
         path = stripped
     if "://" in path:
+        if spark is not None:
+            return _peek_ts_dtype_hadoop(spark, path)
         raise ValueError(
             f"_peek_ts_dtype cannot read a footer from non-local path "
-            f"{path!r}; pass ts_dtype explicitly for remote filesystems"
+            f"{path!r}; pass ts_dtype explicitly or a SparkSession for "
+            f"remote filesystems"
         )
     if not os.path.isdir(path):
         # os.walk on a missing path silently yields NOTHING — preserve
@@ -159,6 +168,58 @@ def _peek_ts_dtype(path: str) -> str:
     if pa.types.is_timestamp(t):
         return "timestamp_ntz"
     return str(t)
+
+
+def _peek_ts_dtype_hadoop(spark: SparkSession, path: str) -> str:
+    """Remote-filesystem vintage peek via the JVM gateway's Hadoop
+    FileSystem (round-6; closes the round-5 fail-loud stopgap): find ONE
+    committed parquet file with an iterative listing — pruning hidden /
+    commit-protocol entries exactly like the local os.walk — then
+    resolve the schema of just that file with a single-file batch read.
+    Driver cost is O(one directory level listed per descent + one
+    footer), never a directory-wide scan of a 100 TB backlog; any
+    Hadoop-supported scheme (s3a://, hdfs://, abfss://, file://HOST)
+    works wherever its connector is on the classpath. Requires
+    configure(spark) to have run so a NANOS footer surfaces as bigint
+    (the nanosAsLong shim), matching the local peek's classification."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        raise FileNotFoundError(f"events stream path does not exist: {path!r}")
+
+    def _visible(name: str) -> bool:
+        return not name.startswith(("_", "."))
+
+    first = None
+    stack = [jpath]
+    while stack and first is None:
+        statuses = sorted(
+            fs.listStatus(stack.pop(0)), key=lambda s: s.getPath().getName()
+        )
+        hit = [
+            s.getPath()
+            for s in statuses
+            if s.isFile()
+            and s.getPath().getName().endswith(".parquet")
+            and _visible(s.getPath().getName())
+        ]
+        if hit:
+            first = hit[0]
+            break
+        stack = [
+            s.getPath()
+            for s in statuses
+            if s.isDirectory() and _visible(s.getPath().getName())
+        ] + stack
+    if first is None:
+        return "timestamp_ntz"  # empty source: current vintage, like local
+    dtype = spark.read.parquet(first.toString()).schema["ts"].dataType
+    if isinstance(dtype, T.LongType):
+        return "bigint"
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        return "timestamp_ntz"
+    return dtype.simpleString()
 
 
 def windowed_counts(
