@@ -58,16 +58,19 @@ def register(
 # after these. A name listed here but not registered is a hard error (catches
 # renames going stale).
 DRIVER_PRIORITY: tuple[str, ...] = (
+    # Round-6 rotation: 122/172 declared queries had never been driver-
+    # checked, so ten long-stable slots whose §2 row stays covered by a
+    # sibling in-window query rotated out (each noted on its family line)
+    # and ten hash-provable, never-driver-checked queries rotated in.
     # --- §2A reference-parity core (relational / datetime / SQL entry) ---
     "q_scan_count",          # 2A.6 parquet scan + 2A.22 count
     "q_project",             # 2A.7
     "q_project_rename",      # 2A.8
     "q_filter_eq",           # 2A.9
     "q_dedup_key",           # 2A.10 deterministic key-subset dedup
-    "q_dedup_fullrow",       # 2A.10 dropDuplicates, hash-provable full-row
-                             # variant (round 4 rotation; the arbitrary-
-                             # survivor q_dedup_any stays registered
-                             # rows-only just past the window)
+                             # (q_dedup_fullrow: driver-green r4-r5,
+                             # rotated out r6; q_dedup_any rows-only
+                             # past the window)
     "q_dateparts",           # 2A.14 + 2A.11 derived columns
     "q_synthetic_id_props",  # 2A.12 monotonically_increasing_id — hash-
                              # proven uniqueness properties (round 4
@@ -75,8 +78,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
                              # registered rows-only just past the window)
     "q_join_multikey",       # 2A.17 3-key composite equi-join
     "q_sql_entry",           # 2A.15/16/18 temp view + SQL + aliasing
-    "q_epoch_to_ts",         # 2A.13 builtin
-    "q_epoch_to_ts_udf",     # 2A.13 reference-parity Python UDF
+    "q_epoch_to_ts",         # 2A.13 builtin (the parity-UDF variant
+                             # q_epoch_to_ts_udf: driver-green r1-r5,
+                             # rotated out r6)
     "q_limit",               # 2A.21
     "q_date_format",         # 2A dead-import parity (etl.py date_format)
     # --- §2A sources / sinks ---
@@ -86,49 +90,61 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_parquet_roundtrip",   # 2A.19 + 2A.6
     "q_parquet_partitioned", # 2A.20 hive-partitioned sink + pruned re-read
     # --- Sparkify 5-table ETL (the reference's whole program) ---
-    "q_sparkify_songs",
-    "q_sparkify_users",
-    "q_sparkify_time",
+    "q_sparkify_songs",          # (q_sparkify_users / q_sparkify_time:
+                                 # driver-green r2-r5, rotated out r6)
     "q_sparkify_songplays_nat",  # hash-proven 3-key join (surrogate-id
                                  # variant q_sparkify_songplays is
                                  # rows-only and sits just past the window)
     # --- §2B: one-two per extension family ---
     "q_groupby_agg",           # E1
     "q_count_distinct",        # E2
-    "q_rollup",                # E3
+    "q_cube",                  # E3 (rotated in r6; q_rollup driver-green
+                               # r2-r5, rotated out — cube subsumes the
+                               # rollup grouping-set shape)
     "q_topn",                  # E4
     "q_window_rank",           # E5
     "q_setops",                # E6
-    "q_join_semi",             # E7
-    "q_join_broadcast_agg",    # E7
+    "q_join_broadcast_agg",    # E7 (q_join_semi driver-green r1-r5,
+                               # rotated out r6)
+    "q_salted_join",           # E7/physical skew join (rotated in r6)
     "q_asof_join",             # E8
+    "q_asof_forward",          # E8 forward direction (rotated in r6)
     "q_json_extract",          # E9
     "q_text_tokens",           # E10
-    "q_gopher_rules",          # E10 / quality filters
-    "q_doc_fingerprint",       # E11
+    "q_bm25",                  # E10 ranking (rotated in r6;
+                               # q_gopher_rules driver-green r3-r5,
+                               # rotated out — quality family covered by
+                               # q_quality_classifier below)
+    "q_quality_classifier",    # E10/quality model-based filter (r6)
     "q_minhash_dedup_survivors",  # E11/E12 end-to-end dedup pipeline
-    "q_doc_dedup_survivors",   # E11
+                               # (q_doc_fingerprint / q_doc_dedup_survivors
+                               # driver-green r2-r5, rotated out r6)
+    "q_dedup_components",      # E11 connected-components labeling (r6)
     "q_vocab_topk",            # corpus-prep family (round 2; E12's
                                # hash-proven q_cosine_topk was driver-green
                                # in r1 — slot rotated; E12 stays covered by
                                # the LSH/SimHash entries below)
+    "q_corpus_pipeline",       # corpus end-to-end composition (r6)
     "q_embedding_neardup_lsh", # E12 scale path
     "q_simhash_candidates",    # E12/dedup
     "q_incremental_dedup",     # E11 batch-vs-lake dedup (hash-proven;
                                # q_minhash_candidates is exercised inside
                                # q_minhash_dedup_survivors above)
     "q_ivf_topk",              # ANN scale path
-    "q_tumbling_agg",          # E13
-    "q_session_window",        # E13
+    "q_session_window",        # E13 (q_tumbling_agg driver-green r1-r5,
+                               # rotated out r6 — the same aggregate is
+                               # hash-proven through the STREAM path by
+                               # q_streaming_tumbling below)
     "q_multimodal_decode",     # E15
-    "q_salted_agg",            # physical/skew (q_salted_join is the same
-                               # family, hash-proven, rotated just past
-                               # the window in round 5 to make room for
-                               # E14's first declared slot below)
+    "q_multimodal_resize",     # E15 resize plumbing (rotated in r6)
+    "q_salted_agg",            # physical/skew
     "q_streaming_dedup_watermark",  # E14 — real availableNow stream run,
                                     # hash-proven via exact-redelivery
                                     # injection (round 5)
+    "q_streaming_tumbling",    # E14/E13 stream-batch parity as a
+                               # driver-checked fact (rotated in r6)
     "q_stratified_mix",        # sampling / corpus mixing
+    "q_temperature_mix",       # sampling temperature reweighting (r6)
     "q_cluster_centroids",     # embedding-housekeeping family (round 2;
                                # flagship TPC-H q_shipping_priority was
                                # driver-green in r1 — slot rotated)
