@@ -70,6 +70,9 @@ PYTHON_PATH_QUERIES = {
     "q_minhash_candidates",
     "q_neardup_pipeline",
     "q_embedding_neardup_lsh",
+    # the ensemble composes the three legs above, so it inherits their
+    # Arrow-batched kernels (minhash perm_min, LSH keys, GEMM verifies):
+    "q_neardup_ensemble",
     # drop-accounting audit reuses the same Arrow-batched signature/bucket
     # kernels as the paths it audits (see test_drop_accounting.py):
     "q_neardup_drop_accounting",
