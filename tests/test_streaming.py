@@ -366,3 +366,66 @@ def test_watermark_evicts_dedup_state_and_drops_late_redelivery(spark, tmp_path)
     assert got.count() == 8  # events 1..8, each exactly once
     assert got.select("event_id").distinct().count() == 8
     assert got.filter(F.col("event_id") == 2).count() == 1
+
+
+def test_watermark_finalizes_and_evicts_session_state(spark, tmp_path):
+    """Session windows are MERGING state (intervals extend as events
+    arrive), so their eviction story differs from fixed windows: a
+    session only finalizes when the watermark passes its END (last event
+    + gap). Multi-batch observation: sessions finalize and evict once
+    the watermark passes them, a late event older than the late-events
+    watermark is dropped (NOT opened as a new session), and the emitted
+    sessions match the batch session_window aggregate over on-time rows."""
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+    base = int(time.time()) - 1000
+    on_time = [
+        (1, "2025-01-01 00:00:00", 1, "click", 1.0),
+        (2, "2025-01-01 00:10:00", 1, "click", 1.0),  # same 30m session
+        (3, "2025-01-01 00:05:00", 2, "view", 1.0),
+        (4, "2025-01-01 10:00:00", 3, "click", 1.0),
+        (5, "2025-01-01 10:10:00", 1, "view", 1.0),
+    ]
+    _add_file(_events(spark, on_time[:3]), feed, "f1", base)
+    _add_file(_events(spark, [on_time[3]]), feed, "f2", base + 60)  # wm -> 08:00
+    _add_file(_events(spark, [on_time[4]]), feed, "f3", base + 120)  # promote
+    # late: would extend user 1's hour-0 session were it on time
+    _add_file(
+        _events(spark, [(9, "2025-01-01 00:20:00", 1, "click", 9.0)]),
+        feed, "f4", base + 180,
+    )
+
+    stream = sessionized_counts(stream_events(spark, feed, max_files_per_trigger=1))
+    progresses = _run_one_file_per_batch(
+        stream, "wm_session_sink", str(tmp_path / "ckpt"), "append"
+    )
+
+    assert sum(_state_metric(progresses, "numRowsDroppedByWatermark")) == 1
+    totals = _state_metric(progresses, "numRowsTotal")
+    assert max(totals) > totals[-1], f"no session-state eviction: {totals}"
+
+    emitted = {
+        (r.user_id, str(r.session_start)): r.n_events
+        for r in spark.table("wm_session_sink").collect()
+    }
+    batch = {
+        (r.user_id, str(r.session_start)): r.n_events
+        for r in (
+            _events(spark, on_time)
+            .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                "user_id",
+                F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+                "n_events",
+            )
+            .collect()
+        )
+    }
+    # the finalized hour-0 sessions: exactly the batch result over
+    # on-time rows — the late event neither extended user 1's session
+    # nor appeared as a new one
+    assert emitted[(1, "2025-01-01 00:00:00")] == 2 == batch[(1, "2025-01-01 00:00:00")]
+    assert emitted[(2, "2025-01-01 00:05:00")] == 1
+    for key, n in emitted.items():
+        assert batch[key] == n, (key, n)
