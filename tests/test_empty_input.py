@@ -23,6 +23,7 @@ PINNED = [
     "q_parquet_partitioned",  # schema-less re-read of a file-less write
     "q_minhash_dedup_survivors",
     "q_simhash_candidates",
+    "q_neardup_ensemble",     # round 6: composes three legs + cached IVF
     "q_corpus_pipeline",
     "q_temperature_mix",
     "q_epoch_upsample",
