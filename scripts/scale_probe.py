@@ -132,9 +132,29 @@ def main() -> None:
 
             return simhash_candidates(docs).count()
 
+        def mh_ordered():
+            # the documented pipeline ordering: exact dedup consumes the
+            # identical-content cliques FIRST, so MinHash banding never
+            # sees them. On the all-duplicates replica this is the knob
+            # that turns the 100x probe's one super-linear cliff (130x,
+            # SCALE.md round-6 section) back into a sub-linear shape —
+            # keep both variants measured so the cliff stays visible.
+            from udacity_data_engineering_spark.operators.dedup import (
+                dedup_exact,
+            )
+
+            exact = dedup_exact(docs, "text", ["doc_id"]).localCheckpoint(
+                eager=True
+            )
+            try:
+                return neardup_survivors(exact).count()
+            finally:
+                exact.unpersist()
+
         return {
             "incremental_dedup": inc,
             "minhash_survivors": mh,
+            "minhash_survivors_dedup_first": mh_ordered,
             "pq_train_encode": pq,
             "semantic_dedup": sem,
             "simhash_candidates": sh,

@@ -429,3 +429,76 @@ def test_watermark_finalizes_and_evicts_session_state(spark, tmp_path):
     assert emitted[(2, "2025-01-01 00:05:00")] == 1
     for key, n in emitted.items():
         assert batch[key] == n, (key, n)
+
+
+def test_checkpoint_recovery_is_exactly_once_across_restarts(spark, tmp_path):
+    """Durability across restarts — the other half of the exactly-once
+    story: a SECOND availableNow run over the same checkpoint must
+    process only files added since the first run (no reprocessing, no
+    gaps), and the watermark must survive the restart (a late row in the
+    second run is dropped against the FIRST run's advanced watermark,
+    state for old keys having been evicted)."""
+    from udacity_data_engineering_spark.streaming import deduped_events
+
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+    ckpt = str(tmp_path / "ckpt")
+    base = int(time.time()) - 1000
+    hour0 = [
+        (i, f"2025-01-01 00:0{i}:00", i, "click", float(i)) for i in range(1, 6)
+    ]
+    _add_file(_events(spark, hour0), feed, "f1", base)
+    # advancing batch, then a spacer so 08:00 becomes the late-filter
+    # watermark BEFORE the restart (SPARK-42376 two-watermark promotion)
+    _add_file(
+        _events(spark, [(7, "2025-01-01 10:00:00", 7, "click", 7.0)]),
+        feed, "f2", base + 60,
+    )
+    _add_file(
+        _events(spark, [(8, "2025-01-01 10:10:00", 8, "click", 8.0)]),
+        feed, "f3", base + 120,
+    )
+
+    out = str(tmp_path / "out")
+
+    def _run(stream_df):
+        # a REAL fault-tolerant sink: the memory sink refuses checkpoint
+        # recovery by design, so the restart path must be proven against
+        # the parquet sink's commit log (exactly-once files, like prod)
+        q = (
+            stream_df.writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return q.recentProgress
+
+    first = _run(
+        deduped_events(stream_events(spark, feed, max_files_per_trigger=1))
+    )
+    n_batches_run1 = max(p["batchId"] for p in first) + 1
+    assert spark.read.parquet(out).count() == 7  # events 1..8 minus 6
+
+    # "restart": new query, SAME checkpoint + sink; two new files — one
+    # on-time, one late redelivery of event 2 (whose state run 1 evicted)
+    _add_file(
+        _events(spark, [(9, "2025-01-01 10:20:00", 9, "view", 9.0)]),
+        feed, "f4", base + 180,
+    )
+    _add_file(_events(spark, [hour0[1]]), feed, "f5", base + 240)
+    second = _run(
+        deduped_events(stream_events(spark, feed, max_files_per_trigger=1))
+    )
+
+    # only the NEW files were processed (batch ids continue, input = 2 rows)
+    assert min(p["batchId"] for p in second) == n_batches_run1
+    assert sum(p["numInputRows"] for p in second) == 2
+    # the restarted watermark dropped the late redelivery pre-state
+    assert sum(_state_metric(second, "numRowsDroppedByWatermark")) == 1
+    final = spark.read.parquet(out)
+    assert final.count() == 8  # ...plus event 9, exactly once each
+    assert final.select("event_id").distinct().count() == 8
+    assert final.filter(F.col("event_id") == 2).count() == 1  # not re-emitted
