@@ -65,6 +65,12 @@ def main() -> int:
     for name, q in sorted(manifest.items()):
         if wanted and name not in wanted:
             continue
+        if q.oracle is None and args.skip_rows_only:
+            # skip BEFORE executing: the point of the flag is a faster
+            # oracle-only sweep (it also suppresses the SWEEP.json stamp,
+            # since a partial run proves nothing about full coverage)
+            print(f"skip {name}: rows-only")
+            continue
         t0 = time.time()
         try:
             sdf = q.fn(spark, args.sf)
@@ -117,7 +123,12 @@ def _stamp_sweep(manifest, sf: str) -> None:
     }
     existing = {}
     if stamp_path.exists():
-        existing = json.loads(stamp_path.read_text())
+        try:
+            existing = json.loads(stamp_path.read_text())
+        except (json.JSONDecodeError, OSError):
+            # a corrupt/half-written stamp must not turn a green sweep
+            # into a nonzero exit — start the record over instead
+            existing = {}
     scales = existing.get("scales", {}) if (
         existing.get("registry_count") == record["registry_count"]
         and existing.get("names_sha256") == record["names_sha256"]

@@ -153,6 +153,27 @@ def test_simhash_xband_exposure_of_dropped_clique(spark):
     assert {(r.doc_a, r.doc_b) for r in got} == {(100, 101)}
 
 
+def test_simhash_xband_dropped_dropped_pair_counted_once(spark):
+    """Both co-banded cliques over the cap: the (A,B) collision appears
+    in both orientations of the over x all join, but it is ONE lost
+    signature-group pair — dropped_pairs must canonicalize, while
+    n_groups/n_capped still report both cliques as exposed (round-6
+    review finding: the ordered-tuple distinct counted it twice)."""
+    docs = spark.createDataFrame(
+        [(i, "tok0") for i in range(8)]
+        + [(100 + i, "tok130511") for i in range(8)],
+        "doc_id long, text string",
+    )
+    rows = {r.path: r for r in simhash_candidate_stats(docs, cap=5).collect()}
+    x = rows["simhash_clique_xband"]
+    assert x.n_groups == 2 and x.n_capped == 2  # both cliques exposed
+    assert x.dropped_pairs == 1  # one unordered signature pair lost
+    assert x.max_group == 1
+    assert rows["simhash_clique"].n_capped == 2
+    assert rows["simhash_clique"].dropped_rows == 16
+    assert simhash_candidates(docs, cap=5).count() == 0
+
+
 def _planted_identical_embeddings(spark, n=10, dim=64):
     vec = [0.5] * dim
     return spark.createDataFrame(

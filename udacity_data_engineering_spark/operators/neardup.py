@@ -515,12 +515,22 @@ def simhash_candidate_stats(
       than ``cap`` distinct surviving signatures; a lower bound in
       document terms (each signature group may hold many docs).
 
-    All-zero n_capped across the three rows = full candidate coverage."""
+    All-zero n_capped across the three rows = full candidate coverage.
+
+    Cost: the signature pipeline (xxhash64 + majority bits over every
+    document) is computed ONCE and the per-signature groups eagerly
+    localCheckpoint'ed — four downstream frontiers reference them, and
+    Spark reuses only identical exchanges, not arbitrary subtrees, so
+    the lazy form recomputed signatures 4x (caught in the round-6
+    review). The materialized groups are the dedup frontier (one row
+    per DISTINCT signature), spill-safe, released by the context
+    cleaner when the result goes away — this is what keeps the audit
+    strictly cheaper than the candidate job it audits."""
     from udacity_data_engineering_spark.operators.similarity import candidate_stats
 
     if bands != 4:
         raise ValueError("packed simhash banding is fixed at 4 x 16 bits")
-    groups = simhash_groups(docs, id_col, text_col)
+    groups = simhash_groups(docs, id_col, text_col).localCheckpoint(eager=True)
     clique = candidate_stats(
         groups.select("lo", "hi", F.explode("ids").alias("doc_id")),
         ["lo", "hi"],
@@ -537,8 +547,9 @@ def simhash_candidate_stats(
         units="sig_groups",
     )
     # cross-band exposure of dropped cliques: join their band keys
-    # against ALL groups' band keys (left side is empty unless a clique
-    # was actually dropped, so the join costs nothing in the normal case)
+    # against ALL groups' band keys (the left side is empty unless a
+    # clique was actually dropped, and both sides read the checkpointed
+    # groups — no signature recompute)
     over_b = simhash_banded(groups.filter(F.size("ids") > cap)).select(
         "band_id",
         "band_key",
@@ -553,16 +564,31 @@ def simhash_candidate_stats(
         .distinct()
     )
     z = F.lit(0).cast("long")
-    xband = collisions.groupBy("o_lo", "o_hi").agg(
-        F.count(F.lit(1)).alias("m")
-    ).agg(
+    # per-dropped-clique exposure (n_groups/n_capped/max_group count each
+    # dropped clique's collisions) vs the UNORDERED pair count: two
+    # dropped cliques sharing a band are one lost pair, not two — the
+    # (o, other) orientation appears twice in that case, so dropped_pairs
+    # canonicalizes via struct least/greatest before counting
+    per_o = collisions.groupBy("o_lo", "o_hi").agg(F.count(F.lit(1)).alias("m"))
+    o_stats = per_o.agg(
+        F.coalesce(F.count(F.lit(1)), z).alias("n_groups"),
+        F.coalesce(F.max("m"), z).alias("max_group"),
+    )
+    sa = F.struct(F.col("o_lo").alias("lo"), F.col("o_hi").alias("hi"))
+    sb = F.struct(F.col("lo"), F.col("hi"))
+    pair_stats = (
+        collisions.select(F.least(sa, sb).alias("p"), F.greatest(sa, sb).alias("q"))
+        .distinct()
+        .agg(F.coalesce(F.count(F.lit(1)), z).alias("dropped_pairs"))
+    )
+    xband = o_stats.crossJoin(pair_stats).select(
         F.lit("simhash_clique_xband").alias("path"),
         F.lit("sig_group_pairs").alias("units"),
-        F.coalesce(F.count(F.lit(1)), z).alias("n_groups"),
-        F.coalesce(F.count(F.lit(1)), z).alias("n_capped"),
+        F.col("n_groups"),
+        F.col("n_groups").alias("n_capped"),
         z.alias("dropped_rows"),
-        F.coalesce(F.sum("m"), z).alias("dropped_pairs"),
-        F.coalesce(F.max("m"), z).alias("max_group"),
+        F.col("dropped_pairs"),
+        F.col("max_group"),
     )
     return clique.unionAll(xband).unionAll(bucket)
 

@@ -194,23 +194,28 @@ def _peek_ts_dtype_hadoop(spark: SparkSession, path: str) -> str:
     first = None
     stack = [jpath]
     while stack and first is None:
-        statuses = sorted(
-            fs.listStatus(stack.pop(0)), key=lambda s: s.getPath().getName()
+        # ONE pass over the listing, extracting (name, isFile, Path) per
+        # entry exactly once — py4j charges a JVM round-trip per method
+        # call, so re-touching each FileStatus in several comprehensions
+        # multiplies driver stall on a wide directory. The sort happens
+        # on the extracted Python strings. A directory listing is
+        # inherently O(entries); the "one footer" claim is about footer
+        # READS, and a production layout points the stream at a leaf
+        # partition, not a 100k-file flat dir.
+        entries = sorted(
+            (s.getPath().getName(), s.isFile(), s.getPath())
+            for s in fs.listStatus(stack.pop(0))
         )
         hit = [
-            s.getPath()
-            for s in statuses
-            if s.isFile()
-            and s.getPath().getName().endswith(".parquet")
-            and _visible(s.getPath().getName())
+            p
+            for name, is_file, p in entries
+            if is_file and name.endswith(".parquet") and _visible(name)
         ]
         if hit:
             first = hit[0]
             break
         stack = [
-            s.getPath()
-            for s in statuses
-            if s.isDirectory() and _visible(s.getPath().getName())
+            p for name, is_file, p in entries if not is_file and _visible(name)
         ] + stack
     if first is None:
         return "timestamp_ntz"  # empty source: current vintage, like local
