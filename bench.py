@@ -171,6 +171,7 @@ def main() -> None:
         "q_quality_classifier",
         "q_streaming_dedup_watermark",
         "q_neardup_ensemble",
+        "q_ensemble_survivors",
     ):
         best = float("inf")
         for _ in range(REPS):  # best-of-3, matching BASELINE.md methodology

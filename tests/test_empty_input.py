@@ -2,10 +2,10 @@
 at scale (a date filter past the newest partition, a tenant with no data
 yet) — operators must return empty results, never throw.
 
-The full 172-query sweep lives in scripts/empty_probe.py (round 5: all
-green after fixing 5 crashes); this test keeps the PREVIOUSLY-CRASHING
-queries pinned plus one representative per heavy family, cheap enough
-for every suite run.
+The full registry-wide sweep lives in scripts/empty_probe.py (round 5:
+all green after fixing 5 crashes; re-run green over all 173 in round 6);
+this test keeps the PREVIOUSLY-CRASHING queries pinned plus one
+representative per heavy family, cheap enough for every suite run.
 """
 
 from __future__ import annotations
@@ -24,6 +24,7 @@ PINNED = [
     "q_minhash_dedup_survivors",
     "q_simhash_candidates",
     "q_neardup_ensemble",     # round 6: composes three legs + cached IVF
+    "q_ensemble_survivors",   # round 6: + components over the union graph
     "q_corpus_pipeline",
     "q_temperature_mix",
     "q_epoch_upsample",

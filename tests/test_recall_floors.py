@@ -85,3 +85,46 @@ def test_ensemble_recall_dominates_every_leg(spark, sf_dir):
     # the lexical leg rides along with its own exact verification
     lex = {(r.doc_a, r.doc_b) for r in ens if r.jaccard is not None}
     assert lex, "lexical leg empty on fixture data"
+
+
+def test_ensemble_survivors_partition_the_corpus(spark, sf_dir):
+    """The ensemble dedup decision: survivors = one min-id doc per
+    component of the union pair graph, every non-paired doc kept. The
+    survivor count must equal n_docs - (paired docs - components), and
+    every pair in the ensemble must have at most one surviving end
+    UNLESS the two ends sit in different components (impossible by
+    construction — so: no surviving pair at all)."""
+    from udacity_data_engineering_spark.operators.ensemble import (
+        ensemble_survivors,
+        neardup_ensemble,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    emb = table(spark, sf_dir, "embeddings")
+    pairs = {
+        (r.doc_a, r.doc_b) for r in neardup_ensemble(docs, emb).collect()
+    }
+    survivors = {r.doc_id for r in ensemble_survivors(docs, emb).collect()}
+    n_docs = docs.count()
+
+    # union-find ground truth over the collected pair set
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    paired = set(parent)
+    comps = {find(x) for x in paired}
+    assert len(survivors) == n_docs - len(paired) + len(comps)
+    # no verified pair survives intact
+    assert not any(a in survivors and b in survivors for a, b in pairs)
+    # the survivor of each component is its min id
+    assert comps <= survivors

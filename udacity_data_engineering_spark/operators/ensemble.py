@@ -95,6 +95,40 @@ def neardup_ensemble(
     )
 
 
+def ensemble_survivors(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    jaccard_threshold: float = 0.5,
+    cosine_threshold: float = NEARDUP_THRESHOLD,
+    assigned: DataFrame | None = None,
+) -> DataFrame:
+    """The dedup DECISION over the ensemble pair graph: connected
+    components across ALL verified legs (lexical + both semantic), keep
+    the min-doc_id survivor per component. A doc in no verified pair
+    survives unconditionally. This is the composition a pipeline
+    actually runs — lexical- and semantic-duplicate chains merge into
+    one component, so a doc lexically equal to A and semantically equal
+    to B collapses the whole {doc, A, B} cluster to one survivor.
+
+    Ordering discipline (SCALE.md 100x probe): run EXACT dedup first —
+    the legs' bucket caps treat identical-content cliques as exact
+    dedup's job, and the MinHash leg goes quadratic on an undeduped
+    corpus (the measured 130x cliff)."""
+    from udacity_data_engineering_spark.operators.components import (
+        connected_components,
+    )
+
+    pairs = neardup_ensemble(
+        docs, embeddings, jaccard_threshold, cosine_threshold, assigned
+    ).select("doc_a", "doc_b")
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    return (
+        docs.join(comp, docs["doc_id"] == comp["id"], "left")
+        .filter(F.col("comp").isNull() | (F.col("comp") == F.col("doc_id")))
+        .select("doc_id", "lang", "source")
+    )
+
+
 @register(
     "q_neardup_ensemble",
     doc="E12: the near-dup ENSEMBLE — union of exact-verified pairs from "
@@ -114,5 +148,26 @@ def q_neardup_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     assigned, _ = cached_ivf_index(spark, sf_dir, emb)
     return neardup_ensemble(
+        table(spark, sf_dir, "documents"), emb, assigned=assigned
+    )
+
+
+@register(
+    "q_ensemble_survivors",
+    doc="E11/E12: the ensemble's dedup decision — connected components "
+    "over the union of all exact-verified near-dup legs (lexical "
+    "Jaccard>=0.5, embedding-LSH and SemDeDup cosine>=0.4), min-doc_id "
+    "survivor per component, non-paired docs survive unconditionally. "
+    "Lexical and semantic duplicate chains merge transitively. "
+    "Hash/seed-specific legs => rows-only; tests assert survivor-set "
+    "properties (partition of the corpus, planted dup collapse).",
+    tags=("E11", "E12", "dedup"),
+)
+def q_ensemble_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from udacity_data_engineering_spark.operators.ann import cached_ivf_index
+
+    emb = table(spark, sf_dir, "embeddings")
+    assigned, _ = cached_ivf_index(spark, sf_dir, emb)
+    return ensemble_survivors(
         table(spark, sf_dir, "documents"), emb, assigned=assigned
     )
