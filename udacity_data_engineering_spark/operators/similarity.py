@@ -244,11 +244,19 @@ def minhash_signature(shingle_col: Column, num_hashes: int = 32, seed: int = 42)
 
 
 def spread(df: DataFrame, parallelism: int | None = None) -> DataFrame:
-    """Repartition ahead of per-row-expensive expressions. Small parquet
-    inputs arrive as ONE split — without this, signature computation for
-    a whole table runs on a single core. At cluster scale the same call
-    right-sizes partitions to the executor count."""
+    """Repartition ahead of per-row-expensive expressions — but ONLY
+    when the input is under-split. Small parquet inputs arrive as ONE
+    split; without this, signature computation for a whole table runs on
+    a single core. A 100 TB corpus, though, already scans as tens of
+    thousands of splits, and the old unconditional ``repartition(n)``
+    would round-robin SHUFFLE the entire raw text corpus (its largest
+    columns!) just to change the partition count — so when the plan
+    already has >= n partitions this is now a no-op, and signature work
+    runs where the scan runs. getNumPartitions is a plan-only
+    inspection (no job)."""
     n = parallelism or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
     return df.repartition(n)
 
 
