@@ -655,8 +655,17 @@ def embedding_neardup_lsh(
             }
         )
 
+    from udacity_data_engineering_spark.operators.similarity import (
+        in_cap_groups,
+    )
+
+    # over-cap buckets are pruned BEFORE grouping: FlatMapGroupsInPandas
+    # ships a whole group to one Python worker as one Arrow batch, so
+    # the in-kernel m > cap guard (kept as defense) would only fire
+    # after a hot bucket was already materialized worker-side
     return (
-        bucketed.groupBy("tid", "bucket")
+        in_cap_groups(bucketed, ["tid", "bucket"], cap)
+        .groupBy("tid", "bucket")
         .applyInPandas(_verify, "vec_a long, vec_b long, sim double")
         .groupBy("vec_a", "vec_b")
         .agg(F.round(F.max("sim"), 6).alias("cos_sim"))

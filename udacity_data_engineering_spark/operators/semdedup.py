@@ -109,8 +109,17 @@ def semantic_pairs(
             }
         )
 
+    from udacity_data_engineering_spark.operators.similarity import (
+        in_cap_groups,
+    )
+
+    # over-cap clusters are pruned BEFORE grouping (round-6 hardening):
+    # a hot cluster would otherwise arrive at one Python worker as a
+    # single whole-cluster Arrow batch before the in-kernel guard
+    # (kept as defense) could drop it
     return (
-        unit.groupBy("cluster")
+        in_cap_groups(unit, ["cluster"], cap)
+        .groupBy("cluster")
         .applyInPandas(_verify, "vec_a long, vec_b long, sim double")
         .groupBy("vec_a", "vec_b")
         .agg(F.round(F.max("sim"), 6).alias("cos_sim"))

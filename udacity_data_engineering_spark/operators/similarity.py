@@ -260,6 +260,29 @@ def spread(df: DataFrame, parallelism: int | None = None) -> DataFrame:
     return df.repartition(n)
 
 
+def in_cap_groups(
+    bucketed: DataFrame, bucket_cols: list[str], cap: int
+) -> DataFrame:
+    """Drop rows of groups outside [2, cap] BEFORE any group
+    materialization. A windowed count (no ORDER BY) shares the
+    hash-partitioning of the downstream groupBy — one exchange total —
+    and WindowExec buffers rows in a spillable array, so a degenerate
+    billion-member bucket streams through and gets filtered row by row.
+    The old post-hoc ``filter(size(ms) <= cap)`` pattern built the full
+    member array (or shipped the whole group to a Python worker) first:
+    dropping a hot bucket only after materializing it is an OOM, not a
+    cap (round-6 hardening; semantics unchanged — the same groups
+    survive)."""
+    from pyspark.sql.window import Window
+
+    m = F.count(F.lit(1)).over(Window.partitionBy(*bucket_cols))
+    return (
+        bucketed.withColumn("__m", m)
+        .filter((F.col("__m") >= 2) & (F.col("__m") <= cap))
+        .drop("__m")
+    )
+
+
 def bucket_pairs(bucketed: DataFrame, bucket_cols: list[str], payload: Column, cap: int = 100) -> DataFrame:
     """Within-bucket candidate-pair expansion via ONE scan: group to a
     per-bucket member array, then explode the triangular pairs. Avoids
@@ -269,15 +292,15 @@ def bucket_pairs(bucketed: DataFrame, bucket_cols: list[str], payload: Column, c
     Buckets above ``cap`` members are DROPPED from pair generation (a
     hot bucket is near-identical content that exact dedup — q_doc_dedup
     — should consume first, and its quadratic pair explosion would
-    dominate the job). This is a silent cap on the DataFrame itself;
-    when accounting matters, run ``capped_buckets`` alongside and
-    surface its count."""
-    members = bucketed.groupBy(*bucket_cols).agg(
+    dominate the job) — and dropped BEFORE their member arrays are
+    built (in_cap_groups), so the cap bounds memory, not just work.
+    This is a silent cap on the DataFrame itself; when accounting
+    matters, run ``capped_buckets`` alongside and surface its count."""
+    members = in_cap_groups(bucketed, bucket_cols, cap).groupBy(*bucket_cols).agg(
         F.collect_list(payload).alias("ms")
     )
     return (
-        members.filter((F.size("ms") >= 2) & (F.size("ms") <= cap))
-        .select(F.explode(triangular_pairs(F.col("ms"))).alias("p"))
+        members.select(F.explode(triangular_pairs(F.col("ms"))).alias("p"))
         .select("p.a", "p.b")
     )
 
@@ -299,14 +322,20 @@ def bucket_pairs_streamed(
 
     ``order`` must be unique per row within a bucket; the strict ``<``
     emits each unordered pair exactly once, canonically oriented (a = the
-    lesser order key). Over-cap buckets are dropped, same contract as
-    bucket_pairs — run candidate_stats for the accounting."""
-    members = bucketed.groupBy(*bucket_cols).agg(
-        F.collect_list(F.struct(payload.alias("p"), order.alias("o"))).alias("ms")
+    lesser order key). Over-cap buckets are dropped — BEFORE the member
+    array is built (in_cap_groups), same contract and same memory bound
+    as bucket_pairs — run candidate_stats for the accounting."""
+    members = (
+        in_cap_groups(bucketed, bucket_cols, cap)
+        .groupBy(*bucket_cols)
+        .agg(
+            F.collect_list(F.struct(payload.alias("p"), order.alias("o"))).alias(
+                "ms"
+            )
+        )
     )
     return (
-        members.filter((F.size("ms") >= 2) & (F.size("ms") <= cap))
-        .select(F.explode("ms").alias("x"), "ms")
+        members.select(F.explode("ms").alias("x"), "ms")
         .select("x", F.explode("ms").alias("y"))
         .filter(F.col("x.o") < F.col("y.o"))
         .select(F.col("x.p").alias("a"), F.col("y.p").alias("b"))
