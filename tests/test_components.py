@@ -105,3 +105,21 @@ def test_minhash_survivors_equal_exact_survivors(spark, sf_dir):
     expect = {v for v in all_ids if v not in labels or labels[v] == v}
     got = {r.doc_id for r in neardup_survivors(docs).collect()}
     assert got == expect
+
+
+def test_long_chain_converges_fast_via_pointer_jumping(spark):
+    """A 200-vertex path graph has diameter 199 — pure min-label
+    propagation needs ~199 rounds and would trip the max_iter=25
+    fail-loud; pointer jumping converges it in O(log d). All vertices
+    must label to the chain's minimum."""
+    from udacity_data_engineering_spark.operators.components import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(199)], "src long, dst long"
+    )
+    got = connected_components(edges, "src", "dst")  # default max_iter=25
+    rows = got.collect()
+    assert len(rows) == 200
+    assert {r.comp for r in rows} == {0}

@@ -50,12 +50,26 @@ def connected_components(
     """Label every vertex of the (undirected) edge list with the minimum
     vertex id of its connected component. Returns (id, comp).
 
-    Min-label propagation: comp starts as the vertex's own id; each
-    round takes the min over the neighborhood. Monotone + bounded below
-    -> the label sum strictly decreases until fixpoint, which is the
-    convergence test (one cheap scalar agg per round — no row-level
-    diffing). Every round is shuffle-bounded by the edge count; no
-    per-vertex neighbor lists are ever collected.
+    Min-label propagation WITH pointer jumping (the Shiloach-Vishkin /
+    Kiveris-et-al. "Connected Components in MapReduce" acceleration):
+    comp starts as the vertex's own id; each round takes the min over
+    the neighborhood, then JUMPS — comp := comp(comp) — so labels hop
+    two levels per round and a diameter-d chain converges in O(log d)
+    rounds instead of O(d) — on a pure 199-edge chain the label gap
+    doubles per round (g' = 2g+2, test-pinned under max_iter=25 where
+    plain propagation would need ~199 rounds). What the jump BUYS is
+    the diameter tolerance: ``max_iter`` becomes an exponential-reach
+    bound instead of a hop bound, which matters because the round-6
+    ensemble pair graph measured 23 plain rounds against the 25-round
+    fail-loud — one corpus-scale notch from a crash. On that mixed
+    star/chain graph the jump reads 18 rounds at roughly equal wall
+    (per-round cost is two joins instead of one; a second jump per
+    round was tried and rejected — the nested lazy self-join blows up
+    analysis time). Monotone + bounded below -> the label
+    sum strictly decreases until fixpoint, which is the convergence
+    test (one cheap scalar agg per round — no row-level diffing).
+    Every round is shuffle-bounded by the edge count; no per-vertex
+    neighbor lists are ever collected.
     """
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = (
@@ -80,11 +94,22 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("comp").alias("m"))
         )
+        stepped = labels.join(nbr, labels["id"] == nbr["a"], "left").select(
+            labels["id"],
+            F.least(F.col("comp"), F.coalesce("m", "comp")).alias("comp"),
+        )
+        # pointer jump: comp := comp(comp). Every comp value is itself a
+        # vertex id (labels only ever hold existing ids), and comp(x) <=
+        # x throughout, so the jump is monotone too; left join + coalesce
+        # is belt-and-braces for the self-rooted case.
+        hop = stepped.select(
+            F.col("id").alias("cid"), F.col("comp").alias("ccomp")
+        )
         labels = (
-            labels.join(nbr, labels["id"] == nbr["a"], "left")
+            stepped.join(hop, stepped["comp"] == hop["cid"], "left")
             .select(
-                labels["id"],
-                F.least(F.col("comp"), F.coalesce("m", "comp")).alias("comp"),
+                stepped["id"],
+                F.coalesce("ccomp", "comp").alias("comp"),
             )
             .localCheckpoint()
         )
