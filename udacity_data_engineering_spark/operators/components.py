@@ -5,13 +5,15 @@ Near-dup pairs form a graph; a dedup pipeline must keep ONE survivor per
 connected component (pair-at-a-time removal either under-deletes or
 cascades). This module provides:
 
-- ``connected_components``: iterative min-label propagation over a
-  DataFrame edge list. Each iteration is one join + one min-aggregate
-  (both decomposable, map-side combinable); lineage is cut per iteration
-  with localCheckpoint. Converges in O(graph diameter) iterations —
-  near-dup clusters are star-like (diameter 2-4), so this beats the
-  O(log n) star algorithms in practice while never materializing a
-  neighbor list (no collect_list hot-node blowup).
+- ``connected_components``: iterative min-label propagation with
+  pointer jumping over a DataFrame edge list. Each iteration is one
+  edge join + one min-aggregate (both decomposable, map-side
+  combinable) plus one label self-join (the comp := comp(comp) jump);
+  lineage is cut per iteration with localCheckpoint. Label reach grows
+  exponentially per round, so max_iter=25 covers astronomically long
+  chains — round 6 measured the ensemble pair graph at 23 PLAIN rounds
+  against that ceiling, which is what motivated the jump — while never
+  materializing a neighbor list (no collect_list hot-node blowup).
 - ``q_dedup_components``: components over the EXACT Jaccard pair graph,
   value-hash-proven against a DuckDB recursive-CTE transitive closure —
   the hard proof that the iterative algorithm labels every vertex with
@@ -121,12 +123,13 @@ def connected_components(
     if not converged:
         # Exhausting the loop without a fixpoint means labels stopped
         # propagating mid-graph — returning them would silently split
-        # components (under-deduplication). Diameter > max_iter is the
-        # only way here; near-dup graphs are star-like, so hitting this
-        # signals pathological input, not a tuning problem.
+        # components (under-deduplication). With pointer jumping the
+        # reach per round is exponential, so hitting this ceiling
+        # signals genuinely pathological input, not a tuning problem.
         raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds; "
-            "the graph has diameter > max_iter — raise max_iter"
+            f"connected_components did not converge in {max_iter} rounds "
+            "(exponential-reach label propagation) — the input graph is "
+            "pathological; raise max_iter only after inspecting it"
         )
     return labels
 
