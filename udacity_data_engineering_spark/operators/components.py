@@ -65,9 +65,9 @@ def connected_components(
     ensemble pair graph measured 23 plain rounds against the 25-round
     fail-loud — one corpus-scale notch from a crash. On that mixed
     star/chain graph the jump reads 18 rounds at roughly equal wall
-    (per-round cost is two joins instead of one; a second jump per
-    round was tried and rejected — the nested lazy self-join blows up
-    analysis time). Monotone + bounded below -> the label
+    (per round: the neighbor-min step materializes, then one extra
+    label self-join; a second jump per round was tried and rejected —
+    the nested lazy self-join blows up analysis time). Monotone + bounded below -> the label
     sum strictly decreases until fixpoint, which is the convergence
     test (one cheap scalar agg per round — no row-level diffing).
     Every round is shuffle-bounded by the edge count; no per-vertex
@@ -96,10 +96,32 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("comp").alias("m"))
         )
-        stepped = labels.join(nbr, labels["id"] == nbr["a"], "left").select(
-            labels["id"],
-            F.least(F.col("comp"), F.coalesce("m", "comp")).alias("comp"),
+        # Materialize the neighbor-min step BEFORE deriving the jump's
+        # self-join from it: hop over a lazy `stepped` plans the whole
+        # edge-join + aggregate subtree under BOTH join sides (measured:
+        # 5 joins/4 aggregates per round, 0 reuse), doubling per-round
+        # work. With the cut, the jump joins two reads of one
+        # materialized RDD.
+        stepped = (
+            labels.join(nbr, labels["id"] == nbr["a"], "left")
+            .select(
+                labels["id"],
+                F.least(F.col("comp"), F.coalesce("m", "comp")).alias("comp"),
+            )
+            .localCheckpoint()
         )
+        # Convergence is checked on STEPPED's label sum: per row
+        # stepped' <= jumped <= stepped (monotone), so sum-equality
+        # pins jumped == stepped too, and a neighbor-min fixpoint is
+        # already constant per component — i.e. the component minimum —
+        # making a final jump a no-op. One cheap scalar agg per round
+        # over the just-materialized rows.
+        total = stepped.agg(F.sum("comp")).first()[0]
+        if total == prev:
+            labels = stepped
+            converged = True
+            break
+        prev = total
         # pointer jump: comp := comp(comp). Every comp value is itself a
         # vertex id (labels only ever hold existing ids), and comp(x) <=
         # x throughout, so the jump is monotone too; left join + coalesce
@@ -115,11 +137,6 @@ def connected_components(
             )
             .localCheckpoint()
         )
-        total = labels.agg(F.sum("comp")).first()[0]
-        if total == prev:
-            converged = True
-            break
-        prev = total
     if not converged:
         # Exhausting the loop without a fixpoint means labels stopped
         # propagating mid-graph — returning them would silently split
@@ -198,6 +215,21 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(edges, "doc_a", "doc_b")
 
 
+
+def min_id_survivors(
+    rows: DataFrame, comp: DataFrame, id_col: str, *keep_cols: str
+) -> DataFrame:
+    """Shared dedup-decision tail: keep the row whose ``id_col`` equals
+    its component's min label; rows in no pair (no component entry)
+    survive unconditionally. One place for survivor semantics —
+    previously copied verbatim into three modules (round-6 review), so a
+    tie-break or column change could silently drift between them."""
+    return (
+        rows.join(comp, rows[id_col] == comp["id"], "left")
+        .filter(F.col("comp").isNull() | (F.col("comp") == F.col(id_col)))
+        .select(id_col, *keep_cols)
+    )
+
 def neardup_survivors(
     docs: DataFrame, threshold: float = NEARDUP_JACCARD
 ) -> DataFrame:
@@ -221,11 +253,7 @@ def neardup_survivors(
         .select("doc_a", "doc_b")
     )
     comp = connected_components(verified, "doc_a", "doc_b")
-    return (
-        docs.join(comp, docs["doc_id"] == comp["id"], "left")
-        .filter(F.col("comp").isNull() | (F.col("comp") == F.col("doc_id")))
-        .select("doc_id", "lang", "source")
-    )
+    return min_id_survivors(docs, comp, "doc_id", "lang", "source")
 
 
 @register(

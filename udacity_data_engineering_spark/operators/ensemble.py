@@ -116,17 +116,14 @@ def ensemble_survivors(
     corpus (the measured 130x cliff)."""
     from udacity_data_engineering_spark.operators.components import (
         connected_components,
+        min_id_survivors,
     )
 
     pairs = neardup_ensemble(
         docs, embeddings, jaccard_threshold, cosine_threshold, assigned
     ).select("doc_a", "doc_b")
     comp = connected_components(pairs, "doc_a", "doc_b")
-    return (
-        docs.join(comp, docs["doc_id"] == comp["id"], "left")
-        .filter(F.col("comp").isNull() | (F.col("comp") == F.col("doc_id")))
-        .select("doc_id", "lang", "source")
-    )
+    return min_id_survivors(docs, comp, "doc_id", "lang", "source")
 
 
 @register(

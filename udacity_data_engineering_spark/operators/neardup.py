@@ -169,13 +169,13 @@ def hamming(a: Column, b: Column) -> Column:
 SIMHASH_BUCKET_CAP = 5000
 
 
-def simhash_groups(
+def simhash_sigs(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """(lo, hi, ids): one row per distinct packed 64-bit signature with
-    its sorted member doc ids — the ONE definition of the signature +
-    clique grouping, shared by simhash_candidates and its stats
-    companion so the audit can never drift from the audited path.
+    """(doc_id, lo, hi): one row per document with its packed 64-bit
+    signature — the ONE signature definition shared by the candidate
+    path and its stats companion so the audit can never drift from the
+    audited path.
 
     NULL text is filtered (same rule as the embedding paths): a null doc
     has no tokens to vote, so it would collapse to the all-zero
@@ -183,23 +183,45 @@ def simhash_groups(
     "duplicate" of every other — similarity semantics only apply to rows
     that carry text. The exact ground truth (exact_hamming_pairs)
     applies the identical filter."""
-    sig = spread(docs.filter(F.col(text_col).isNotNull())).select(
+    return spread(docs.filter(F.col(text_col).isNotNull())).select(
         F.col(id_col).alias("doc_id"), simhash64_packed(F.col(text_col)).alias("s")
     ).select("doc_id", "s.lo", "s.hi")
+
+
+def simhash_groups(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cap: int | None = None,
+) -> DataFrame:
+    """(lo, hi, ids): one row per distinct packed signature with its
+    sorted member doc ids. With ``cap``, over-cap cliques are pruned by
+    a windowed count BEFORE the member array is built (upper bound only
+    — singleton signatures stay, they still band for cross-signature
+    pairs), so a million-doc boilerplate clique never materializes as
+    one collect_list row only to be discarded (the round-6
+    pre-materialization cap discipline; in_cap_groups' >=2 lower bound
+    makes it unusable here)."""
+    from pyspark.sql.window import Window
+
+    sig = simhash_sigs(docs, id_col, text_col)
+    if cap is not None:
+        m = F.count(F.lit(1)).over(Window.partitionBy("lo", "hi"))
+        sig = sig.withColumn("__m", m).filter(F.col("__m") <= cap).drop("__m")
     return sig.groupBy("lo", "hi").agg(
         F.sort_array(F.collect_list("doc_id")).alias("ids")
     )
 
 
-def simhash_banded(groups: DataFrame) -> DataFrame:
-    """Explode signature groups into (lo, hi, ids, band_id, band_key)
-    bucketing rows — the shared banding definition."""
-    return groups.select(
-        "lo",
-        "hi",
-        "ids",
+def simhash_banded(sigs: DataFrame) -> DataFrame:
+    """Explode rows carrying (lo, hi, ...) into banding rows — all input
+    columns preserved plus (band_id, band_key). Works for signature
+    groups (with ids) and for bare distinct-signature rows alike."""
+    cols = sigs.columns
+    return sigs.select(
+        "*",
         F.explode(packed_band_keys(F.col("lo"), F.col("hi"))).alias("b"),
-    ).select("lo", "hi", "ids", "b.band_id", "b.band_key")
+    ).select(*cols, "b.band_id", "b.band_key")
 
 
 def simhash_candidates(
@@ -250,7 +272,8 @@ def simhash_candidates(
             simhash_candidate_stats(docs, id_col, text_col, bands, cap),
             "simhash_candidates",
         )
-    groups = simhash_groups(docs, id_col, text_col).filter(F.size("ids") <= cap)
+    # over-cap cliques pruned pre-materialization inside simhash_groups
+    groups = simhash_groups(docs, id_col, text_col, cap=cap)
     # intra-clique pairs (identical sigs, Hamming 0): double-explode of
     # the member array — streams m^2 pairs without ever materializing a
     # C(m,2) pair array in one row
@@ -518,45 +541,67 @@ def simhash_candidate_stats(
     All-zero n_capped across the three rows = full candidate coverage.
 
     Cost: the signature pipeline (xxhash64 + majority bits over every
-    document) is computed ONCE and the per-signature groups eagerly
-    localCheckpoint'ed — four downstream frontiers reference them, and
-    Spark reuses only identical exchanges, not arbitrary subtrees, so
-    the lazy form recomputed signatures 4x (caught in the round-6
-    review). The materialized groups are the dedup frontier (one row
-    per DISTINCT signature), spill-safe, released by the context
-    cleaner when the result goes away — this is what keeps the audit
-    strictly cheaper than the candidate job it audits."""
+    document) is computed ONCE — the per-signature SIZE table (lo, hi,
+    m), one fixed-width row per distinct signature and never a member
+    array, is eagerly localCheckpoint'ed and every frontier derives
+    from it (four lazy references would recompute signatures 4x: Spark
+    reuses only identical exchanges, not arbitrary subtrees — caught in
+    the round-6 review). Spill-safe, released by the context cleaner
+    when the result goes away — this is what keeps the audit strictly
+    cheaper than the candidate job it audits."""
     from udacity_data_engineering_spark.operators.similarity import candidate_stats
 
     if bands != 4:
         raise ValueError("packed simhash banding is fixed at 4 x 16 bits")
-    groups = simhash_groups(docs, id_col, text_col).localCheckpoint(eager=True)
-    clique = candidate_stats(
-        groups.select("lo", "hi", F.explode("ids").alias("doc_id")),
-        ["lo", "hi"],
-        cap=cap,
-        path="simhash_clique",
-        units="docs",
+    sizes = (
+        simhash_sigs(docs, id_col, text_col)
+        .groupBy("lo", "hi")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .localCheckpoint(eager=True)
     )
-    kept = groups.filter(F.size("ids") <= cap)
+    over = F.col("m") > cap
+    zz = F.lit(0).cast("long")
+    # same arithmetic as candidate_stats, computed straight off the
+    # per-signature counts (candidate_stats wants member ROWS; re-
+    # inflating them from m would just rebuild the blowup being audited)
+    clique = sizes.agg(
+        F.lit("simhash_clique").alias("path"),
+        F.lit("docs").alias("units"),
+        F.coalesce(F.count(F.lit(1)), zz).alias("n_groups"),
+        F.coalesce(F.sum(F.when(over, 1).otherwise(0)), zz).alias("n_capped"),
+        F.coalesce(F.sum(F.when(over, F.col("m")).otherwise(0)), zz).alias(
+            "dropped_rows"
+        ),
+        F.coalesce(
+            F.sum(F.when(over, F.expr("(m * (m - 1)) DIV 2")).otherwise(F.lit(0))),
+            zz,
+        ).alias("dropped_pairs"),
+        F.coalesce(F.max("m"), zz).alias("max_group"),
+    )
     bucket = candidate_stats(
-        simhash_banded(kept).select("band_id", "band_key"),
+        simhash_banded(sizes.filter(F.col("m") <= cap).select("lo", "hi")).select(
+            "band_id", "band_key"
+        ),
         ["band_id", "band_key"],
         cap=cap,
         path="simhash_band",
         units="sig_groups",
     )
     # cross-band exposure of dropped cliques: join their band keys
-    # against ALL groups' band keys (the left side is empty unless a
+    # against ALL signatures' band keys (the left side is empty unless a
     # clique was actually dropped, and both sides read the checkpointed
-    # groups — no signature recompute)
-    over_b = simhash_banded(groups.filter(F.size("ids") > cap)).select(
+    # size table — no signature recompute)
+    over_b = simhash_banded(
+        sizes.filter(F.col("m") > cap).select("lo", "hi")
+    ).select(
         "band_id",
         "band_key",
         F.col("lo").alias("o_lo"),
         F.col("hi").alias("o_hi"),
     )
-    all_b = simhash_banded(groups).select("band_id", "band_key", "lo", "hi")
+    all_b = simhash_banded(sizes.select("lo", "hi")).select(
+        "band_id", "band_key", "lo", "hi"
+    )
     collisions = (
         over_b.join(all_b, ["band_id", "band_key"])
         .filter((F.col("o_lo") != F.col("lo")) | (F.col("o_hi") != F.col("hi")))

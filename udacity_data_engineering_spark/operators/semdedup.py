@@ -161,14 +161,13 @@ def semantic_dedup(
     """Survivor set after semantic dedup: one representative (minimum
     vec_id) per connected component of the within-cluster near-dup
     graph; vectors in no pair survive unconditionally."""
+    from udacity_data_engineering_spark.operators.components import (
+        min_id_survivors,
+    )
+
     pairs = semantic_pairs(emb, threshold=threshold, k=k, seed=seed, assigned=assigned)
     comp = connected_components(pairs, "vec_a", "vec_b")
-    return (
-        emb.join(comp, emb["vec_id"] == comp["id"], "left")
-        .filter(F.col("comp").isNull() | (F.col("comp") == F.col("vec_id")))
-        .select("vec_id")
-        .orderBy("vec_id")
-    )
+    return min_id_survivors(emb, comp, "vec_id").orderBy("vec_id")
 
 
 @register(

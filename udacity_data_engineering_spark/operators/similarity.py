@@ -253,7 +253,16 @@ def spread(df: DataFrame, parallelism: int | None = None) -> DataFrame:
     columns!) just to change the partition count — so when the plan
     already has >= n partitions this is now a no-op, and signature work
     runs where the scan runs. getNumPartitions is a plan-only
-    inspection (no job)."""
+    inspection (no job).
+
+    Caveat: the count is a proxy for BALANCE. A many-files-but-skewed
+    source (most files tiny, a few holding nearly all rows) passes the
+    gate unshuffled and its signature work lands on the few cores
+    owning the big splits. Parquet scans are largely immune —
+    maxPartitionBytes splits large files into even chunks — but for a
+    genuinely skewed non-splittable source, pass
+    ``parallelism > getNumPartitions()`` explicitly to force the
+    rebalance."""
     n = parallelism or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= n:
         return df
