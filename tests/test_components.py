@@ -107,6 +107,19 @@ def test_minhash_survivors_equal_exact_survivors(spark, sf_dir):
     assert got == expect
 
 
+def test_components_convergence_sum_is_overflow_proof(spark):
+    """Vertex ids near 2^62: a plain long SUM of six labels already
+    exceeds max-long mid-aggregation (ANSI mode would abort the round;
+    legacy mode could in principle wrap successive sums onto equal
+    values and declare a false fixpoint). The decimal(38,0) convergence
+    sum (components.py round-7 hardening) handles them exactly."""
+    base = 1 << 62
+    edges = [(base + i, base + i + 1) for i in range(5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.id: r.comp for r in connected_components(df).collect()}
+    assert got == {base + i: base for i in range(6)}
+
+
 def test_long_chain_converges_fast_via_pointer_jumping(spark):
     """A 200-vertex path graph has diameter 199 — pure min-label
     propagation needs ~199 rounds and would trip the max_iter=25

@@ -84,20 +84,61 @@ def _hot_docs(spark, n=8):
     )
 
 
-def test_minhash_stats_report_crafted_hot_bucket(spark):
+def _neardup_distinct_docs(spark):
+    """8 DISTINCT near-identical docs (one word of a 40-word base swapped
+    per variant) — high pairwise Jaccard, so their distinct signatures
+    co-band heavily. The minhash cap's remaining frontier after the
+    round-7 identical-content collapse: content GROUPS sharing a band."""
+    base = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango "
+        "uniform victor whiskey xray yankee zulu one two three four five "
+        "six seven eight nine ten eleven twelve thirteen fourteen"
+    )
+    words = base.split()
+    rows = [(0, base)]
+    for i in range(1, 8):
+        w = list(words)
+        w[i * 3] = f"variant{i}"
+        rows.append((i, " ".join(w)))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_identical_docs_can_never_be_dropped(spark):
+    """Round 7 structural clique-proofing: identical docs collapse to ONE
+    banded representative, so every band bucket they once flooded is a
+    singleton — no cap can drop them — and the C(8,2) intra pairs are
+    emitted directly at ANY cap (the pre-collapse path dropped all 28 at
+    cap=5 and accounted them; now there is nothing to account)."""
     docs = _hot_docs(spark, 8)
     stats = minhash_candidate_stats(docs, cap=5).first()
-    # identical docs share every one of the 8 band buckets
     assert stats.path == "minhash_lsh"
-    assert stats.n_groups == 8
+    assert stats.units == "content_groups"
+    assert stats.n_groups == 8  # 8 band buckets, each holding the one rep
+    assert stats.max_group == 1
+    assert stats.n_capped == 0 and stats.dropped_pairs == 0
+    assert minhash_candidates(docs, cap=5).count() == 28
+    assert minhash_candidates(docs).count() == 28
+
+
+def test_minhash_stats_report_distinct_neardup_bucket(spark):
+    """The cap frontier that REMAINS after the collapse: distinct
+    contents whose signatures share a band. Values are seed-pinned
+    (MinHash params seed=42, deterministic xxhash64) — observed once,
+    asserted exactly, like the simhash tok-fixture tests."""
+    docs = _neardup_distinct_docs(spark)
+    stats = minhash_candidate_stats(docs, cap=3).first()
+    assert stats.path == "minhash_lsh"
+    assert stats.n_groups == 37
     assert stats.n_capped == 8
-    assert stats.dropped_rows == 64
-    assert stats.dropped_pairs == 8 * 28  # 8 bands x C(8,2)
-    assert stats.max_group == 8
-    # and with the production cap (100) nothing is dropped
+    assert stats.dropped_rows == 35
+    assert stats.dropped_pairs == 60
+    assert stats.max_group == 5
+    assert minhash_candidates(docs, cap=3).count() == 0  # dropped, accounted
+    # production cap covers the corpus: all candidates, zero drops
     ok = minhash_candidate_stats(docs, cap=100).first()
     assert ok.n_capped == 0 and ok.dropped_pairs == 0
-    assert minhash_candidates(docs).count() == 28
+    assert minhash_candidates(docs, cap=100).count() == 23
 
 
 def test_simhash_stats_report_crafted_hot_bucket(spark):
@@ -247,7 +288,7 @@ def test_registered_audit_query_covers_all_paths(spark, sf_dir):
             # real frontiers over real data are populated; the xband row
             # is zero whenever no clique was dropped (the normal state)
             assert r.n_groups > 0 and r.max_group > 0
-            assert r.units in ("docs", "vecs", "sig_groups")
+            assert r.units in ("docs", "vecs", "sig_groups", "content_groups")
 
 
 def test_fail_on_drops_enforces_the_contract(spark):
@@ -256,9 +297,15 @@ def test_fail_on_drops_enforces_the_contract(spark):
     import numpy as np
 
     docs = _hot_docs(spark, 8)
+    # identical docs can no longer trip the cap (round-7 collapse) —
+    # the contract holds silently at ANY cap for them
+    assert minhash_candidates(docs, cap=5, fail_on_drops=True).count() == 28
+    # the remaining frontier (distinct near-identical contents) still
+    # raises when capped, and passes clean at the production cap
+    near = _neardup_distinct_docs(spark)
     with pytest.raises(ValueError, match="minhash_candidates.*n_capped"):
-        minhash_candidates(docs, cap=5, fail_on_drops=True)
-    assert minhash_candidates(docs, cap=100, fail_on_drops=True).count() == 28
+        minhash_candidates(near, cap=3, fail_on_drops=True)
+    assert minhash_candidates(near, cap=100, fail_on_drops=True).count() == 23
 
     with pytest.raises(ValueError, match="simhash_candidates.*simhash_clique"):
         simhash_candidates(docs, cap=5, fail_on_drops=True)

@@ -20,11 +20,14 @@ cascades). This module provides:
   its component minimum. Exact pair generation is the quadratic oracle
   shape, so this query is guarded + tagged oracle_only like
   q_ngram_jaccard.
-- ``q_minhash_dedup_survivors``: the 100 TB path — MinHash-LSH
-  candidates -> exact-Jaccard verification on candidates only ->
-  components -> keep the min doc_id per component. Deterministic
-  (seeded signatures) but not SQL-reproducible -> rows-only; pytest
-  asserts survivor-set equality against a union-find ground truth.
+- ``q_minhash_dedup_survivors``: the 100 TB path — identical-content
+  collapse (round 7: structural, not a caller-side ordering
+  discipline) -> MinHash-LSH candidates over distinct content ->
+  exact-Jaccard verification on candidates only -> components over
+  verified pairs plus linear rep—member star edges -> keep the min
+  doc_id per component. Deterministic (seeded signatures) but not
+  SQL-reproducible -> rows-only; pytest asserts survivor-set equality
+  against a union-find ground truth.
 """
 
 from __future__ import annotations
@@ -34,7 +37,6 @@ from pyspark.sql import functions as F
 
 from udacity_data_engineering_spark.operators.guards import oracle_scale_guard
 from udacity_data_engineering_spark.operators.similarity import (
-    minhash_candidates,
     shingle_sets,
     spread,
 )
@@ -115,8 +117,13 @@ def connected_components(
         # pins jumped == stepped too, and a neighbor-min fixpoint is
         # already constant per component — i.e. the component minimum —
         # making a final jump a no-op. One cheap scalar agg per round
-        # over the just-materialized rows.
-        total = stepped.agg(F.sum("comp")).first()[0]
+        # over the just-materialized rows. Summed in decimal(38,0):
+        # a long sum can overflow at extreme scale (10^10+ vertices ×
+        # 2^40+ ids — ANSI mode would abort the job mid-round, legacy
+        # mode could wrap two successive sums onto the same value and
+        # declare a FALSE fixpoint), while 38 decimal digits hold
+        # >10^19 max-long terms exactly.
+        total = stepped.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).first()[0]
         if total == prev:
             labels = stepped
             converged = True
@@ -223,47 +230,75 @@ def min_id_survivors(
     its component's min label; rows in no pair (no component entry)
     survive unconditionally. One place for survivor semantics —
     previously copied verbatim into three modules (round-6 review), so a
-    tie-break or column change could silently drift between them."""
+    tie-break or column change could silently drift between them. The
+    component frame's columns are renamed to collision-proof internals
+    first: a caller whose ``rows`` already carry an ``id`` or ``comp``
+    column must not flip the filter to the wrong join side (or die with
+    an ambiguity error)."""
+    c = comp.select(
+        F.col("id").alias("__cc_id"), F.col("comp").alias("__cc_comp")
+    )
     return (
-        rows.join(comp, rows[id_col] == comp["id"], "left")
-        .filter(F.col("comp").isNull() | (F.col("comp") == F.col(id_col)))
+        rows.join(c, rows[id_col] == c["__cc_id"], "left")
+        .filter(
+            F.col("__cc_comp").isNull() | (F.col("__cc_comp") == rows[id_col])
+        )
         .select(id_col, *keep_cols)
     )
+
+
+def star_edges(members: DataFrame) -> DataFrame:
+    """(doc_a=rep_id, doc_b=member_id) edges linking every duplicate to
+    its identical-content representative — the LINEAR stand-in for a
+    clique's C(m,2) expanded pairs in any component graph (connectivity
+    is identical; two members of one clique meet through the rep).
+    Input is a fingerprint_members collapse table."""
+    return members.filter(F.col("doc_id") != F.col("rep_id")).select(
+        F.col("rep_id").alias("doc_a"), F.col("doc_id").alias("doc_b")
+    )
+
 
 def neardup_survivors(
     docs: DataFrame, threshold: float = NEARDUP_JACCARD
 ) -> DataFrame:
-    """Full scale-path dedup: LSH candidates -> exact verification on
-    candidates only -> components -> min-doc_id survivor per component.
-    Docs in no verified pair survive unconditionally."""
-    cand = minhash_candidates(docs)
-    tok = shingle_sets(spread(docs))
-    cnt = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    inter = (
-        cand.join(tok.withColumnRenamed("doc_id", "doc_a"), "doc_a")
-        .join(tok.selectExpr("doc_id AS doc_b", "w"), ["doc_b", "w"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("i"))
+    """Full scale-path dedup: collapse identical content -> LSH
+    candidates over distinct content -> exact verification on candidates
+    only -> components over (verified rep pairs ∪ rep—member star
+    edges) -> min-doc_id survivor per component. Docs in no verified
+    pair and no duplicate clique survive unconditionally.
+
+    Structurally clique-proof end to end (round 7): an all-duplicates
+    corpus contributes ONE banded row and m-1 star edges per clique —
+    never C(m,2) candidate pairs — so the exact-dedup-first ordering
+    the 100× probe proved necessary (SCALE.md: 330.8 s raw vs 14.0 s
+    composed) is now built in, not a caller discipline. Survivor sets
+    are unchanged: clique members shared a component before (identical
+    text ⇒ Jaccard 1.0 pairs) and still do (via the star)."""
+    from udacity_data_engineering_spark.operators.similarity import (
+        content_reps,
+        fingerprint_members,
+        rep_verified_pairs,
     )
-    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
-    verified = (
-        inter.join(cnt.selectExpr("doc_id AS doc_a", "n AS na"), "doc_a")
-        .join(cnt.selectExpr("doc_id AS doc_b", "n AS nb"), "doc_b")
-        .filter(jac >= threshold)
-        .select("doc_a", "doc_b")
+
+    members = fingerprint_members(docs).localCheckpoint()
+    reps = content_reps(docs, members)
+    verified = rep_verified_pairs(reps, threshold).select("doc_a", "doc_b")
+    comp = connected_components(
+        verified.unionAll(star_edges(members)), "doc_a", "doc_b"
     )
-    comp = connected_components(verified, "doc_a", "doc_b")
     return min_id_survivors(docs, comp, "doc_id", "lang", "source")
 
 
 @register(
     "q_minhash_dedup_survivors",
-    doc="End-to-end near-dup dedup at the 100 TB shape: MinHash-LSH "
-    "candidates (O(docs x bands) shuffle), exact Jaccard verification "
-    "on candidates only, connected components, keep min doc_id per "
-    "component. Deterministic seeded signatures but not "
-    "SQL-reproducible -> rows-only; tests assert survivor-set equality "
-    "vs a union-find over the exact pair graph.",
+    doc="End-to-end near-dup dedup at the 100 TB shape: identical-"
+    "content collapse first (structurally clique-proof), MinHash-LSH "
+    "candidates over distinct content (O(groups x bands) shuffle), "
+    "exact Jaccard verification on candidates only, connected "
+    "components over verified pairs + linear rep-member star edges, "
+    "keep min doc_id per component. Deterministic seeded signatures "
+    "but not SQL-reproducible -> rows-only; tests assert survivor-set "
+    "equality vs a union-find over the exact pair graph.",
     tags=("E11", "E12", "dedup"),
 )
 def q_minhash_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:

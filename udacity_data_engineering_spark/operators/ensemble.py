@@ -20,9 +20,17 @@ tests/test_recall_floors.py).
 
 Scale shape: the three legs are the already-bucketed operators — no new
 shuffle classes — and the union groups on the (doc_a, doc_b) pair key
-once. The document and embedding id spaces coincide by construction in
-this corpus (embeddings.vec_id IS a doc_id); corpora where they differ
-pass an explicit mapping upstream.
+once. The lexical leg is structurally clique-proof since round 7
+(identical-content collapse inside jaccard_verified_pairs /
+rep_verified_pairs), so no exact-dedup-first caller ordering is needed
+any more. The document and embedding id spaces coincide by construction
+in this corpus (embeddings.vec_id IS a doc_id); corpora where they
+differ pass an explicit mapping upstream.
+
+Per-leg knobs (round 7): each leg can be disabled — a text-only corpus
+runs ``embedding_lsh=False, semdedup=False`` without importing the legs
+separately — and ``fail_on_drops=True`` propagates the enforceable
+drop-accounting contract into every enabled capped leg.
 """
 
 from __future__ import annotations
@@ -42,14 +50,89 @@ from udacity_data_engineering_spark.plans.registry import register
 from udacity_data_engineering_spark.session import table
 
 
+def _leg_frames(
+    docs: DataFrame | None,
+    embeddings: DataFrame | None,
+    jaccard_threshold: float,
+    cosine_threshold: float,
+    assigned: DataFrame | None,
+    lexical: bool,
+    embedding_lsh: bool,
+    semdedup: bool,
+    fail_on_drops: bool,
+    lexical_pairs: DataFrame | None = None,
+) -> list[DataFrame]:
+    """The enabled legs, each normalized to (doc_a, doc_b, method,
+    jaccard, cos_sim). ``lexical_pairs`` overrides the lexical leg's
+    pair source (ensemble_survivors passes rep-level pairs so clique
+    members never expand into the component graph)."""
+    if not (lexical or embedding_lsh or semdedup):
+        raise ValueError("neardup_ensemble: every leg is disabled")
+    if (embedding_lsh or semdedup) and embeddings is None:
+        raise ValueError(
+            "neardup_ensemble: embedding legs enabled but no embeddings "
+            "frame passed — disable them (embedding_lsh=False, "
+            "semdedup=False) for a text-only corpus"
+        )
+    legs: list[DataFrame] = []
+    if lexical:
+        lex = (
+            lexical_pairs
+            if lexical_pairs is not None
+            else jaccard_verified_pairs(
+                docs, threshold=jaccard_threshold, fail_on_drops=fail_on_drops
+            )
+        )
+        legs.append(
+            lex.select(
+                "doc_a",
+                "doc_b",
+                F.lit("minhash_jaccard").alias("method"),
+                F.col("jaccard"),
+                F.lit(None).cast("double").alias("cos_sim"),
+            )
+        )
+    if embedding_lsh:
+        legs.append(
+            embedding_neardup_lsh(
+                embeddings, threshold=cosine_threshold,
+                fail_on_drops=fail_on_drops,
+            ).select(
+                F.col("vec_a").alias("doc_a"),
+                F.col("vec_b").alias("doc_b"),
+                F.lit("embedding_lsh").alias("method"),
+                F.lit(None).cast("double").alias("jaccard"),
+                F.col("cos_sim"),
+            )
+        )
+    if semdedup:
+        legs.append(
+            semantic_pairs(
+                embeddings, threshold=cosine_threshold, assigned=assigned,
+                fail_on_drops=fail_on_drops,
+            ).select(
+                F.col("vec_a").alias("doc_a"),
+                F.col("vec_b").alias("doc_b"),
+                F.lit("semdedup").alias("method"),
+                F.lit(None).cast("double").alias("jaccard"),
+                F.col("cos_sim"),
+            )
+        )
+    return legs
+
+
 def neardup_ensemble(
-    docs: DataFrame,
-    embeddings: DataFrame,
+    docs: DataFrame | None,
+    embeddings: DataFrame | None,
     jaccard_threshold: float = 0.5,
     cosine_threshold: float = NEARDUP_THRESHOLD,
     assigned: DataFrame | None = None,
+    lexical: bool = True,
+    embedding_lsh: bool = True,
+    semdedup: bool = True,
+    fail_on_drops: bool = False,
 ) -> DataFrame:
-    """Union of the three verified near-dup pair sets, one row per
+    """Union of the enabled verified near-dup pair sets, one row per
     unordered pair: (doc_a, doc_b, methods, jaccard, cos_sim).
 
     ``methods`` is the sorted '+'-joined set of legs that surfaced the
@@ -57,71 +140,80 @@ def neardup_ensemble(
     the exact verified scores (NULL when no lexical/semantic leg found
     it). Pass ``assigned`` (an ivf_assign result) to reuse an existing
     clustering for the SemDeDup leg, as q_neardup_ensemble does via the
-    session's cached IVF index."""
-    lex = jaccard_verified_pairs(docs, threshold=jaccard_threshold).select(
-        "doc_a",
-        "doc_b",
-        F.lit("minhash_jaccard").alias("method"),
-        F.col("jaccard"),
-        F.lit(None).cast("double").alias("cos_sim"),
+    session's cached IVF index. Per-leg enable flags + ``fail_on_drops``
+    (propagated to every enabled capped leg) are the round-7 knobs."""
+    legs = _leg_frames(
+        docs, embeddings, jaccard_threshold, cosine_threshold, assigned,
+        lexical, embedding_lsh, semdedup, fail_on_drops,
     )
-    lsh = embedding_neardup_lsh(embeddings, threshold=cosine_threshold).select(
-        F.col("vec_a").alias("doc_a"),
-        F.col("vec_b").alias("doc_b"),
-        F.lit("embedding_lsh").alias("method"),
-        F.lit(None).cast("double").alias("jaccard"),
-        F.col("cos_sim"),
-    )
-    sem = semantic_pairs(
-        embeddings, threshold=cosine_threshold, assigned=assigned
-    ).select(
-        F.col("vec_a").alias("doc_a"),
-        F.col("vec_b").alias("doc_b"),
-        F.lit("semdedup").alias("method"),
-        F.lit(None).cast("double").alias("jaccard"),
-        F.col("cos_sim"),
-    )
-    return (
-        lex.unionByName(lsh)
-        .unionByName(sem)
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            F.array_join(F.array_sort(F.collect_set("method")), "+").alias(
-                "methods"
-            ),
-            F.max("jaccard").alias("jaccard"),
-            F.round(F.max("cos_sim"), 6).alias("cos_sim"),
-        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out.groupBy("doc_a", "doc_b").agg(
+        F.array_join(F.array_sort(F.collect_set("method")), "+").alias(
+            "methods"
+        ),
+        F.max("jaccard").alias("jaccard"),
+        F.round(F.max("cos_sim"), 6).alias("cos_sim"),
     )
 
 
 def ensemble_survivors(
     docs: DataFrame,
-    embeddings: DataFrame,
+    embeddings: DataFrame | None,
     jaccard_threshold: float = 0.5,
     cosine_threshold: float = NEARDUP_THRESHOLD,
     assigned: DataFrame | None = None,
+    lexical: bool = True,
+    embedding_lsh: bool = True,
+    semdedup: bool = True,
+    fail_on_drops: bool = False,
 ) -> DataFrame:
     """The dedup DECISION over the ensemble pair graph: connected
-    components across ALL verified legs (lexical + both semantic), keep
-    the min-doc_id survivor per component. A doc in no verified pair
-    survives unconditionally. This is the composition a pipeline
-    actually runs — lexical- and semantic-duplicate chains merge into
-    one component, so a doc lexically equal to A and semantically equal
-    to B collapses the whole {doc, A, B} cluster to one survivor.
+    components across ALL enabled verified legs, keep the min-doc_id
+    survivor per component. A doc in no verified pair survives
+    unconditionally. This is the composition a pipeline actually runs —
+    lexical- and semantic-duplicate chains merge into one component, so
+    a doc lexically equal to A and semantically equal to B collapses
+    the whole {doc, A, B} cluster to one survivor.
 
-    Ordering discipline (SCALE.md 100x probe): run EXACT dedup first —
-    the legs' bucket caps treat identical-content cliques as exact
-    dedup's job, and the MinHash leg goes quadratic on an undeduped
-    corpus (the measured 130x cliff)."""
+    Clique-proof by structure (round 7; replaces the exact-dedup-first
+    caller ordering the 100× probe mandated): identical-content groups
+    enter the component graph as their REPRESENTATIVE plus linear
+    rep—member star edges, so the lexical leg contributes
+    O(groups × bands) banding work and O(members) expansion — never a
+    clique's C(m,2) pairs — while connectivity (hence the survivor
+    set) is exactly what the expanded graph would give."""
     from udacity_data_engineering_spark.operators.components import (
         connected_components,
         min_id_survivors,
+        star_edges,
+    )
+    from udacity_data_engineering_spark.operators.similarity import (
+        content_reps,
+        fingerprint_members,
+        rep_verified_pairs,
     )
 
-    pairs = neardup_ensemble(
-        docs, embeddings, jaccard_threshold, cosine_threshold, assigned
-    ).select("doc_a", "doc_b")
+    lexical_pairs = None
+    stars = None
+    if lexical:
+        members = fingerprint_members(docs).localCheckpoint()
+        reps = content_reps(docs, members)
+        lexical_pairs = rep_verified_pairs(
+            reps, jaccard_threshold, fail_on_drops=fail_on_drops
+        )
+        stars = star_edges(members)
+    legs = _leg_frames(
+        docs, embeddings, jaccard_threshold, cosine_threshold, assigned,
+        lexical, embedding_lsh, semdedup, fail_on_drops,
+        lexical_pairs=lexical_pairs,
+    )
+    pairs = legs[0].select("doc_a", "doc_b")
+    for leg in legs[1:]:
+        pairs = pairs.unionAll(leg.select("doc_a", "doc_b"))
+    if stars is not None:
+        pairs = pairs.unionAll(stars)
     comp = connected_components(pairs, "doc_a", "doc_b")
     return min_id_survivors(docs, comp, "doc_id", "lang", "source")
 
@@ -129,12 +221,13 @@ def ensemble_survivors(
 @register(
     "q_neardup_ensemble",
     doc="E12: the near-dup ENSEMBLE — union of exact-verified pairs from "
-    "MinHash+Jaccard (lexical, >=0.5), embedding-LSH (cosine >=0.4), and "
-    "SemDeDup (cosine >=0.4, reusing the session's cached IVF "
-    "clustering), deduplicated on the pair key with a methods column. "
-    "The composition RECALL.md recommends: each leg's misses are another "
-    "leg's operating regime (SemDeDup alone: 0.300 vs the cosine truth; "
-    "the ensemble's semantic recall dominates the best single leg). "
+    "MinHash+Jaccard (lexical, >=0.5, clique-proof via identical-content "
+    "collapse), embedding-LSH (cosine >=0.4), and SemDeDup (cosine "
+    ">=0.4, reusing the session's cached IVF clustering), deduplicated "
+    "on the pair key with a methods column. The composition RECALL.md "
+    "recommends: each leg's misses are another leg's operating regime "
+    "(SemDeDup alone: 0.300 vs the cosine truth; the ensemble's "
+    "semantic recall dominates the best single leg). "
     "Hash/seed-specific bucketing => rows-only; measured recall in "
     "RECALL.md with floors in tests/test_recall_floors.py.",
     tags=("E12", "dedup"),
@@ -153,11 +246,14 @@ def q_neardup_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_ensemble_survivors",
     doc="E11/E12: the ensemble's dedup decision — connected components "
     "over the union of all exact-verified near-dup legs (lexical "
-    "Jaccard>=0.5, embedding-LSH and SemDeDup cosine>=0.4), min-doc_id "
-    "survivor per component, non-paired docs survive unconditionally. "
-    "Lexical and semantic duplicate chains merge transitively. "
-    "Hash/seed-specific legs => rows-only; tests assert survivor-set "
-    "properties (partition of the corpus, planted dup collapse).",
+    "Jaccard>=0.5, embedding-LSH and SemDeDup cosine>=0.4) plus linear "
+    "rep-member star edges for identical-content cliques (structurally "
+    "clique-proof — no caller-side exact-dedup ordering required), "
+    "min-doc_id survivor per component, non-paired docs survive "
+    "unconditionally. Lexical and semantic duplicate chains merge "
+    "transitively. Hash/seed-specific legs => rows-only; tests assert "
+    "survivor-set properties (partition of the corpus, planted dup "
+    "collapse).",
     tags=("E11", "E12", "dedup"),
 )
 def q_ensemble_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -186,6 +186,63 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MERSENNE31 = (1 << 31) - 1
 
 
+def fingerprint_members(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, rep_id): every doc labeled with the MIN doc id of its
+    identical-content (sha2-256) group — the collapse table that makes
+    the MinHash path structurally clique-proof (round 7; the same
+    collapse-before-banding move simhash_groups made in round 5).
+
+    An undeduped corpus is mostly exact-duplicate cliques, and banding
+    them raw puts all m members of a clique into every band bucket —
+    O(m²) candidate pairs per clique, the one super-linear cliff the
+    100× scale probe measured (130×, SCALE.md). Collapsing to one
+    representative per distinct content BEFORE shingling/banding turns
+    that clique into ONE banded row; members rejoin downstream as
+    linear star edges (rep—member) or join-expanded pairs.
+
+    Scale shape: one window shuffle keyed on the 32-byte digest —
+    (id, digest) rows only, never text. NULL-text rows map to
+    themselves (no content to equate; same posture as simhash_sigs'
+    null filter)."""
+    from pyspark.sql.window import Window
+
+    from udacity_data_engineering_spark.operators.dedup import (
+        content_fingerprint,
+    )
+
+    w = Window.partitionBy("__fp")
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            content_fingerprint(F.col(text_col)).alias("__fp"),
+        )
+        .withColumn(
+            "rep_id",
+            F.when(F.col("__fp").isNull(), F.col("doc_id")).otherwise(
+                F.min("doc_id").over(w)
+            ),
+        )
+        .select("doc_id", "rep_id")
+    )
+
+
+def content_reps(
+    docs: DataFrame, members: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """The distinct-content representative rows of ``docs`` (full
+    schema), selected by a semi join against the collapse table's
+    self-rooted ids. One shuffle of the doc rows keyed on id — the
+    unavoidable price of collapsing, equal to what exact dedup (the
+    previously-documented caller-side ordering discipline) already
+    cost; everything downstream runs on distinct content only."""
+    reps = members.filter(F.col("doc_id") == F.col("rep_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return docs.join(reps, on=id_col, how="left_semi")
+
+
 def _perm_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
     rng = random.Random(seed)
     return [
@@ -252,8 +309,15 @@ def spread(df: DataFrame, parallelism: int | None = None) -> DataFrame:
     would round-robin SHUFFLE the entire raw text corpus (its largest
     columns!) just to change the partition count — so when the plan
     already has >= n partitions this is now a no-op, and signature work
-    runs where the scan runs. getNumPartitions is a plan-only
-    inspection (no job).
+    runs where the scan runs.
+
+    CAVEAT (round-7 advice): ``df.rdd.getNumPartitions()`` is plan-only
+    for scans/filters — every current call site — but under AQE a plan
+    containing SHUFFLES materializes its upstream query stages when
+    ``.rdd`` is touched (AdaptiveSparkPlanExec runs them inside toRdd).
+    Do not call spread() on a post-shuffle frame expecting a free
+    inspection; put it directly above the scan, where the expensive
+    per-row work starts anyway.
 
     Caveat: the count is a proxy for BALANCE. A many-files-but-skewed
     source (most files tiny, a few holding nearly all rows) passes the
@@ -455,20 +519,21 @@ def assert_no_drops(stats: DataFrame, op_name: str) -> None:
         )
 
 
-def minhash_banded(
-    docs: DataFrame,
+def _banded_reps(
+    reps: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     num_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """(doc_id, band_id, band_key) bucketing rows — the ONE definition of
-    the MinHash banding, shared by minhash_candidates and its stats
+    """(doc_id, band_id, band_key) bucketing rows over an ALREADY
+    distinct-content frame — the ONE definition of the MinHash banding,
+    shared by minhash_candidates, rep_verified_pairs and the stats
     companion so the audit can never drift from the audited path (the
     same pattern as _lsh_bucketed for the embedding path)."""
     r = num_hashes // bands
-    sig = spread(docs).select(
+    sig = spread(reps).select(
         F.col(id_col).alias("doc_id"),
         minhash_signature(shingles(F.col(text_col), shingle_n), num_hashes).alias(
             "sig"
@@ -477,6 +542,30 @@ def minhash_banded(
     return sig.select(
         "doc_id", band_explode(F.col("sig"), bands, r).alias("b")
     ).select("doc_id", "b.band_id", "b.band_key")
+
+
+def minhash_banded(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Banding rows of the corpus's DISTINCT-CONTENT representatives
+    (round 7: identical-content groups collapse to their min-id rep
+    BEFORE shingling/banding — see fingerprint_members). Bucket members
+    are content groups, not raw docs, so an all-duplicates corpus bands
+    as singletons instead of an O(m²) clique."""
+    members = fingerprint_members(docs, id_col, text_col)
+    return _banded_reps(
+        content_reps(docs, members, id_col),
+        id_col,
+        text_col,
+        num_hashes,
+        bands,
+        shingle_n,
+    )
 
 
 def minhash_candidate_stats(
@@ -488,10 +577,18 @@ def minhash_candidate_stats(
     shingle_n: int = 3,
     cap: int = 100,
 ) -> DataFrame:
-    """Drop accounting for minhash_candidates: same banding, same cap."""
+    """Drop accounting for minhash_candidates: same collapsed banding,
+    same cap. Units are content groups (distinct texts), the thing a
+    band bucket now holds — intra-group pairs can never be dropped (the
+    collapse emits them structurally), so the only capped frontier is
+    the rep-level band bucket."""
     banded = minhash_banded(docs, id_col, text_col, num_hashes, bands, shingle_n)
     return candidate_stats(
-        banded, ["band_id", "band_key"], cap=cap, path="minhash_lsh", units="docs"
+        banded,
+        ["band_id", "band_key"],
+        cap=cap,
+        path="minhash_lsh",
+        units="content_groups",
     )
 
 
@@ -513,6 +610,31 @@ def band_explode(sig_col: Column, bands: int, r: int) -> Column:
     )
 
 
+def minhash_rep_candidates(
+    reps: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    cap: int = 100,
+) -> DataFrame:
+    """Canonical (doc_a < doc_b) candidate pairs over an ALREADY
+    distinct-content frame: signatures computed once over properly-
+    spread partitions, exploded to (doc, band_id, band_key) —
+    O(groups × bands) rows — then a single groupBy per bucket with
+    triangular pair expansion (bucket_pairs). No doc×doc comparison and
+    no signature recompute."""
+    banded = _banded_reps(reps, id_col, text_col, num_hashes, bands, shingle_n)
+    return (
+        bucket_pairs(banded, ["band_id", "band_key"], F.col("doc_id"), cap=cap)
+        .select(
+            F.least("a", "b").alias("doc_a"), F.greatest("a", "b").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
 def minhash_candidates(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -523,16 +645,26 @@ def minhash_candidates(
     cap: int = 100,
     fail_on_drops: bool = False,
 ) -> DataFrame:
-    """LSH banding: docs sharing any band of their MinHash signature become
-    candidate pairs. rows = bands * r where r = num_hashes // bands.
+    """LSH banding: docs sharing any band of their MinHash signature
+    become candidate pairs. rows = bands * r, r = num_hashes // bands.
 
-    Scale shape: signatures computed once over properly-spread partitions,
-    exploded to (doc, band_id, band_key) — O(docs × bands) rows — then a
-    single groupBy per bucket with triangular pair expansion
-    (bucket_pairs). No doc×doc comparison and no signature recompute.
+    STRUCTURALLY CLIQUE-PROOF (round 7; previously a caller-side
+    ordering discipline): identical-content groups collapse to one
+    representative before shingling/banding (fingerprint_members — the
+    simhash_groups pattern), so a band bucket holds distinct CONTENT
+    GROUPS. Intra-group pairs are emitted directly (identical text is
+    trivially a candidate — Jaccard 1.0) via a rep-keyed self-join that
+    streams C(m,2) rows without ever materializing a clique bucket, and
+    surviving rep-level pairs expand to member pairs through two
+    member-table joins. The 100× probe's one super-linear cliff (an
+    all-duplicates corpus, 130×) cannot be hit any more: duplicates now
+    cost one digest-window + linear expansion instead of O(m²) banding.
+    Consequence for the cap: identical-content cliques can never be
+    dropped; ``cap`` bounds only the rep-level buckets (near-identical
+    but DISTINCT texts sharing a band).
 
     ``fail_on_drops=True`` raises (via assert_no_drops, one extra
-    eager audit job) if any band bucket exceeds ``cap`` — the
+    eager audit job) if any rep band bucket exceeds ``cap`` — the
     enforceable form of the drop-accounting contract.
     """
     if fail_on_drops:
@@ -542,24 +674,65 @@ def minhash_candidates(
             ),
             "minhash_candidates",
         )
-    banded = minhash_banded(docs, id_col, text_col, num_hashes, bands, shingle_n)
-    return (
-        bucket_pairs(banded, ["band_id", "band_key"], F.col("doc_id"), cap=cap)
-        .select(
-            F.least("a", "b").alias("doc_a"), F.greatest("a", "b").alias("doc_b")
-        )
-        .distinct()
+    # the collapse table feeds three consumers (rep selection + both
+    # expansion joins); localCheckpoint materializes the digest window
+    # once — 16 bytes/row, executor-local, released by the context
+    # cleaner with the result
+    members = fingerprint_members(docs, id_col, text_col).localCheckpoint()
+    reps = content_reps(docs, members, id_col)
+    rep_pairs = minhash_rep_candidates(
+        reps, id_col, text_col, num_hashes, bands, shingle_n, cap
     )
+    ma = members.select(F.col("rep_id").alias("__ra"), F.col("doc_id").alias("__da"))
+    mb = members.select(F.col("rep_id").alias("__rb"), F.col("doc_id").alias("__db"))
+    inter = (
+        rep_pairs.withColumnsRenamed({"doc_a": "__ra", "doc_b": "__rb"})
+        .join(ma, "__ra")
+        .join(mb, "__rb")
+        .select(
+            F.least("__da", "__db").alias("doc_a"),
+            F.greatest("__da", "__db").alias("doc_b"),
+        )
+    )
+    x, y = members.alias("x"), members.alias("y")
+    intra = x.join(
+        y,
+        (F.col("x.rep_id") == F.col("y.rep_id"))
+        & (F.col("x.doc_id") < F.col("y.doc_id")),
+    ).select(
+        F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+    )
+    # disjoint by construction (same rep vs different reps) — no distinct
+    return intra.unionAll(inter)
 
 
-def jaccard_verified_pairs(docs: DataFrame, threshold: float = 0.7) -> DataFrame:
-    """MinHash-LSH candidates verified with EXACT 3-gram Jaccard —
-    (doc_a, doc_b, jaccard >= threshold). The production composition:
-    verification cost is O(candidates), never O(pairs), and precision is
-    1.0 by construction (every emitted pair is exact-verified). Shared
-    by q_neardup_pipeline and the lexical leg of q_neardup_ensemble."""
-    cand = minhash_candidates(docs)
-    tok = shingle_sets(spread(docs))
+def rep_verified_pairs(
+    reps: DataFrame, threshold: float = 0.7, cap: int = 100,
+    fail_on_drops: bool = False,
+) -> DataFrame:
+    """MinHash-LSH candidates over an ALREADY distinct-content frame,
+    verified with EXACT 3-gram Jaccard — (doc_a, doc_b, jaccard >=
+    threshold), one row per verified pair of content GROUPS.
+    Verification cost is O(candidates), never O(pairs), and both the
+    shingle inverted index and the signatures are computed over
+    distinct content only. The shared core of jaccard_verified_pairs
+    and the survivor pipelines (components.neardup_survivors,
+    ensemble.ensemble_survivors) — the latter consume rep-level pairs
+    directly so duplicate cliques enter the component graph as linear
+    star edges, never expanded pairs."""
+    if fail_on_drops:
+        assert_no_drops(
+            candidate_stats(
+                _banded_reps(reps),
+                ["band_id", "band_key"],
+                cap=cap,
+                path="minhash_lsh",
+                units="content_groups",
+            ),
+            "rep_verified_pairs",
+        )
+    cand = minhash_rep_candidates(reps, cap=cap)
+    tok = shingle_sets(spread(reps))
     cnt = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     # intersection counts per candidate pair, then exact jaccard
     inter = (
@@ -578,6 +751,54 @@ def jaccard_verified_pairs(docs: DataFrame, threshold: float = 0.7) -> DataFrame
         .filter(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+def jaccard_verified_pairs(
+    docs: DataFrame, threshold: float = 0.7, fail_on_drops: bool = False
+) -> DataFrame:
+    """MinHash-LSH candidates verified with EXACT 3-gram Jaccard —
+    (doc_a, doc_b, jaccard >= threshold) over the raw corpus. The
+    production composition: precision is 1.0 by construction (every
+    emitted pair is exact-verified). Shared by q_neardup_pipeline and
+    the lexical leg of q_neardup_ensemble.
+
+    Clique-proof (round 7): candidates + verification run on
+    distinct-content representatives; identical-content pairs are
+    emitted directly at Jaccard 1.0 (their exact value by definition)
+    and verified rep pairs expand to member pairs — each member shares
+    its rep's text, so the rep-level Jaccard IS the member-level one.
+    NOTE on sub-shingle-length docs: two identical documents shorter
+    than the 3-word shingle window now surface at Jaccard 1.0, where
+    the pre-collapse path silently dropped them in verification (their
+    shingle sets are empty — the inverted-index join had nothing to
+    count). Exact duplicates are duplicates regardless of length; the
+    old behavior was the quirk."""
+    members = fingerprint_members(docs).localCheckpoint()
+    reps = content_reps(docs, members)
+    rv = rep_verified_pairs(reps, threshold, fail_on_drops=fail_on_drops)
+    ma = members.select(F.col("rep_id").alias("__ra"), F.col("doc_id").alias("__da"))
+    mb = members.select(F.col("rep_id").alias("__rb"), F.col("doc_id").alias("__db"))
+    inter = (
+        rv.withColumnsRenamed({"doc_a": "__ra", "doc_b": "__rb"})
+        .join(ma, "__ra")
+        .join(mb, "__rb")
+        .select(
+            F.least("__da", "__db").alias("doc_a"),
+            F.greatest("__da", "__db").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    x, y = members.alias("x"), members.alias("y")
+    intra = x.join(
+        y,
+        (F.col("x.rep_id") == F.col("y.rep_id"))
+        & (F.col("x.doc_id") < F.col("y.doc_id")),
+    ).select(
+        F.col("x.doc_id").alias("doc_a"),
+        F.col("y.doc_id").alias("doc_b"),
+        F.lit(1.0).alias("jaccard"),
+    )
+    return intra.unionAll(inter)
 
 
 @register(

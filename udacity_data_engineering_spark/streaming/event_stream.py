@@ -219,7 +219,17 @@ def _peek_ts_dtype_hadoop(spark: SparkSession, path: str) -> str:
         ] + stack
     if first is None:
         return "timestamp_ntz"  # empty source: current vintage, like local
-    dtype = spark.read.parquet(first.toString()).schema["ts"].dataType
+    schema = spark.read.parquet(first.toString()).schema
+    if "ts" not in schema.fieldNames():
+        # match the local peek's fail-loud style: a committed file with
+        # no ts column is a malformed source, and the clear error names
+        # the offending file instead of surfacing a bare KeyError
+        raise TypeError(
+            f"events stream vintage peek: parquet file "
+            f"{first.toString()!r} has no 'ts' column "
+            f"(fields: {schema.fieldNames()})"
+        )
+    dtype = schema["ts"].dataType
     if isinstance(dtype, T.LongType):
         return "bigint"
     if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
