@@ -14,18 +14,21 @@ def test_priority_list_is_exactly_the_driver_window():
 
 def test_window_covers_core_parity_and_extension_families():
     window = set(DRIVER_PRIORITY)
-    # one slot per §2A row — the round-6 rotation moved redundant
-    # VARIANTS out (dedup_fullrow, epoch_to_ts_udf, sparkify_users/time
-    # — each row still covered by the sibling below) to expose
-    # never-driver-checked queries; the remaining names are each row's
-    # only in-window representative and must not fall out
+    # one slot per §2A row — the r6/r7 rotations moved redundant
+    # VARIANTS out (r6: dedup_fullrow, epoch_to_ts_udf,
+    # sparkify_users/time; r7: q_project -> project_rename, q_limit ->
+    # topn, q_scan_glob -> json_schema_scan, q_parquet_roundtrip ->
+    # parquet_partitioned — each row still covered by the sibling
+    # below) to expose never-driver-checked queries; the remaining
+    # names are each row's only in-window representative and must not
+    # fall out
     for name in (
-        "q_scan_count", "q_project", "q_project_rename", "q_filter_eq",
+        "q_scan_count", "q_project_rename", "q_filter_eq",
         "q_dedup_key", "q_dateparts",
         "q_synthetic_id_props", "q_join_multikey",
-        "q_sql_entry", "q_epoch_to_ts", "q_limit",
-        "q_scan_glob", "q_json_schema_scan", "q_json_infer_scan",
-        "q_parquet_roundtrip", "q_parquet_partitioned",
+        "q_sql_entry", "q_epoch_to_ts", "q_topn",
+        "q_json_schema_scan", "q_json_infer_scan",
+        "q_parquet_partitioned",
         "q_sparkify_songs", "q_sparkify_songplays_nat",
     ):
         assert name in window, f"§2A parity query {name} fell out of the driver window"

@@ -58,14 +58,16 @@ def register(
 # after these. A name listed here but not registered is a hard error (catches
 # renames going stale).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # Round-6 rotation: 122/172 declared queries had never been driver-
-    # checked, so ten long-stable slots whose §2 row stays covered by a
-    # sibling in-window query rotated out (each noted on its family line)
-    # and ten hash-provable, never-driver-checked queries rotated in.
+    # Round-7 rotation (continuing r6's): ten more long-stable slots
+    # whose §2 row stays covered by an in-window sibling rotated out
+    # (each noted on its family line) and ten hash-provable,
+    # never-driver-checked queries rotated in (sql-surface scalar
+    # functions, running windows, chunking/packing, n-gram counts).
     # --- §2A reference-parity core (relational / datetime / SQL entry) ---
     "q_scan_count",          # 2A.6 parquet scan + 2A.22 count
-    "q_project",             # 2A.7
-    "q_project_rename",      # 2A.8
+    "q_project_rename",      # 2A.7+8 projection (+rename) — the bare
+                             # q_project was driver-green r1-r6, rotated
+                             # out r7; rename subsumes the projection row
     "q_filter_eq",           # 2A.9
     "q_dedup_key",           # 2A.10 deterministic key-subset dedup
                              # (q_dedup_fullrow: driver-green r4-r5,
@@ -81,49 +83,67 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_epoch_to_ts",         # 2A.13 builtin (the parity-UDF variant
                              # q_epoch_to_ts_udf: driver-green r1-r5,
                              # rotated out r6)
-    "q_limit",               # 2A.21
     "q_date_format",         # 2A dead-import parity (etl.py date_format)
+                             # (q_limit driver-green r1-r6, rotated out
+                             # r7 — 2A.21 row fetch stays exercised by
+                             # q_topn's sort+limit below)
     # --- §2A sources / sinks ---
-    "q_scan_glob",           # 2A.3
-    "q_json_schema_scan",    # 2A.4
+    "q_json_schema_scan",    # 2A.4 + 2A.3 (declared-schema scan over the
+                             # same multi-file glob; the bare q_scan_glob
+                             # was driver-green r1-r6, rotated out r7)
     "q_json_infer_scan",     # 2A.5
-    "q_parquet_roundtrip",   # 2A.19 + 2A.6
-    "q_parquet_partitioned", # 2A.20 hive-partitioned sink + pruned re-read
+    "q_parquet_partitioned", # 2A.20 hive-partitioned sink + pruned
+                             # re-read (subsumes 2A.19's plain
+                             # write+re-read — q_parquet_roundtrip
+                             # driver-green r1-r6, rotated out r7)
     # --- Sparkify 5-table ETL (the reference's whole program) ---
     "q_sparkify_songs",          # (q_sparkify_users / q_sparkify_time:
                                  # driver-green r2-r5, rotated out r6)
     "q_sparkify_songplays_nat",  # hash-proven 3-key join (surrogate-id
                                  # variant q_sparkify_songplays is
                                  # rows-only and sits just past the window)
+    # --- SQL scalar surface (rotated in r7, never driver-checked) ---
+    "q_string_funcs",          # string builtins over customer
+    "q_math_funcs",            # arithmetic/rounding builtins
+    "q_case_when",             # conditional expressions
+    "q_null_handling",         # coalesce/nullif/nvl semantics
+    "q_pivot",                 # pivot aggregation
     # --- §2B: one-two per extension family ---
     "q_groupby_agg",           # E1
     "q_count_distinct",        # E2
     "q_cube",                  # E3 (rotated in r6; q_rollup driver-green
                                # r2-r5, rotated out — cube subsumes the
                                # rollup grouping-set shape)
-    "q_topn",                  # E4
-    "q_window_rank",           # E5
+    "q_topn",                  # E4 (+ 2A.21 limit)
+    "q_window_running",        # E5 running-frame windows (rotated in r7;
+                               # q_window_rank driver-green r1-r6,
+                               # rotated out — same family, never-checked
+                               # frame shape in)
     "q_setops",                # E6
     "q_join_broadcast_agg",    # E7 (q_join_semi driver-green r1-r5,
                                # rotated out r6)
-    "q_salted_join",           # E7/physical skew join (rotated in r6)
-    "q_asof_join",             # E8
-    "q_asof_forward",          # E8 forward direction (rotated in r6)
+    "q_salted_join",           # E7/physical skew join (r6; q_salted_agg
+                               # driver-green r5-r6, rotated out r7 —
+                               # physical family keeps this slot)
+    "q_asof_join",             # E8 (q_asof_forward driver-green r6,
+                               # rotated out r7 — backward direction
+                               # keeps the family)
     "q_json_extract",          # E9
-    "q_text_tokens",           # E10
     "q_bm25",                  # E10 ranking (rotated in r6;
-                               # q_gopher_rules driver-green r3-r5,
-                               # rotated out — quality family covered by
-                               # q_quality_classifier below)
+                               # q_text_tokens driver-green r1-r6,
+                               # rotated out r7 — tokenization stays
+                               # exercised inside bm25/vocab/ngrams)
     "q_quality_classifier",    # E10/quality model-based filter (r6)
+    "q_ngram_counts",          # E10/corpus n-gram stats (rotated in r7;
+                               # q_vocab_topk driver-green r2-r6, rotated
+                               # out — corpus-prep family keeps the slot)
+    "q_doc_chunks",            # E10/llm-pipeline chunking (rotated in r7)
+    "q_pack_offsets",          # E10/llm-pipeline sequence packing
+                               # offsets (rotated in r7)
     "q_minhash_dedup_survivors",  # E11/E12 end-to-end dedup pipeline
                                # (q_doc_fingerprint / q_doc_dedup_survivors
                                # driver-green r2-r5, rotated out r6)
     "q_dedup_components",      # E11 connected-components labeling (r6)
-    "q_vocab_topk",            # corpus-prep family (round 2; E12's
-                               # hash-proven q_cosine_topk was driver-green
-                               # in r1 — slot rotated; E12 stays covered by
-                               # the LSH/SimHash entries below)
     "q_corpus_pipeline",       # corpus end-to-end composition (r6)
     "q_embedding_neardup_lsh", # E12 scale path
     "q_simhash_candidates",    # E12/dedup
@@ -135,9 +155,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
                                # rotated out r6 — the same aggregate is
                                # hash-proven through the STREAM path by
                                # q_streaming_tumbling below)
-    "q_multimodal_decode",     # E15
-    "q_multimodal_resize",     # E15 resize plumbing (rotated in r6)
-    "q_salted_agg",            # physical/skew
+    "q_sliding_window",        # E13 overlapping windows (rotated in r7)
+    "q_multimodal_resize",     # E15 resize plumbing (r6;
+                               # q_multimodal_decode driver-green r2-r6,
+                               # rotated out r7 — E15 keeps this slot +
+                               # decode stays pytest/oracle-covered)
     "q_streaming_dedup_watermark",  # E14 — real availableNow stream run,
                                     # hash-proven via exact-redelivery
                                     # injection (round 5)
