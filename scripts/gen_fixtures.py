@@ -116,7 +116,47 @@ def gen_logs(songs: list[dict]) -> list[dict]:
     return logs
 
 
+def gen_ppm_media() -> None:
+    """Committed real-format media fixtures (round 7): three binary
+    PGM/PPM files under fixtures/media/ for decode_real's pure-Python
+    path (multimodal._decode_pnm) — a P6 RGB gradient, a P5 grayscale
+    ramp, and a P6 with header comments (the format's parsing wrinkle).
+    Deterministic: seeded independently of the Sparkify stream so
+    regenerating either never perturbs the other. The existing *.img
+    fixtures (fake-kernel header format) are untouched — every
+    hash-proven q_multimodal_* oracle globs *.img only."""
+    media = Path(__file__).resolve().parents[1] / "fixtures" / "media"
+    media.mkdir(parents=True, exist_ok=True)
+    mrng = random.Random(7)
+
+    w, h = 16, 9
+    raster = bytes(
+        c
+        for y in range(h)
+        for x in range(w)
+        for c in ((x * 255) // (w - 1), (y * 255) // (h - 1), mrng.randrange(256))
+    )
+    (media / "real_000.ppm").write_bytes(
+        b"P6\n%d %d\n255\n" % (w, h) + raster
+    )
+
+    w2, h2 = 10, 10
+    gray = bytes(((x + y * w2) * 255) // (w2 * h2 - 1) for y in range(h2) for x in range(w2))
+    (media / "real_001.pgm").write_bytes(
+        b"P5\n%d %d\n255\n" % (w2, h2) + gray
+    )
+
+    w3, h3 = 5, 4
+    raster3 = bytes(mrng.randrange(256) for _ in range(w3 * h3 * 3))
+    (media / "real_002.ppm").write_bytes(
+        b"P6\n# comment line in header\n%d # trailing comment\n%d\n255\n"
+        % (w3, h3)
+        + raster3
+    )
+
+
 def main() -> None:
+    gen_ppm_media()
     songs = gen_songs()
     # duplicate song_id across two files (dedup edge, etl.py:69)
     dup = dict(songs[0])

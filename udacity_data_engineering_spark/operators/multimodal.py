@@ -50,33 +50,103 @@ DECODED_SCHEMA = T.StructType(
 )
 
 
-def decode_real(content: bytes) -> tuple[int, int, list[float]]:
-    """Real decode kernel: PIL when available, NotImplementedError here.
+def _lum_hist(lums, w: int, h: int) -> tuple[int, int, list[float]]:
+    """(width, height, normalized 8-bucket luminance histogram) — the
+    shared output shape of every real-decode path."""
+    hist = [0] * 8
+    for p in lums:
+        hist[p >> 5] += 1
+    n = max(len(lums), 1)
+    return w, h, [c / n for c in hist]
 
-    This container has no media libs, so the import gate raises and the
-    deterministic ``decode_fake`` is the test path. With PIL installed
-    (a real deployment) this decodes any PIL-supported format and emits
-    the same shape as decode_fake: (width, height, 8-bucket normalized
-    luminance histogram) — the skip-marked test in tests/test_multimodal
-    exercises it wherever PIL exists.
+
+def _decode_pnm(content: bytes) -> tuple[int, int, list[float]]:
+    """Pure-Python decode of binary PGM/PPM (P5 grayscale / P6 RGB,
+    maxval 255) — a REAL uncompressed image format parsed with zero
+    native dependencies, so the real-decode path is exercisable (and
+    tested) in environments without PIL. Luminance for P6 uses exactly
+    PIL's integer ITU-R 601-2 formula
+    ``(R*19595 + G*38470 + B*7471 + 0x8000) >> 16`` so the result is
+    bit-identical whether this fallback or PIL decodes the file."""
+    if content[:2] not in (b"P5", b"P6"):
+        raise ValueError("not a binary PGM/PPM payload")
+    rgb = content[:2] == b"P6"
+    # header: magic, width, height, maxval — whitespace-separated, with
+    # '#' comments running to end of line (the format's one wrinkle)
+    i, toks = 2, []
+    while len(toks) < 3 and i < len(content):
+        while i < len(content) and content[i : i + 1].isspace():
+            i += 1
+        if content[i : i + 1] == b"#":
+            while i < len(content) and content[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(content) and not content[j : j + 1].isspace():
+            j += 1
+        toks.append(int(content[i:j]))
+        i = j
+    if len(toks) < 3:
+        raise ValueError("truncated PGM/PPM header")
+    w, h, maxval = toks
+    if maxval != 255:
+        raise NotImplementedError(
+            "PGM/PPM maxval != 255 requires an image library"
+        )
+    i += 1  # exactly one whitespace byte after maxval, then the raster
+    n = w * h
+    bpp = 3 if rgb else 1
+    raster = content[i : i + n * bpp]
+    if len(raster) < n * bpp:
+        raise ValueError("truncated PGM/PPM raster")
+    if rgb:
+        lums = [
+            (
+                raster[k] * 19595
+                + raster[k + 1] * 38470
+                + raster[k + 2] * 7471
+                + 0x8000
+            )
+            >> 16
+            for k in range(0, n * 3, 3)
+        ]
+    else:
+        lums = raster
+    return _lum_hist(lums, w, h)
+
+
+def decode_real(content: bytes) -> tuple[int, int, list[float]]:
+    """Real decode kernel, same output shape as decode_fake: (width,
+    height, 8-bucket normalized luminance histogram).
+
+    Three tiers:
+    - PIL when importable (a real deployment): any PIL-supported format.
+    - Binary PGM/PPM (P5/P6) via the built-in pure-Python parser — a
+      real format decoded with no native libs, so this path runs and is
+      tested in THIS container (round 7; previously the only real-decode
+      test was skip-marked behind PIL). The luminance formula matches
+      PIL's integer ITU-R 601-2 exactly, so both tiers agree bit-for-bit
+      on the same file.
+    - Anything else without PIL: NotImplementedError — the loudly-marked
+      integration point for compressed formats (PNG/JPEG need a codec).
     """
     try:
         import io
 
         from PIL import Image
-    except ImportError as e:  # pragma: no cover - no media libs here
+    except ImportError as e:
+        if content[:2] in (b"P5", b"P6"):
+            return _decode_pnm(content)
         raise NotImplementedError(
-            "media decoding requires an image library not present in this "
-            "environment; use decode_fake for the deterministic test path"
+            "media decoding of compressed formats requires an image "
+            "library not present in this environment; binary PGM/PPM "
+            "(P5/P6) decodes built-in, and decode_fake is the "
+            "deterministic test path for the .img fixtures"
         ) from e
     with Image.open(io.BytesIO(content)) as img:
         w, h = img.size
         pixels = list(img.convert("L").getdata())
-    hist = [0] * 8
-    for p in pixels:
-        hist[p >> 5] += 1
-    n = max(len(pixels), 1)
-    return w, h, [c / n for c in hist]
+    return _lum_hist(pixels, w, h)
 
 
 def decode_fake(content: bytes) -> tuple[int, int, list[float]]:
