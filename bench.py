@@ -5,7 +5,13 @@ measured stock-PySpark baseline in BASELINE.md, which are themselves
 analogs of the reference's operators, etl.py citations in SURVEY.md §2A)
 plus engine-extension headliners, at $SPARK_GRAFT_SF_DIR (default sf0.1)
 on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
-{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
+ "stock_queries": {...}, "stock_total": ..., "vs_stock": ..., "sf": ...}
+
+The stock_* fields are a same-host, same-run STOCK-PySpark measurement
+of the identical ten queries (separate JVM, scripts/measure_baseline.py)
+— the self-normalizing A/B that makes cross-round deltas host-drift-free
+(round 7; SPARK_GRAFT_NO_AB=1 skips it).
 
 Per-query time is best-of-3 wall clock of the triggering action, after a
 session warm-up — the same method BASELINE.md used.
@@ -35,7 +41,38 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or (os.cpu_count() or 8
 REPS = 3
 
 
+def measure_stock() -> dict | None:
+    """Same-host, same-run STOCK-PySpark baseline: the exact ten headline
+    queries via scripts/measure_baseline.py in a subprocess (its own JVM,
+    none of this repo's code paths). Host speed drifted ~30% between
+    rounds twice (SCALE.md round-6 A/B), making cross-round bench deltas
+    unreadable without a same-host reference — so every BENCH_rN.json now
+    carries the stock column alongside the engine's, and the engine/stock
+    ratio is drift-free by construction. Runs BEFORE the engine session
+    so the two JVMs never contend. Returns None on any failure (the
+    engine bench must never die because the reference leg did); set
+    SPARK_GRAFT_NO_AB=1 to skip."""
+    import subprocess
+
+    if os.environ.get("SPARK_GRAFT_NO_AB"):
+        return None
+    script = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "scripts",
+        "measure_baseline.py",
+    )
+    try:
+        out = subprocess.run(
+            [sys.executable, script, "--cpus", str(CPUS), "--sf", SF_DIR],
+            capture_output=True, text=True, timeout=1200, check=True,
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        return json.loads(line)
+    except Exception:
+        return None
+
+
 def main() -> None:
+    stock = measure_stock()
     spark = build_session(app_name="bench", cpus=CPUS, shuffle_partitions=max(CPUS, 16))
     t = {name: table(spark, SF_DIR, name) for name in
          ("lineitem", "orders", "customer", "events")}
@@ -181,15 +218,21 @@ def main() -> None:
         extensions[name] = round(best, 3)
 
     shutil.rmtree(tmp, ignore_errors=True)
-    print(json.dumps({
+    total = round(sum(results.values()), 3)
+    out = {
         "metric": "headline_query_total",
-        "value": round(sum(results.values()), 3),
+        "value": total,
         "unit": "sec",
         "queries": results,
         "extensions": extensions,
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
         "cpus": CPUS,
-    }))
+    }
+    if stock is not None:
+        out["stock_queries"] = stock["queries"]
+        out["stock_total"] = stock["total"]
+        out["vs_stock"] = round(total / stock["total"], 3) if stock["total"] else None
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

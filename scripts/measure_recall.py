@@ -157,7 +157,7 @@ def main() -> int:
     ivf_curve, pq_curve, nq = topk_recall(
         spark, sf, args.queries, nprobes=NPROBES, reranks=RERANKS
     )
-    r_ivf, r_pq = ivf_curve[4], pq_curve[200]  # production defaults
+    r_ivf, r_pq = ivf_curve[8], pq_curve[200]  # production defaults
 
     out = {
         "sf": sf,
@@ -197,7 +197,7 @@ Data: `{sf}` — {n_docs} documents, {n_emb} embeddings.
 | SemDeDup within-cluster pairs (k=16) | cosine >= 0.4 (`q_embedding_neardup`) | {r_sem:.3f} | {len(cos_truth)} pairs | floor (test_recall_floors.py) |
 | **Ensemble** (`q_neardup_ensemble`), semantic legs | cosine >= 0.4 (`q_embedding_neardup`) | {r_ens_sem:.3f} | {len(cos_truth)} pairs | dominates every leg (test_recall_floors.py) |
 | **Ensemble**, lexical leg (Jaccard >= 0.5 verify) | 3-gram Jaccard >= 0.5 (`q_ngram_jaccard`) | {r_ens_lex:.3f} | {len(jac_truth)} pairs | same as MinHash row (exact-verified) |
-| IVF top-10 (k=16, nprobe=4) | brute-force cosine top-10, {nq} queries | {r_ivf:.3f} | recall@10 | >=5/10 overlap (test_ann.py) |
+| IVF top-10 (k=16, nprobe=8) | brute-force cosine top-10, {nq} queries | {r_ivf:.3f} | recall@10 | >=5/10 overlap (test_ann.py) |
 | PQ top-10 (8x16 codes, rerank 200) | brute-force cosine top-10, {nq} queries | {r_pq:.3f} | recall@10 | >=5/10 overlap (test_pq.py) |
 
 The ANN accuracy/cost knobs, measured on the same queries (cost scales

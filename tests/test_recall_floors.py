@@ -87,6 +87,37 @@ def test_ensemble_recall_dominates_every_leg(spark, sf_dir):
     assert lex, "lexical leg empty on fixture data"
 
 
+def test_ensemble_leg_knobs(spark, sf_dir):
+    """Round-7 knobs: a text-only corpus runs the lexical leg alone
+    (embeddings=None) through both the pair union and the survivor
+    decision; disabling every leg, or enabling an embedding leg without
+    an embeddings frame, fails loudly."""
+    import pytest
+
+    from udacity_data_engineering_spark.operators.ensemble import (
+        ensemble_survivors,
+        neardup_ensemble,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    lex_only = neardup_ensemble(
+        docs, None, embedding_lsh=False, semdedup=False
+    ).collect()
+    assert lex_only
+    assert all(r.methods == "minhash_jaccard" for r in lex_only)
+    assert all(r.cos_sim is None for r in lex_only)
+    surv = ensemble_survivors(
+        docs, None, embedding_lsh=False, semdedup=False
+    )
+    assert 0 < surv.count() <= docs.count()
+    with pytest.raises(ValueError, match="every leg is disabled"):
+        neardup_ensemble(
+            docs, None, lexical=False, embedding_lsh=False, semdedup=False
+        )
+    with pytest.raises(ValueError, match="no embeddings"):
+        neardup_ensemble(docs, None)
+
+
 def test_ensemble_survivors_partition_the_corpus(spark, sf_dir):
     """The ensemble dedup decision: survivors = one min-id doc per
     component of the union pair graph, every non-paired doc kept. The

@@ -99,7 +99,14 @@ def ivf_topk(
     query_vec: list[float],
     k_neighbors: int = 10,
     n_clusters: int = 16,
-    nprobe: int = 4,
+    # Default operating point picked off the committed recall curve
+    # (RECALL.md; same treatment PQ's rerank got in round 6): nprobe=8
+    # of 16 lists reads recall@10 0.796 on the uniform-random worst
+    # case vs 0.576 at 4, for linearly-proportional scan cost (half the
+    # corpus here — at production k (thousands of lists over 100 TB)
+    # nprobe/k stays a small fraction and the same curve logic applies:
+    # spend on probes until the recall knee).
+    nprobe: int = 8,
     exclude_vec_id: int | None = None,
     index: tuple[DataFrame, list[list[float]]] | None = None,
 ) -> DataFrame:
@@ -151,8 +158,9 @@ def cached_ivf_index(
 @register(
     "q_ivf_topk",
     doc="E12 scale path: IVF approximate top-10 neighbours of vec_id=0 — "
-    "seeded k-means inverted lists (k=16), probe the 4 nearest lists, "
-    "exact cosine verification inside them (~4/16 of the corpus "
+    "seeded k-means inverted lists (k=16), probe the 8 nearest lists "
+    "(the committed recall curve's knee: 0.796 vs 0.576 at 4), "
+    "exact cosine verification inside them (~8/16 of the corpus "
     "scanned). The index is built once per (session, sf_dir) and cached "
     "— the query path measures probing, as in production. Iterative "
     "clustering => rows-only; recall vs the brute-force baseline is "
