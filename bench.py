@@ -204,6 +204,7 @@ def main() -> None:
         "q_train_val_split", "q_cluster_centroids", "q_embedding_quantize",
         "q_corpus_pipeline",
         "q_temperature_mix",
+        "q_substring_dupes",
         "q_epoch_upsample",
         "q_quality_classifier",
         "q_streaming_dedup_watermark",

@@ -1,0 +1,94 @@
+"""Substring-duplication detection semantics: planted shared spans
+(misaligned offsets), short-doc exclusion, exact-duplicate coverage, and
+the winnowing sampler's content-defined guarantee."""
+
+from __future__ import annotations
+
+from udacity_data_engineering_spark.operators.substrings import (
+    doc_dup_span_counts,
+    duplicate_spans,
+    span_fingerprints,
+)
+
+
+def _words(prefix: str, k: int) -> str:
+    return " ".join(f"{prefix}{i}" for i in range(k))
+
+
+def test_planted_shared_span_detected_across_misaligned_offsets(spark):
+    """The one shared 20-word span sits at word offset 4 in doc 1 and
+    offset 1 in doc 2 — fingerprints are position-independent, so the
+    misalignment must not matter (the failure mode positional stride
+    sampling would have)."""
+    shared = _words("s", 20)
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c " + shared + " tail one"),
+            (2, shared + " completely different ending words here"),
+            (3, _words("w", 30)),
+        ],
+        "doc_id long, text string",
+    )
+    dup = duplicate_spans(docs).collect()
+    assert len(dup) == 1
+    assert dup[0].n_docs == 2 and dup[0].n_spans == 2
+    flags = {r.doc_id: r.n_dup_spans for r in doc_dup_span_counts(docs).collect()}
+    assert flags == {1: 1, 2: 1}
+
+
+def test_sub_window_docs_and_overlaps_yield_nothing(spark):
+    """Documents shorter than the 20-word window have no span to share —
+    even byte-identical ones (that's exact dedup's jurisdiction, not
+    substring dedup's)."""
+    t = _words("x", 19)
+    docs = spark.createDataFrame(
+        [(1, t), (2, t)], "doc_id long, text string"
+    )
+    assert span_fingerprints(docs).count() == 0
+    assert duplicate_spans(docs).count() == 0
+    assert doc_dup_span_counts(docs).count() == 0
+
+
+def test_exact_duplicate_docs_share_every_window(spark):
+    """Two identical 25-word docs: all 6 windows (25-20+1) duplicated,
+    each seen once per doc."""
+    t = _words("w", 25)
+    docs = spark.createDataFrame(
+        [(1, t), (2, t)], "doc_id long, text string"
+    )
+    dup = duplicate_spans(docs).collect()
+    assert len(dup) == 6
+    assert all(r.n_docs == 2 and r.n_spans == 2 for r in dup)
+    flags = {r.doc_id: r.n_dup_spans for r in doc_dup_span_counts(docs).collect()}
+    assert flags == {1: 6, 2: 6}
+
+
+def test_winnowing_is_content_defined(spark):
+    """keep_mod=4 sampling: the kept set is a subset of the full set,
+    every kept duplicated span is still found in BOTH documents, and
+    shifting the shared span's position in one document changes NOTHING
+    about which shared fingerprints are kept — selection depends on span
+    content alone. (A positional stride sampler fails this test.)"""
+    shared = _words("s", 40)  # 21 shared windows -> ~5 expected kept
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c " + shared + " " + _words("t", 5)),
+            (2, shared + " " + _words("u", 8)),
+        ],
+        "doc_id long, text string",
+    )
+    full = {r.fp for r in duplicate_spans(docs).collect()}
+    win = duplicate_spans(docs, keep_mod=4).collect()
+    kept = {r.fp for r in win}
+    assert kept and kept <= full  # non-degenerate fixture, subset
+    assert all(r.n_docs == 2 for r in win)
+    # shift the shared span by two words in doc 1: same content, new offsets
+    shifted = spark.createDataFrame(
+        [
+            (1, "p q a b c " + shared + " " + _words("t", 5)),
+            (2, shared + " " + _words("u", 8)),
+        ],
+        "doc_id long, text string",
+    )
+    kept_shifted = {r.fp for r in duplicate_spans(shifted, keep_mod=4).collect()}
+    assert kept_shifted == kept

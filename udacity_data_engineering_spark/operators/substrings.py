@@ -1,0 +1,220 @@
+"""Substring-level duplication detection — the span-granular member of
+the dedup family (charter: LLM-data-pipeline dedup).
+
+Document-level dedup (exact / MinHash / SimHash) misses the dominant
+real-corpus pattern: mostly-distinct documents sharing long VERBATIM
+spans (boilerplate headers, licenses, quoted passages, templated
+paragraphs). The reference design is suffix-array exact substring dedup
+(Lee et al., "Deduplicating Training Data Makes Language Models
+Better", arXiv:2107.06499); a suffix array is inherently
+single-machine, so the Spark-native re-expression fingerprints every
+word n-gram window and detects spans shared across documents with one
+digest-keyed aggregation:
+
+- every window of ``n`` consecutive words -> sha2-256 fingerprint
+  (JVM-side slice/concat/sha2 — no Python hop);
+- a span appearing in >= ``min_docs`` distinct documents is a
+  duplicated span; with every-position windows (keep_mod=1) ANY
+  verbatim cross-doc overlap of >= n words is detected — the
+  suffix-array exactness guarantee at n-word resolution;
+- ``keep_mod`` > 1 switches to winnowing-style CONTENT-DEFINED
+  sampling (Schleimer et al., SIGMOD'03): keep only windows whose
+  digest value (last two hex chars) ≡ 0 mod keep_mod. Selection
+  depends on span content alone, so a span sampled in one document is
+  sampled in every document containing it — unlike positional
+  stride-sampling, which silently misses copies whose word offsets
+  are misaligned mod the stride. Detection stays exact for spans long
+  enough to contain >= 1 selected window (expected n + keep_mod
+  words); shuffle volume drops by ~keep_mod.
+
+Scale shape: the shuffle carries (doc_id, 32-byte digest) rows —
+O(words) at keep_mod=1, O(words/keep_mod) winnowed — never span text;
+the distinct-doc count is a partial-aggregating groupBy on the digest;
+the per-doc flags query joins spans to duplicated digests on the
+digest key (shuffle join — the dup-span set is corpus-sized, not
+broadcastable). Reference parity note: the reference repo (etl.py) has
+no substring operator; this is charter extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from udacity_data_engineering_spark.operators.similarity import spread
+from udacity_data_engineering_spark.plans.registry import register
+from udacity_data_engineering_spark.session import table
+
+#: Default window width, in words — the span resolution. 20 words ≈ the
+#: 50-BPE-token threshold the substring-dedup literature uses.
+SPAN_WORDS = 20
+
+
+def _winnow_keep(fp: Column, keep_mod: int) -> Column:
+    """Content-defined sampling predicate: value of the digest's last
+    two hex chars mod ``keep_mod`` == 0. Deterministic on content, and
+    reproducible verbatim in the DuckDB oracles (strpos-based hex
+    recovery there, conv() here)."""
+    return (F.conv(F.substring(fp, 63, 2), 16, 10).cast("int") % keep_mod) == 0
+
+
+def span_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = SPAN_WORDS,
+    keep_mod: int = 1,
+) -> DataFrame:
+    """(doc_id, fp): one row per (sampled) word n-gram window. Documents
+    shorter than ``n`` words contribute nothing (no n-word span exists).
+    All JVM-side: split once, slice+concat+sha2 per window inside one
+    transform/explode — the digest is computed where the scan runs and
+    is the only thing wider than the doc id that ever shuffles."""
+    words = F.split(F.col(text_col), " ")
+    base = spread(docs).select(
+        F.col(id_col).alias("doc_id"), words.alias("__w")
+    ).filter(F.size("__w") >= n)
+    k = F.size(F.col("__w")) - (n - 1)
+    spans = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), k),
+                lambda i: F.sha2(
+                    F.concat_ws(" ", F.slice(F.col("__w"), i, n)), 256
+                ),
+            )
+        ).alias("fp"),
+    )
+    if keep_mod > 1:
+        spans = spans.filter(_winnow_keep(F.col("fp"), keep_mod))
+    return spans
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    n: int = SPAN_WORDS,
+    keep_mod: int = 1,
+    min_docs: int = 2,
+) -> DataFrame:
+    """(fp, n_docs, n_spans): every span fingerprint appearing in >=
+    ``min_docs`` distinct documents, with its distinct-doc count and
+    total occurrence count. One partial-aggregating groupBy on the
+    digest."""
+    return (
+        span_fingerprints(docs, n=n, keep_mod=keep_mod)
+        .groupBy("fp")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_spans"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def doc_dup_span_counts(
+    docs: DataFrame,
+    n: int = SPAN_WORDS,
+    keep_mod: int = 1,
+    min_docs: int = 2,
+) -> DataFrame:
+    """(doc_id, n_dup_spans): per document, how many of its spans are
+    duplicated across the corpus — the flagging pass a curation
+    pipeline thresholds on (drop or trim documents dominated by
+    boilerplate). Two passes over the span table (aggregate to find
+    duplicated digests, then a digest-keyed join back); at 100 TB
+    persist the span table between the passes instead of recomputing —
+    kept lazy here so the operator composes without storage
+    side-effects."""
+    spans = span_fingerprints(docs, n=n, keep_mod=keep_mod)
+    dup = (
+        spans.groupBy("fp")
+        .agg(F.countDistinct("doc_id").alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("fp")
+    )
+    return (
+        spans.join(dup, "fp")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup_spans"))
+    )
+
+
+_SPANS_SQL = """
+        SELECT doc_id, sha256(array_to_string(words[i:i+{m}], ' ')) AS fp
+        FROM (SELECT doc_id, string_split(text, ' ') AS words
+              FROM documents),
+             LATERAL (SELECT unnest(
+                 range(1, greatest(len(words) - {m}, 0) + 1)) AS i)
+""".format(m=SPAN_WORDS - 1)
+
+
+@register(
+    "q_substring_dupes",
+    oracle=f"""
+        WITH spans AS ({_SPANS_SQL})
+        SELECT fp, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_spans
+        FROM spans GROUP BY fp
+        HAVING count(DISTINCT doc_id) >= 2
+    """,
+    doc="Substring-level dedup (Lee et al. arXiv:2107.06499, Spark-"
+    "native): sha2 fingerprint of EVERY 20-word window, spans shared by "
+    ">=2 distinct documents with doc/occurrence counts. Every-position "
+    "windows make detection exact for any verbatim cross-doc overlap "
+    ">= 20 words. Hash-proven: DuckDB recomputes the identical sha256 "
+    "over the identical word windows.",
+    tags=("E11", "dedup", "llm-pipeline"),
+)
+def q_substring_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return duplicate_spans(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_substring_dupes_winnowed",
+    oracle=f"""
+        WITH spans AS ({_SPANS_SQL}),
+        kept AS (
+            SELECT * FROM spans
+            WHERE ((strpos('0123456789abcdef', substr(fp, 63, 1)) - 1) * 16
+                 + (strpos('0123456789abcdef', substr(fp, 64, 1)) - 1)) % 4 = 0
+        )
+        SELECT fp, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_spans
+        FROM kept GROUP BY fp
+        HAVING count(DISTINCT doc_id) >= 2
+    """,
+    doc="The winnowed (content-defined sampling, Schleimer et al. "
+    "SIGMOD'03) scale path of q_substring_dupes: keep only windows "
+    "whose digest value (last two hex chars) is 0 mod 4 — selection "
+    "depends on span content alone, so a sampled span is sampled in "
+    "EVERY document containing it (positional stride sampling has no "
+    "such guarantee), and shuffle volume drops ~4x. Hash-proven: the "
+    "oracle reproduces the digest-derived selector via hex-char "
+    "recovery.",
+    tags=("E11", "dedup", "llm-pipeline"),
+)
+def q_substring_dupes_winnowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return duplicate_spans(table(spark, sf_dir, "documents"), keep_mod=4)
+
+
+@register(
+    "q_substring_doc_flags",
+    oracle=f"""
+        WITH spans AS ({_SPANS_SQL}),
+        dup AS (
+            SELECT fp FROM spans GROUP BY fp
+            HAVING count(DISTINCT doc_id) >= 2
+        )
+        SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans
+        FROM spans s JOIN dup USING (fp)
+        GROUP BY s.doc_id
+    """,
+    doc="Per-document duplicated-span counts — the flagging pass a "
+    "curation pipeline thresholds on (documents dominated by verbatim "
+    "boilerplate get dropped or trimmed). Digest-keyed aggregate + "
+    "join-back; hash-proven vs the identical DuckDB recomputation.",
+    tags=("E11", "dedup", "llm-pipeline"),
+)
+def q_substring_doc_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return doc_dup_span_counts(table(spark, sf_dir, "documents"))
