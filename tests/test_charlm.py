@@ -1,0 +1,48 @@
+"""Char-trigram LM scoring: exact add-one arithmetic on crafted
+fixtures, the unseen-trigram floor for batch-vs-reference scoring, and
+short-doc exclusion."""
+
+from __future__ import annotations
+
+import math
+
+from udacity_data_engineering_spark.operators.charlm import charlm_score
+
+
+def test_known_vs_unseen_scoring_against_reference_model(spark):
+    """Model trained on 'aaaaaa' (4x trigram 'aaa': N=4, V=1). A batch
+    doc of seen trigrams scores ln(5)-ln(5)=0; a fully-unseen doc hits
+    the add-one floor exactly: ln(N+V) - ln(0+1) = ln(5)."""
+    ref = spark.createDataFrame([(1, "aaaaaa")], "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(10, "aaaa"), (11, "zzzz")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_trigrams, r.cross_entropy)
+        for r in charlm_score(batch, model_docs=ref).collect()
+    }
+    assert got[10] == (2, 0.0)
+    assert got[11] == (2, round(math.log(5), 4))
+
+
+def test_short_docs_are_excluded(spark):
+    docs = spark.createDataFrame(
+        [(1, "ab"), (2, "abcd")], "doc_id long, text string"
+    )
+    rows = charlm_score(docs).collect()
+    assert [r.doc_id for r in rows] == [2]
+    assert rows[0].n_trigrams == 2
+
+
+def test_self_scoring_ranks_typical_below_atypical(spark):
+    """Self-perplexity ordering: a doc made of the corpus's dominant
+    trigrams must score strictly lower cross-entropy than a one-off
+    gibberish doc — the property the curation threshold relies on."""
+    docs = spark.createDataFrame(
+        [(i, "the cat sat on the mat " * 3) for i in range(5)]
+        + [(99, "qzx jvq wkp zzj qqv bnx")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.cross_entropy for r in charlm_score(docs).collect()}
+    assert got[0] < got[99]
+    assert all(got[i] == got[0] for i in range(5))  # identical docs, equal score

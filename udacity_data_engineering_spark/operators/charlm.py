@@ -1,0 +1,133 @@
+"""Character-trigram language-model scoring — the perplexity-style
+quality filter of the LLM-data-pipeline family (charter: text
+analysis / quality scoring).
+
+The classic curation pattern (CCNet / Gopher / most crawl pipelines)
+scores every document against a reference language model and drops the
+high-perplexity tail (gibberish, encoding damage, non-linguistic
+boilerplate). The production implementations use KenLM; the
+Spark-native re-expression here is an add-one-smoothed
+unigram-of-character-trigrams model — deterministic, oracle-provable,
+and the same *pipeline shape* as a real LM filter:
+
+- model: trigram -> count over a reference corpus (one
+  partial-aggregating groupBy on the trigram; at 100 TB train on a
+  SAMPLE or a vetted reference slice via ``model_docs`` — the model is
+  corpus-derived state, not per-doc work);
+- scoring: explode each doc's trigrams (O(chars) rows, JVM-side
+  ``Column.substr`` over a sequence — no Python hop), join to the
+  model on the trigram (shuffle join; a char-trigram vocabulary is
+  small but the JOIN key distribution is Zipfian, which Spark's AQE
+  skew handling absorbs), one broadcastable totals row, then a per-doc
+  aggregate:  cross_entropy = ln(N + V) - avg(ln(c + 1)), the add-one
+  smoothed negative mean log-likelihood. Unseen trigrams (scoring a
+  NEW batch against a fixed reference model) coalesce to count 0 —
+  exactly the add-one floor.
+
+Reference parity note: the reference repo (etl.py) has no scoring
+operator; this is charter extension surface alongside
+quality.gopher_signals / classifier_score.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from udacity_data_engineering_spark.operators.similarity import spread
+from udacity_data_engineering_spark.plans.registry import register
+from udacity_data_engineering_spark.session import table
+
+
+def char_trigrams(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, t): every overlapping character trigram of every doc.
+    Docs shorter than 3 characters contribute nothing. JVM-side:
+    Column.substr over a sequence, one explode."""
+    base = spread(docs).filter(F.length(F.col(text_col)) >= 3)
+    tri = F.transform(
+        F.sequence(F.lit(1), F.length(F.col(text_col)) - 2),
+        lambda i: F.col(text_col).substr(i, F.lit(3)),
+    )
+    return base.select(F.col(id_col).alias("doc_id"), F.explode(tri).alias("t"))
+
+
+def trigram_model(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(t, c): trigram counts over the reference corpus — the 'language
+    model'. One partial-aggregating groupBy; the result is model state
+    (persist/broadcast it when scoring many batches)."""
+    return char_trigrams(docs, text_col=text_col).groupBy("t").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+
+
+def charlm_score(
+    docs: DataFrame,
+    model_docs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_trigrams, cross_entropy): add-one-smoothed negative
+    mean trigram log-likelihood per document, against a model trained on
+    ``model_docs`` (default: the scored corpus itself —
+    self-perplexity, the single-corpus curation setting). Lower = more
+    typical of the reference distribution; a pipeline drops the high
+    tail. cross_entropy is rounded to 4 decimals (the serialization
+    contract shared with the DuckDB oracle; exp(cross_entropy) is the
+    perplexity if you want the conventional units)."""
+    model = trigram_model(
+        model_docs if model_docs is not None else docs, text_col=text_col
+    )
+    totals = model.agg(
+        F.sum("c").alias("__n_total"), F.count(F.lit(1)).alias("__v")
+    )
+    tri = char_trigrams(docs, id_col, text_col)
+    scored = (
+        tri.join(model, "t", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            "__n_total",
+            "__v",
+            F.log(F.coalesce(F.col("c"), F.lit(0)) + 1).alias("__lp"),
+        )
+    )
+    return scored.groupBy("doc_id", "__n_total", "__v").agg(
+        F.count(F.lit(1)).alias("n_trigrams"),
+        F.round(
+            F.log(F.col("__n_total") + F.col("__v")) - F.avg("__lp"), 4
+        ).alias("cross_entropy"),
+    ).select("doc_id", "n_trigrams", "cross_entropy")
+
+
+@register(
+    "q_charlm_score",
+    oracle="""
+        WITH tri AS (
+            SELECT doc_id, substr(text, CAST(i AS BIGINT), 3) AS t
+            FROM documents,
+                 LATERAL (SELECT unnest(
+                     range(1, greatest(len(text) - 2, 0) + 1)) AS i)
+            WHERE len(text) >= 3
+        ), model AS (
+            SELECT t, count(*) AS c FROM tri GROUP BY t
+        ), tot AS (
+            SELECT sum(c) AS n_total, count(*) AS v FROM model
+        )
+        SELECT tri.doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+               round(ln(n_total + v) - avg(ln(c + 1)), 4) AS cross_entropy
+        FROM tri JOIN model USING (t), tot
+        GROUP BY tri.doc_id, n_total, v
+    """,
+    doc="Perplexity-style quality scoring (the CCNet/KenLM pipeline "
+    "shape, Spark-native): add-one-smoothed unigram-of-char-trigrams "
+    "model trained on the corpus, per-doc cross-entropy = ln(N+V) - "
+    "avg(ln(c+1)). Hash-proven: DuckDB recomputes the identical counts "
+    "and the identical formula; the mean is rounded to 4 decimals on "
+    "both sides (summation-order double noise is ~1e-13 on ln-scale "
+    "values).",
+    tags=("E10", "llm-pipeline", "quality"),
+)
+def q_charlm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return charlm_score(table(spark, sf_dir, "documents"))
