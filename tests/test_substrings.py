@@ -63,6 +63,55 @@ def test_exact_duplicate_docs_share_every_window(spark):
     assert flags == {1: 6, 2: 6}
 
 
+def test_matches_bruteforce_on_random_corpora(spark):
+    """Property: duplicate_spans / doc_dup_span_counts equal a plain-
+    Python brute-force recomputation over random small-vocab corpora
+    (small vocabulary + short window force plenty of genuine shared
+    spans)."""
+    import hashlib
+    import random
+
+    rng = random.Random(13)
+    vocab = ["a", "b", "c"]
+    n = 4  # small window so 8-20-word random docs collide richly
+    for trial in range(3):
+        docs = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 20))))
+            for i in range(12)
+        ]
+        spans = []  # (doc_id, fp)
+        for did, text in docs:
+            w = text.split(" ")
+            for i in range(len(w) - n + 1):
+                spans.append(
+                    (did, hashlib.sha256(" ".join(w[i : i + n]).encode()).hexdigest())
+                )
+        by_fp = {}
+        for did, fp in spans:
+            by_fp.setdefault(fp, []).append(did)
+        want_dup = {
+            fp: (len(set(ds)), len(ds))
+            for fp, ds in by_fp.items()
+            if len(set(ds)) >= 2
+        }
+        want_flags = {}
+        for did, fp in spans:
+            if fp in want_dup:
+                want_flags[did] = want_flags.get(did, 0) + 1
+
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got_dup = {
+            r.fp: (r.n_docs, r.n_spans)
+            for r in duplicate_spans(df, n=n).collect()
+        }
+        got_flags = {
+            r.doc_id: r.n_dup_spans
+            for r in doc_dup_span_counts(df, n=n).collect()
+        }
+        assert got_dup == want_dup, f"trial {trial}"
+        assert got_flags == want_flags, f"trial {trial}"
+
+
 def test_winnowing_is_content_defined(spark):
     """keep_mod=4 sampling: the kept set is a subset of the full set,
     every kept duplicated span is still found in BOTH documents, and
