@@ -151,6 +151,23 @@ def main() -> None:
             finally:
                 exact.unpersist()
 
+        def spans():
+            # O(words) digest shuffle; the replica's 100-member duplicate
+            # cliques make every span a hot-but-linear digest group
+            from udacity_data_engineering_spark.operators.substrings import (
+                duplicate_spans,
+            )
+
+            return duplicate_spans(docs).count()
+
+        def lm():
+            # O(chars) trigram explode + Zipfian-key model join
+            from udacity_data_engineering_spark.operators.charlm import (
+                charlm_score,
+            )
+
+            return charlm_score(docs).count()
+
         return {
             "incremental_dedup": inc,
             "minhash_survivors": mh,
@@ -158,6 +175,8 @@ def main() -> None:
             "pq_train_encode": pq,
             "semantic_dedup": sem,
             "simhash_candidates": sh,
+            "substring_dupes": spans,
+            "charlm_score": lm,
         }
 
     def stream_ingest(src_dir: str, mfpt: int = 4) -> dict:

@@ -116,6 +116,12 @@ def test_ensemble_leg_knobs(spark, sf_dir):
         )
     with pytest.raises(ValueError, match="no embeddings"):
         neardup_ensemble(docs, None)
+    # embeddings-only corpus: semantic legs alone
+    emb = table(spark, sf_dir, "embeddings")
+    emb_only = neardup_ensemble(None, emb, lexical=False).collect()
+    assert emb_only and all(r.jaccard is None for r in emb_only)
+    with pytest.raises(ValueError, match="no documents"):
+        neardup_ensemble(None, emb)
 
 
 def test_ensemble_survivors_partition_the_corpus(spark, sf_dir):

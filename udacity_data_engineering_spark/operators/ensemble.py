@@ -74,6 +74,12 @@ def _leg_frames(
             "frame passed — disable them (embedding_lsh=False, "
             "semdedup=False) for a text-only corpus"
         )
+    if lexical and docs is None and lexical_pairs is None:
+        raise ValueError(
+            "neardup_ensemble: lexical leg enabled but no documents "
+            "frame passed — disable it (lexical=False) for an "
+            "embeddings-only corpus"
+        )
     legs: list[DataFrame] = []
     if lexical:
         lex = (
