@@ -186,6 +186,34 @@ def test_decode_real_decodes_committed_pnm_fixtures(spark):
         assert abs(sum(r.features) - 1.0) < 1e-6
 
 
+def test_frame_dedup_and_shared_frames_find_the_copy_pair(spark):
+    """img_006 is a byte-copy of img_000: every one of its 4 sampled
+    frames duplicates img_000's, so frame dedup reports 24 distinct
+    frame contents (28 - 4) with exactly four 2-copy survivors rooted
+    at img_000, and the shared-frames candidate query surfaces exactly
+    that one file pair with n_shared=4."""
+    from udacity_data_engineering_spark.operators.multimodal import (
+        frame_dedup,
+        shared_frame_pairs,
+    )
+
+    frames = frame_sample(read_media(spark))
+    rows = frame_dedup(frames).collect()
+    assert len(rows) == 24
+    dupes = [r for r in rows if r.n_copies > 1]
+    assert len(dupes) == 4
+    assert all(
+        r.n_copies == 2 and r.survivor_path.endswith("img_000.img")
+        for r in dupes
+    )
+    assert sorted(r.survivor_frame for r in dupes) == [0, 1, 2, 3]
+    pairs = shared_frame_pairs(frames).collect()
+    assert len(pairs) == 1
+    assert pairs[0].path_a.endswith("img_000.img")
+    assert pairs[0].path_b.endswith("img_006.img")
+    assert pairs[0].n_shared == 4
+
+
 def test_media_dedup_finds_byte_identical_copy(spark):
     """img_006 is a committed byte-copy of img_000: one fingerprint must
     cover both with the lexicographically-first path as survivor."""

@@ -539,6 +539,122 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def frame_dedup(frames: DataFrame) -> DataFrame:
+    """Frame-granular exact dedup: sha2 fingerprint of each sampled
+    frame's bytes (JVM-side), one groupBy on the digest, deterministic
+    min-(path, frame_id) survivor + copy count. The video analogue of
+    substring-level text dedup: re-encoded or re-muxed uploads that are
+    not byte-identical as FILES still share byte-identical frames at
+    the same sample grid, and at 100 TB the 32-byte digest is what
+    shuffles, never frame payloads."""
+    return (
+        frames.groupBy(F.sha2(F.col("frame"), 256).alias("__fp"))
+        .agg(
+            F.min(
+                F.struct(
+                    F.regexp_replace("path", "^file:", "").alias("p"),
+                    F.col("frame_id").alias("f"),
+                )
+            ).alias("s"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select(
+            F.col("s.p").alias("survivor_path"),
+            F.col("s.f").alias("survivor_frame"),
+            "n_copies",
+        )
+    )
+
+
+def shared_frame_pairs(frames: DataFrame) -> DataFrame:
+    """(path_a, path_b, n_shared): file pairs sharing at least one
+    byte-identical frame, with the count of DISTINCT shared frame
+    contents — the candidate stage of media near-dup (two files sharing
+    many frames are cuts/copies of each other). Digest-bucket self-join:
+    shuffle carries (path, 32-byte digest) rows and only same-digest
+    pairs are compared — the same candidate-pair shape as the text LSH
+    paths, never file×file."""
+    f = frames.select(
+        F.regexp_replace("path", "^file:", "").alias("p"),
+        F.sha2(F.col("frame"), 256).alias("__fp"),
+    ).distinct()
+    a, b = f.alias("a"), f.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.__fp") == F.col("b.__fp")) & (F.col("a.p") < F.col("b.p")),
+        )
+        .groupBy(
+            F.col("a.p").alias("path_a"), F.col("b.p").alias("path_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+_FRAMES_SQL = f"""
+        SELECT m.filename AS path, CAST(i AS INT) AS frame_id,
+               lower(substr(hx, CAST(2*((i*L)//4) + 17 AS BIGINT),
+                            CAST(2*(((i+1)*L)//4 - (i*L)//4) AS BIGINT)))
+                   AS fh
+        FROM (SELECT filename, greatest(octet_length(content) - 8, 0) AS L,
+                     hex(content) AS hx
+              FROM read_blob('{MEDIA_DIR}/*.img')) m,
+             generate_series(0, 3) AS t(i)
+"""
+
+
+@register(
+    "q_multimodal_frame_dedup",
+    oracle=f"""
+        WITH f AS ({_FRAMES_SQL}),
+        ranked AS (
+            SELECT fh, path, frame_id,
+                   row_number() OVER (PARTITION BY fh
+                                      ORDER BY path, frame_id) AS rn
+            FROM f
+        ), cnt AS (
+            SELECT fh, CAST(count(*) AS BIGINT) AS n_copies
+            FROM f GROUP BY fh
+        )
+        SELECT ranked.path AS survivor_path,
+               ranked.frame_id AS survivor_frame, cnt.n_copies
+        FROM ranked JOIN cnt USING (fh)
+        WHERE ranked.rn = 1
+    """,
+    doc="E15+E11: frame-granular media dedup — sha2 per sampled frame, "
+    "digest groupBy, min-(path,frame_id) survivor per distinct frame "
+    "content. Hash-proven: DuckDB groups on the frame's recovered hex "
+    "text (bytes-equal iff hex-equal iff sha256-equal) while the engine "
+    "groups on the digest — the 100 TB shape, where 32 bytes shuffle "
+    "instead of the frame.",
+    tags=("E15", "E11", "dedup"),
+)
+def q_multimodal_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return frame_dedup(frame_sample(read_media(spark)))
+
+
+@register(
+    "q_multimodal_shared_frames",
+    oracle=f"""
+        WITH f AS (
+            SELECT DISTINCT path, fh FROM ({_FRAMES_SQL})
+        )
+        SELECT a.path AS path_a, b.path AS path_b,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM f a JOIN f b ON a.fh = b.fh AND a.path < b.path
+        GROUP BY a.path, b.path
+    """,
+    doc="E15+E12: media near-dup candidates — file pairs sharing "
+    "byte-identical sampled frames, counted over distinct shared frame "
+    "contents. Digest-bucket self-join (same candidate-pair shape as "
+    "the text LSH paths — never file x file). Hash-proven vs the hex "
+    "self-join in DuckDB.",
+    tags=("E15", "E12", "dedup"),
+)
+def q_multimodal_shared_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shared_frame_pairs(frame_sample(read_media(spark)))
+
+
 def media_dedup(df: DataFrame) -> DataFrame:
     """Exact binary dedup over media payloads: sha2 fingerprint of the
     raw bytes, min-path survivor per fingerprint, duplicate count. The
