@@ -107,6 +107,30 @@ def test_minhash_survivors_equal_exact_survivors(spark, sf_dir):
     assert got == expect
 
 
+def test_best_row_survivors_keeps_quality_not_min_id(spark):
+    """Quality-aware survivor rule: highest quality wins its component
+    (NOT the min id), ties break on id, unpaired rows survive."""
+    from pyspark.sql import functions as F
+
+    from udacity_data_engineering_spark.operators.components import (
+        best_row_survivors,
+    )
+
+    comp = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3), (4, 3)], "id long, comp long"
+    )
+    rows = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 7), (4, 7), (9, 1)], "doc_id long, q int"
+    )
+    got = {
+        r.doc_id
+        for r in best_row_survivors(
+            rows, comp, "doc_id", F.col("q").desc(), F.col("doc_id")
+        ).collect()
+    }
+    assert got == {2, 3, 9}
+
+
 def test_components_convergence_sum_is_overflow_proof(spark):
     """Vertex ids near 2^62: a plain long SUM of six labels already
     exceeds max-long mid-aggregation (ANSI mode would abort the round;

@@ -247,6 +247,92 @@ def min_id_survivors(
     )
 
 
+def best_row_survivors(
+    rows: DataFrame, comp: DataFrame, id_col: str, *order_cols
+) -> DataFrame:
+    """Quality-aware dedup decision: ONE survivor per component, chosen
+    as the first row under ``order_cols`` (e.g. quality score
+    descending) instead of min id — real curation pipelines keep the
+    BEST member of a duplicate cluster, not the lowest-numbered one.
+    Rows in no component form singleton groups (they survive). One
+    row_number window over coalesce(component, own id); returns ``rows``
+    (all columns) filtered to survivors."""
+    from udacity_data_engineering_spark.operators.dedup import keep_first
+
+    c = comp.select(
+        F.col("id").alias("__cc_id"), F.col("comp").alias("__cc_comp")
+    )
+    joined = rows.join(c, rows[id_col] == c["__cc_id"], "left").withColumn(
+        "__grp", F.coalesce(F.col("__cc_comp"), rows[id_col])
+    )
+    return keep_first(joined, ["__grp"], list(order_cols)).drop(
+        "__cc_id", "__cc_comp", "__grp"
+    )
+
+
+@register(
+    "q_dedup_best_survivors",
+    oracle=f"""
+        WITH RECURSIVE tok AS (
+            SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS w
+            FROM (SELECT doc_id, string_split(text, ' ') AS words
+                  FROM documents),
+                 LATERAL (SELECT unnest(
+                     range(1, greatest(len(words) - 2, 0) + 1)) AS i)
+        ), cnt AS (
+            SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id
+        ), pair AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+            FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ), edge AS (
+            SELECT doc_a AS a, doc_b AS b FROM pair
+            JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
+            WHERE i / (ca.n + cb.n - i) >= {NEARDUP_JACCARD}
+        ), sym AS (
+            SELECT a, b FROM edge UNION SELECT b, a FROM edge
+        ), walk(id, comp) AS (
+            SELECT a, a FROM sym
+            UNION
+            SELECT s.a, w.comp FROM sym s JOIN walk w ON s.b = w.id
+        ), lab AS (
+            SELECT id, min(comp) AS comp FROM walk GROUP BY id
+        ), g AS (
+            SELECT d.doc_id,
+                   CAST(len(string_split(d.text, ' ')) AS INT) AS n_tokens,
+                   COALESCE(lab.comp, d.doc_id) AS grp
+            FROM documents d LEFT JOIN lab ON lab.id = d.doc_id
+        )
+        SELECT doc_id, n_tokens FROM (
+            SELECT doc_id, n_tokens,
+                   row_number() OVER (PARTITION BY grp
+                                      ORDER BY n_tokens DESC, doc_id) AS rn
+            FROM g) t
+        WHERE rn = 1
+    """,
+    doc="Quality-aware dedup decision over the exact near-dup pair "
+    "graph: per connected component keep the LONGEST member "
+    "(n_tokens desc, doc_id tiebreak) — the curation rule real "
+    "pipelines use instead of min-id — non-paired docs survive as "
+    "singletons. Hash-proven against a DuckDB recursive-CTE transitive "
+    "closure + the identical window rule. Guarded oracle shape (exact "
+    "pair generation is quadratic); at scale the same "
+    "best_row_survivors tail runs after the LSH-verified component "
+    "labels.",
+    tags=("E11", "E12", "dedup", "oracle_only"),
+)
+def q_dedup_best_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    edges = _exact_pairs(spark, sf_dir, NEARDUP_JACCARD)
+    comp = connected_components(edges, "doc_a", "doc_b")
+    scored = docs.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    return best_row_survivors(
+        scored, comp, "doc_id", F.col("n_tokens").desc(), F.col("doc_id")
+    ).select("doc_id", "n_tokens")
+
+
 def star_edges(members: DataFrame) -> DataFrame:
     """(doc_a=rep_id, doc_b=member_id) edges linking every duplicate to
     its identical-content representative — the LINEAR stand-in for a
