@@ -205,6 +205,8 @@ def main() -> None:
         "q_corpus_pipeline",
         "q_temperature_mix",
         "q_substring_dupes",
+        "q_charlm_score",
+        "q_curation_pipeline",
         "q_epoch_upsample",
         "q_quality_classifier",
         "q_streaming_dedup_watermark",

@@ -446,3 +446,96 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_words").cast("bigint").alias("n_tokens"),
         )
     )
+
+
+@register(
+    "q_curation_pipeline",
+    oracle="""
+        WITH survivors AS (
+            SELECT doc_id, lang, source, text FROM (
+                SELECT doc_id, lang, source, text,
+                       row_number() OVER (PARTITION BY text
+                                          ORDER BY doc_id) AS rn
+                FROM documents) t
+            WHERE rn = 1
+        ), spans AS (
+            SELECT doc_id, sha256(array_to_string(words[i:i+19], ' ')) AS fp
+            FROM (SELECT doc_id, string_split(text, ' ') AS words
+                  FROM survivors),
+                 LATERAL (SELECT unnest(
+                     range(1, greatest(len(words) - 19, 0) + 1)) AS i)
+        ), dupfp AS (
+            SELECT fp FROM spans GROUP BY fp
+            HAVING count(DISTINCT doc_id) >= 2
+        ), flags AS (
+            SELECT s.doc_id, count(*) AS n_dup_spans
+            FROM spans s JOIN dupfp USING (fp) GROUP BY s.doc_id
+        ), tri AS (
+            SELECT doc_id, substr(text, CAST(i AS BIGINT), 3) AS tg
+            FROM survivors,
+                 LATERAL (SELECT unnest(
+                     range(1, greatest(len(text) - 2, 0) + 1)) AS i)
+            WHERE len(text) >= 3
+        ), model AS (
+            SELECT tg, count(*) AS c FROM tri GROUP BY tg
+        ), tot AS (
+            SELECT sum(c) AS n_total, count(*) AS v FROM model
+        ), ce AS (
+            SELECT tri.doc_id,
+                   round(ln(n_total + v) - avg(ln(c + 1)), 4) AS cross_entropy
+            FROM tri JOIN model USING (tg), tot
+            GROUP BY tri.doc_id, n_total, v
+        ), thr AS (
+            SELECT quantile_cont(cross_entropy, 0.9) AS t FROM ce
+        )
+        SELECT s.doc_id, s.lang, s.source,
+               CAST(len(string_split(s.text, ' ')) AS INT) AS n_tokens,
+               ce.cross_entropy
+        FROM survivors s
+        LEFT JOIN flags ON flags.doc_id = s.doc_id
+        JOIN ce ON ce.doc_id = s.doc_id
+        CROSS JOIN thr
+        WHERE COALESCE(flags.n_dup_spans, 0) <= 5
+          AND ce.cross_entropy <= thr.t
+    """,
+    doc="Round-7 flagship composition — the curation pipeline over the "
+    "round's new operators as ONE declarative plan: deterministic exact "
+    "dedup -> substring-duplication flags over the deduped corpus "
+    "(drop docs with > 5 cross-doc boilerplate spans) -> char-trigram "
+    "LM self-scoring with an EXACT 90th-percentile cross-entropy "
+    "cutoff (percentile() here, quantile_cont in DuckDB — same "
+    "interpolation definition; membership is threshold-ulp-insensitive "
+    "because scores are 4-decimal-quantized). The LM trains on the "
+    "DEDUPED corpus (duplicate-heavy corpora bias the model toward "
+    "their boilerplate). Hash-proven end-to-end: DuckDB recomputes the "
+    "whole chain.",
+    tags=("E10", "E11", "llm-pipeline", "corpus", "quality", "dedup"),
+)
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from udacity_data_engineering_spark.operators.charlm import charlm_score
+    from udacity_data_engineering_spark.operators.dedup import dedup_exact
+    from udacity_data_engineering_spark.operators.substrings import (
+        doc_dup_span_counts,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    survivors = dedup_exact(docs, "text", ["doc_id"]).select(
+        "doc_id", "lang", "source", "text"
+    )
+    flags = doc_dup_span_counts(survivors)
+    ce = charlm_score(survivors)
+    thresh = ce.agg(F.expr("percentile(cross_entropy, 0.9)").alias("__t"))
+    return (
+        survivors.join(flags, "doc_id", "left")
+        .filter(F.coalesce(F.col("n_dup_spans"), F.lit(0)) <= 5)
+        .join(ce, "doc_id")
+        .crossJoin(F.broadcast(thresh))
+        .filter(F.col("cross_entropy") <= F.col("__t"))
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.size(F.split("text", " ")).alias("n_tokens"),
+            "cross_entropy",
+        )
+    )
