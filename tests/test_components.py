@@ -144,6 +144,29 @@ def test_components_convergence_sum_is_overflow_proof(spark):
     assert got == {base + i: base for i in range(6)}
 
 
+def test_simhash_survivors_equal_exact_survivors(spark, sf_dir):
+    """SimHash decision path == union-find over the exact all-pairs
+    Hamming<=3 ground truth (pigeonhole recall is exactly 1.0 at the
+    production cap, and every candidate is Hamming-verified, so the
+    group graph's connectivity equals the truth graph's)."""
+    from udacity_data_engineering_spark.operators.neardup import (
+        exact_hamming_pairs,
+        simhash_survivors,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    labels = _min_labels(list(exact_hamming_pairs(docs)))
+    expect = {v for v in all_ids if v not in labels or labels[v] == v}
+    got = {
+        r.doc_id
+        for r in simhash_survivors(
+            docs, "doc_id", "text", 3, 5000, "lang"
+        ).collect()
+    }
+    assert got == expect
+
+
 def test_long_chain_converges_fast_via_pointer_jumping(spark):
     """A 200-vertex path graph has diameter 199 — pure min-label
     propagation needs ~199 rounds and would trip the max_iter=25

@@ -224,6 +224,36 @@ def simhash_banded(sigs: DataFrame) -> DataFrame:
     ).select(*cols, "b.band_id", "b.band_key")
 
 
+def simhash_group_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cap: int = SIMHASH_BUCKET_CAP,
+) -> tuple[DataFrame, DataFrame]:
+    """(groups, gpairs): the signature-group table (lo, hi, ids) and the
+    banded GROUP-level candidate pairs with their exact Hamming
+    distance — the shared core of simhash_candidates (which expands
+    groups to member pairs) and simhash_survivors (which keeps the
+    graph at group granularity + star edges, the clique-proof survivor
+    structure). gpairs are ordered by group min-id (unique per
+    signature group), so pairs come out canonically oriented and the
+    same group pair seen in several bands collapses in ONE distinct —
+    while rows are still per-group."""
+    groups = simhash_groups(docs, id_col, text_col, cap=cap)
+    banded = simhash_banded(groups)
+    gpairs = bucket_pairs_streamed(
+        banded,
+        ["band_id", "band_key"],
+        F.struct("lo", "hi", "ids"),
+        F.element_at(F.col("ids"), 1),
+        cap=cap,
+    ).withColumn(
+        "hamming",
+        hamming_packed(F.col("a.lo"), F.col("a.hi"), F.col("b.lo"), F.col("b.hi")),
+    )
+    return groups, gpairs
+
+
 def simhash_candidates(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -273,7 +303,7 @@ def simhash_candidates(
             "simhash_candidates",
         )
     # over-cap cliques pruned pre-materialization inside simhash_groups
-    groups = simhash_groups(docs, id_col, text_col, cap=cap)
+    groups, gpairs = simhash_group_pairs(docs, id_col, text_col, cap)
     # intra-clique pairs (identical sigs, Hamming 0): double-explode of
     # the member array — streams m^2 pairs without ever materializing a
     # C(m,2) pair array in one row
@@ -287,21 +317,6 @@ def simhash_candidates(
             F.col("y").alias("doc_b"),
             F.lit(0).alias("hamming"),
         )
-    )
-    banded = simhash_banded(groups)
-    # ordered by group min-id (unique per signature group), so pairs come
-    # out canonically oriented and the same group pair seen in several
-    # bands collapses in ONE distinct — before the member expansion,
-    # while rows are still per-group
-    gpairs = bucket_pairs_streamed(
-        banded,
-        ["band_id", "band_key"],
-        F.struct("lo", "hi", "ids"),
-        F.element_at(F.col("ids"), 1),
-        cap=cap,
-    ).withColumn(
-        "hamming",
-        hamming_packed(F.col("a.lo"), F.col("a.hi"), F.col("b.lo"), F.col("b.hi")),
     )
     inter = (
         gpairs.filter((F.col("hamming") >= 1) & (F.col("hamming") <= max_hamming))
@@ -358,6 +373,77 @@ def exact_hamming_pairs(
 )
 def q_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_candidates(table(spark, sf_dir, "documents"))
+
+
+def simhash_survivors(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    cap: int = SIMHASH_BUCKET_CAP,
+    *keep_cols: str,
+) -> DataFrame:
+    """SimHash-based dedup DECISION: connected components over the
+    verified (Hamming <= max_hamming) signature-group graph, min-doc_id
+    survivor per component — the end-to-end tail q_minhash_dedup_
+    survivors has, for the SimHash leg.
+
+    Clique-proof by the same structure as the round-7 MinHash redesign:
+    the component graph stays at GROUP granularity — one vertex per
+    distinct signature (its min member id), verified group pairs as
+    edges — and identical-signature members attach via linear
+    rep—member star edges, never the C(m,2) intra-pair expansion the
+    candidate query emits as OUTPUT. Connectivity equals the expanded
+    graph's, so survivor sets match a union-find over the member-level
+    pairs (test-pinned); NULL-text docs carry no signature and survive
+    unconditionally (similarity semantics need text)."""
+    from udacity_data_engineering_spark.operators.components import (
+        connected_components,
+        min_id_survivors,
+    )
+
+    groups, gpairs = simhash_group_pairs(docs, id_col, text_col, cap)
+    rep_edges = (
+        gpairs.filter(
+            (F.col("hamming") >= 1) & (F.col("hamming") <= max_hamming)
+        )
+        .select(
+            F.element_at(F.col("a.ids"), 1).alias("doc_a"),
+            F.element_at(F.col("b.ids"), 1).alias("doc_b"),
+        )
+        .distinct()
+    )
+    stars = (
+        groups.filter(F.size("ids") >= 2)
+        .select(
+            F.element_at(F.col("ids"), 1).alias("doc_a"),
+            F.explode("ids").alias("doc_b"),
+        )
+        .filter(F.col("doc_a") != F.col("doc_b"))
+    )
+    comp = connected_components(
+        rep_edges.unionAll(stars), "doc_a", "doc_b"
+    )
+    return min_id_survivors(docs, comp, id_col, *keep_cols)
+
+
+@register(
+    "q_simhash_survivors",
+    doc="E11/E12: the SimHash dedup decision — components over the "
+    "verified Hamming<=3 signature-group graph (group-granular vertices "
+    "+ linear rep-member star edges: the clique-proof survivor "
+    "structure), min doc_id per component, unpaired docs survive. "
+    "Hash-function-specific => rows-only; tests assert survivor-set "
+    "equality vs a union-find over the exact all-pairs Hamming<=3 "
+    "ground truth (recall is exactly 1.0 by pigeonhole at the "
+    "production cap).",
+    tags=("E11", "E12", "dedup"),
+)
+def q_simhash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_survivors(
+        table(spark, sf_dir, "documents"), "doc_id", "text", 3,
+        SIMHASH_BUCKET_CAP, "lang", "source",
+    )
 
 
 def _hyperplane_tables(
