@@ -507,8 +507,12 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     "interpolation definition; membership is threshold-ulp-insensitive "
     "because scores are 4-decimal-quantized). The LM trains on the "
     "DEDUPED corpus (duplicate-heavy corpora bias the model toward "
-    "their boilerplate). Hash-proven end-to-end: DuckDB recomputes the "
-    "whole chain.",
+    "their boilerplate). Note the threshold branch references the score "
+    "subtree twice (scalar percentile + the row filter) — Catalyst does "
+    "not reuse arbitrary subtrees, so at 100 TB persist charlm_score's "
+    "output between the two uses; kept lazy here so the registered "
+    "query stays side-effect-free. Hash-proven end-to-end: DuckDB "
+    "recomputes the whole chain.",
     tags=("E10", "E11", "llm-pipeline", "corpus", "quality", "dedup"),
 )
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
