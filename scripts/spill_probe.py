@@ -179,6 +179,15 @@ def main() -> int:
         # k scaled 16 -> 160 with the corpus, the documented SemDeDup
         # discipline (per-cluster GEMM work stays constant)
         run("replica_semantic_dedup", lambda: semantic_dedup(emb_big, k=160).count())
+        # round-7 corpus-linear ops: O(words) span digests and O(chars)
+        # trigram explode must spill-degrade under the same heap
+        from udacity_data_engineering_spark.operators.charlm import charlm_score
+        from udacity_data_engineering_spark.operators.substrings import (
+            duplicate_spans,
+        )
+
+        run("replica_substring_dupes", lambda: duplicate_spans(docs_big).count())
+        run("replica_charlm_score", lambda: charlm_score(docs_big).count())
     else:
         print("NOTE: 10x replica missing; run scripts/scale_probe.py first", flush=True)
 

@@ -80,6 +80,10 @@ PYTHON_PATH_QUERIES = {
     # per-query ADC scan itself is codegen over the cached codes (see
     # test_pq.py::test_pq_adc_scan_has_no_python_eval).
     "q_pq_topk",
+    # kNN join: the partial-top-k scan stage is an Arrow-batched GEMM +
+    # argpartition by design (mergeable top-k; see operators/knn.py) —
+    # the merge window over O(batches x queries x k) rows is JVM-side.
+    "q_knn_join",
     # Python DataSource API demo — a Python-eval plan by construction.
     "q_python_datasource",
     # Arrow-batched media kernels (numpy fancy-index / reshape per batch —
