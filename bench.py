@@ -207,6 +207,7 @@ def main() -> None:
         "q_substring_dupes",
         "q_charlm_score",
         "q_curation_pipeline",
+        "q_knn_join",
         "q_epoch_upsample",
         "q_quality_classifier",
         "q_streaming_dedup_watermark",

@@ -168,6 +168,21 @@ def main() -> None:
 
             return charlm_score(docs).count()
 
+        def knn():
+            # batch top-k for 5 queries: one GEMM scan + tiny merge —
+            # the shape that must stay corpus-linear (never corpus x
+            # queries shuffle)
+            from udacity_data_engineering_spark.operators.knn import knn_join
+
+            qrows = (
+                emb.filter(F.col("vec_id") % 10_000_000 < 5)
+                .limit(5)
+                .select("vec_id", F.col("embedding").cast("array<double>"))
+                .collect()
+            )
+            qs = [(r[0], list(r[1])) for r in qrows]
+            return knn_join(emb, qs).count()
+
         return {
             "incremental_dedup": inc,
             "minhash_survivors": mh,
@@ -177,6 +192,7 @@ def main() -> None:
             "simhash_candidates": sh,
             "substring_dupes": spans,
             "charlm_score": lm,
+            "knn_join": knn,
         }
 
     def stream_ingest(src_dir: str, mfpt: int = 4) -> dict:
