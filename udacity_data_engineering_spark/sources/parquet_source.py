@@ -178,3 +178,27 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "append"
     ).parquet(out)
     return spark.read.option("mergeSchema", "true").parquet(out)
+
+
+def read_parquet_robust(
+    spark: SparkSession, path: str, ignore_corrupt: bool = False
+) -> DataFrame:
+    """Parquet scan with an explicit corrupt-file policy — the
+    operational knob a 100 TB lake needs (truncated multipart uploads,
+    torn object-store writes, a crawler's half-written shard).
+
+    Default is STRICT: a corrupt footer fails the job loudly — silent
+    data loss is never an acceptable default. ``ignore_corrupt=True``
+    opts into skip-and-continue via the per-RELATION datasource option
+    (``spark.read.option("ignoreCorruptFiles", ...)``), which since
+    SPARK-42388 scopes the policy to this one read — NOT the session-wide
+    ``spark.sql.files.ignoreCorruptFiles`` conf, which would silently
+    change the semantics of every other scan in the session (the
+    config-leak failure mode; same reasoning as the per-query options in
+    json_source). Note the skip granularity is the FILE: one bad object
+    drops that whole file's rows, so production jobs pair this with a
+    row-count audit against the manifest."""
+    return (
+        spark.read.option("ignoreCorruptFiles", str(ignore_corrupt).lower())
+        .parquet(path)
+    )
