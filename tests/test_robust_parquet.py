@@ -43,3 +43,46 @@ def test_policy_does_not_leak_to_other_reads(spark, mixed_dir):
     # per-relation, not a session conf mutation
     with pytest.raises(Py4JJavaError):
         spark.read.parquet(mixed_dir).count()
+
+
+def _two_file_lake(spark, tmp_path):
+    import glob
+    import os
+
+    out = str(tmp_path / "lake2")
+    spark.createDataFrame(
+        [(i, f"r{i}") for i in range(10)], "id long, s string"
+    ).repartition(2).write.mode("overwrite").parquet(out)
+    parts = sorted(glob.glob(f"{out}/part-*.parquet"))
+    assert len(parts) == 2
+    return out, parts
+
+
+def test_missing_file_fails_loudly_by_default(spark, tmp_path):
+    import os
+
+    out, parts = _two_file_lake(spark, tmp_path)
+    df = read_parquet_robust(spark, out)  # listing happens here
+    os.remove(parts[0])  # compactor races the reader
+    with pytest.raises(Py4JJavaError):
+        df.count()
+
+
+def test_opt_in_tolerates_deleted_file(spark, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    out, parts = _two_file_lake(spark, tmp_path)
+    df = read_parquet_robust(spark, out, ignore_missing=True)
+    total = df.count()
+    assert total == 10
+    os.remove(parts[0])
+    remaining = read_parquet_robust(
+        spark, out, ignore_missing=True
+    ).count()
+    # re-list sees one file; the in-flight df (stale listing) also
+    # finishes, returning only the surviving file's rows
+    survived = df.count()
+    assert remaining == survived
+    assert 0 < survived < total

@@ -181,7 +181,10 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def read_parquet_robust(
-    spark: SparkSession, path: str, ignore_corrupt: bool = False
+    spark: SparkSession,
+    path: str,
+    ignore_corrupt: bool = False,
+    ignore_missing: bool = False,
 ) -> DataFrame:
     """Parquet scan with an explicit corrupt-file policy — the
     operational knob a 100 TB lake needs (truncated multipart uploads,
@@ -197,8 +200,15 @@ def read_parquet_robust(
     config-leak failure mode; same reasoning as the per-query options in
     json_source). Note the skip granularity is the FILE: one bad object
     drops that whole file's rows, so production jobs pair this with a
-    row-count audit against the manifest."""
+    row-count audit against the manifest.
+
+    ``ignore_missing=True`` additionally tolerates files DELETED between
+    listing and read — the compaction-racing-readers window: a
+    compactor that rewrites-then-removes small files while a long scan
+    is in flight makes the listed path vanish mid-job. Same
+    per-relation scoping, same strict default."""
     return (
         spark.read.option("ignoreCorruptFiles", str(ignore_corrupt).lower())
+        .option("ignoreMissingFiles", str(ignore_missing).lower())
         .parquet(path)
     )
