@@ -86,3 +86,48 @@ def test_opt_in_tolerates_deleted_file(spark, tmp_path):
     survived = df.count()
     assert remaining == survived
     assert 0 < survived < total
+
+
+def test_streaming_ingest_corrupt_file_policy(spark, tmp_path):
+    """The stream source honors the same per-relation corrupt-file
+    policy: strict availableNow run dies on a torn file; the opt-in run
+    completes with exactly the good rows."""
+    import pyspark.sql.functions as F
+
+    from udacity_data_engineering_spark.session import table
+    from udacity_data_engineering_spark.streaming.event_stream import (
+        run_available_now,
+        stream_events,
+    )
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    table(spark, "/root/testdata/sf0.001", "events").limit(50).coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(src / "good"))
+    import glob
+    import shutil
+
+    good = glob.glob(f"{src}/good/part-*.parquet")[0]
+    shutil.move(good, src / "events-good.parquet")
+    shutil.rmtree(src / "good")
+    (src / "events-torn.parquet").write_bytes(b"PAR1" + b"\x00" * 64)
+
+    counts = stream_events(
+        spark, str(src), ignore_corrupt=True
+    ).groupBy().agg(F.count(F.lit(1)).alias("n"))
+    run_available_now(
+        counts, "robust_stream_sink", str(tmp_path / "ckpt_ok")
+    )
+    assert spark.table("robust_stream_sink").collect()[0].n == 50
+
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    strict = stream_events(spark, str(src)).groupBy().agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    with pytest.raises(StreamingQueryException):
+        run_available_now(
+            strict, "robust_stream_sink_strict", str(tmp_path / "ckpt_bad")
+        )

@@ -46,7 +46,11 @@ EVENTS_RAW_SCHEMA_TS = _events_schema(T.TimestampNTZType())
 
 
 def stream_events(
-    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+    ignore_corrupt: bool = False,
+    ignore_missing: bool = False,
 ) -> DataFrame:
     """File-based event stream: each parquet file under ``path`` is a
     micro-batch input. Same ts normalization as the batch loader
@@ -74,6 +78,16 @@ def stream_events(
     reader = spark.readStream
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    # same per-relation corrupt/missing-file policy as the batch side
+    # (sources.parquet_source.read_parquet_robust): STRICT by default —
+    # a torn upload or a file deleted after listing kills the query
+    # loudly; long-running ingest jobs that must outlive object-store
+    # hiccups opt in, and the option scopes to THIS source, never the
+    # session
+    if ignore_corrupt:
+        reader = reader.option("ignoreCorruptFiles", "true")
+    if ignore_missing:
+        reader = reader.option("ignoreMissingFiles", "true")
     # watermarks require TIMESTAMP (not NTZ); session tz is pinned UTC so
     # the wall-clock values match the batch loader's NTZ — outputs cast
     # back to NTZ below for exact batch parity
