@@ -149,3 +149,52 @@ def test_hash_cuts_compose_independently(spark, sf_dir):
     ).count()
     expected = 0.30 * 0.40
     assert abs(joint / n - expected) < 0.05, (joint / n, expected)
+
+
+def test_token_budget_sample_contract(spark):
+    """Greedy-prefix contract vs a plain-Python recompute: per group,
+    keep exactly the docs whose cumulative tokens BEFORE them (in
+    Knuth-hash, doc_id order) are under budget — overshoot <= 1 doc,
+    zero budget selects nothing, and the result is partitioning-
+    invariant."""
+    from udacity_data_engineering_spark.operators.sampling import (
+        KNUTH,
+        token_budget_sample,
+    )
+
+    rows = []
+    did = 0
+    for src, lens in (("a", [5, 3, 8, 2]), ("b", [10, 1]), ("c", [4])):
+        for L in lens:
+            rows.append((did, src, " ".join(["w"] * L)))
+            did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    budgets = spark.createDataFrame(
+        [("a", 9.0), ("b", 100.0), ("c", 0.0)], "source string, budget double"
+    )
+
+    def h(k):
+        return ((k % 2147483648) * KNUTH) % 4294967296
+
+    want = set()
+    for src in ("a", "b", "c"):
+        grp = sorted(
+            ((h(d), d, len(t.split())) for d, s, t in rows if s == src)
+        )
+        budget = {"a": 9.0, "b": 100.0, "c": 0.0}[src]
+        cum = 0
+        for _, d, n in grp:
+            if cum < budget:
+                want.add(d)
+            cum += n
+
+    for reparted in (docs, docs.repartition(7)):
+        got = {
+            r.doc_id
+            for r in token_budget_sample(reparted, budgets).collect()
+        }
+        assert got == want
+    assert not any(
+        r.source == "c"
+        for r in token_budget_sample(docs, budgets).collect()
+    )

@@ -260,3 +260,96 @@ def epoch_upsample(
 )
 def q_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return epoch_upsample(table(spark, sf_dir, "documents"), "lang", EPOCH_WEIGHTS)
+
+
+def knuth_hash(key: Column) -> Column:
+    """Full 32-bit deterministic Knuth hash (the un-bucketed form of
+    hash_pct) — the shuffle-free ordering key for deterministic
+    greedy selections. Same overflow-safe fold, engine-portable."""
+    return (F.pmod(key, F.lit(2147483648)) * F.lit(KNUTH)) % F.lit(4294967296)
+
+
+def token_budget_sample(
+    docs: DataFrame,
+    budgets: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-budget corpus mixing: per group, keep a deterministic
+    greedy PREFIX of documents (Knuth-hash order — stable across runs,
+    engines and partitionings) until the group's token budget is
+    reached — how production mixtures are actually specified ("w_s of
+    the training budget from source s"), where doc-count sampling
+    (stratified_by / temperature_rates) misspends budget on sources
+    with long documents.
+
+    ``budgets`` is a (group_col, budget) frame — model-sized (one row
+    per source), broadcast by the optimizer. A doc is kept iff the
+    cumulative token count BEFORE it is under budget, so each group
+    overshoots by at most one document (the standard greedy-prefix
+    contract; exact token-level truncation is chunking's job —
+    packing.py). Scale shape: one window shuffle keyed on the group,
+    running-sum frame (WindowExec streams + spills), then the
+    broadcast-joined filter; the only wide column (text) is dropped at
+    the first projection."""
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("__h", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scored = docs.select(
+        id_col,
+        group_col,
+        F.size(F.split(F.col(text_col), " ")).alias("n_tokens"),
+        knuth_hash(F.col(id_col)).alias("__h"),
+    )
+    cum = scored.withColumn(
+        "__cum_before", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    return (
+        cum.join(F.broadcast(budgets), group_col)
+        .filter(F.col("__cum_before") < F.col("budget"))
+        .select(id_col, group_col, "n_tokens")
+    )
+
+
+@register(
+    "q_token_budget_mix",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id, source,
+                   CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+                   ((doc_id % 2147483648) * 2654435761) % 4294967296 AS h
+            FROM documents
+        ), tot AS (
+            SELECT sum(n_tokens) / 40.0 AS budget FROM d
+        ), c AS (
+            SELECT doc_id, source, n_tokens,
+                   sum(n_tokens) OVER (PARTITION BY source
+                                       ORDER BY h, doc_id
+                                       ROWS UNBOUNDED PRECEDING)
+                       - n_tokens AS cum_before
+            FROM d
+        )
+        SELECT doc_id, source, n_tokens
+        FROM c, tot WHERE cum_before < budget
+    """,
+    doc="Token-budget corpus mixing: uniform per-source budgets of "
+    "total_tokens/40 (i.e. a 50% global token budget split over the 20 "
+    "sources), each source contributing a deterministic greedy "
+    "Knuth-hash-ordered prefix (overshoot <= 1 doc per source). "
+    "Hash-proven: DuckDB recomputes the identical hash order, running "
+    "sum and budget; the long-vs-double budget comparison is exact on "
+    "both engines (token sums are far below 2^53).",
+    tags=("E10", "llm-pipeline", "sampling"),
+)
+def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    total = docs.agg(
+        (F.sum(F.size(F.split(F.col("text"), " "))) / 40.0).alias("budget")
+    )
+    budgets = docs.select("source").distinct().crossJoin(F.broadcast(total))
+    return token_budget_sample(docs, budgets)
