@@ -103,3 +103,37 @@ def test_greedy_tighter_or_equal_to_offset_cuts(docs):
     toks = pack_by_offset(docs, budget=BUDGET).groupBy().agg(F.sum("n_tokens")).head()[0]
     lower = -(-int(toks) // BUDGET)  # ceil: fewer bins than this is impossible
     assert greedy_bins >= lower
+
+
+def test_length_bucket_batches_invariants(spark):
+    """Padding-waste bound (< width per doc), batch-size cap, full
+    coverage (padded - wasted == corpus tokens), and partitioning
+    invariance of the deterministic assignment."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from udacity_data_engineering_spark.operators.packing import (
+        length_bucket_batches,
+    )
+
+    rng = random.Random(3)
+    rows = [
+        (i, " ".join(["w"] * rng.randint(1, 60))) for i in range(200)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    width, bsz = 8, 16
+    out = length_bucket_batches(docs, width=width, batch_size=bsz).collect()
+    total_tokens = sum(len(t.split()) for _, t in rows)
+    assert sum(r.n_docs for r in out) == 200
+    assert sum(r.padded_tokens - r.wasted_tokens for r in out) == total_tokens
+    for r in out:
+        assert 1 <= r.n_docs <= bsz
+        assert r.wasted_tokens <= (width - 1) * r.n_docs
+        assert r.max_tokens // width == r.bucket_id
+    again = length_bucket_batches(
+        docs.repartition(9), width=width, batch_size=bsz
+    ).collect()
+    key = lambda r: (r.bucket_id, r.batch_id)
+    assert sorted(map(lambda r: r.asDict(), again), key=lambda d: (d["bucket_id"], d["batch_id"])) == \
+           sorted(map(lambda r: r.asDict(), out), key=lambda d: (d["bucket_id"], d["batch_id"]))

@@ -202,3 +202,98 @@ def q_pack_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_greedy(table(spark, sf_dir, "documents"))
+
+
+def length_bucket_batches(
+    docs: DataFrame,
+    width: int = 8,
+    batch_size: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Length-bucketed batching — the padding-waste reducer for padded
+    (non-packed) training/inference batches: rectangular batches pad
+    every sequence to the batch max, so batching similar lengths
+    together is what keeps wasted compute down.
+
+    Buckets are fixed token-width VALUE ranges (bucket_id = n_tokens
+    DIV width) — scan-side arithmetic, shuffle-free and
+    corpus-size-independent, unlike ntile over a global sort (a
+    single-partition sort at scale). Within each bucket, docs are
+    assigned to ``batch_size``-doc batches in deterministic Knuth-hash
+    order (one window per bucket — parallel across buckets). Output is
+    one row per batch with its padding accounting:
+    (bucket_id, batch_id, n_docs, max_tokens, padded_tokens = max ×
+    count, wasted_tokens = padded - real). The tail batch of each
+    bucket may be short; waste within a batch is bounded by
+    (width - 1) × batch_size tokens by construction."""
+    from udacity_data_engineering_spark.operators.sampling import knuth_hash
+
+    n = F.size(F.split(F.col(text_col), " "))
+    scored = docs.select(
+        F.col(id_col).alias("doc_id"),
+        n.alias("n_tokens"),
+        knuth_hash(F.col(id_col)).alias("__h"),
+    ).withColumn("bucket_id", F.expr(f"n_tokens DIV {int(width)}"))
+    batched = scored.withColumn(
+        "batch_id",
+        F.expr(f"(row_number() OVER (PARTITION BY bucket_id "
+               f"ORDER BY __h, doc_id) - 1) DIV {int(batch_size)}"),
+    )
+    return (
+        batched.groupBy("bucket_id", "batch_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.sum("n_tokens").cast("bigint").alias("real_tokens"),
+        )
+        .select(
+            "bucket_id",
+            "batch_id",
+            "n_docs",
+            "max_tokens",
+            (F.col("max_tokens") * F.col("n_docs")).cast("bigint").alias(
+                "padded_tokens"
+            ),
+            (F.col("max_tokens") * F.col("n_docs") - F.col("real_tokens"))
+            .cast("bigint")
+            .alias("wasted_tokens"),
+        )
+    )
+
+
+@register(
+    "q_length_bucket_batches",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+                   ((doc_id % 2147483648) * 2654435761) % 4294967296 AS h
+            FROM documents
+        ), b AS (
+            SELECT doc_id, n_tokens, n_tokens // 8 AS bucket_id, h FROM d
+        ), a AS (
+            SELECT bucket_id, n_tokens,
+                   CAST((row_number() OVER (PARTITION BY bucket_id
+                                            ORDER BY h, doc_id) - 1) // 16
+                        AS BIGINT) AS batch_id
+            FROM b
+        )
+        SELECT bucket_id, batch_id,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               max(n_tokens) AS max_tokens,
+               CAST(max(n_tokens) * count(*) AS BIGINT) AS padded_tokens,
+               CAST(max(n_tokens) * count(*) - sum(n_tokens) AS BIGINT)
+                   AS wasted_tokens
+        FROM a GROUP BY bucket_id, batch_id
+    """,
+    doc="Length-bucketed batching with padding accounting: fixed "
+    "8-token value-range buckets (scan-side, shuffle-free — never an "
+    "ntile global sort), deterministic Knuth-hash-ordered 16-doc "
+    "batches per bucket, one output row per batch with "
+    "padded/wasted-token counts (waste <= 7 tokens/doc by "
+    "construction). Hash-proven vs the identical DuckDB recomputation.",
+    tags=("E10", "llm-pipeline"),
+)
+def q_length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return length_bucket_batches(table(spark, sf_dir, "documents"))
