@@ -136,3 +136,62 @@ def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.catalog.dropTempView(sink)
     shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+@register(
+    "q_streaming_session",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+            SELECT user_id, ts,
+                   sum(new_sess) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+            FROM flagged
+        )
+        SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+        FROM sess GROUP BY user_id, sid
+    """,
+    doc="E14: the SESSION-window aggregate executed AS A STREAM (file "
+    "source -> watermark -> merging session_window state -> availableNow "
+    "-> memory sink, complete mode) and hash-proven against the same "
+    "gaps-and-islands DuckDB oracle as its batch twin q_session_window — "
+    "the merging-interval stateful operator, not just fixed windows, "
+    "carries stream/batch parity as a driver-checked fact (round 7; "
+    "multi-batch eviction for session state is observed in "
+    "tests/test_streaming.py::test_watermark_finalizes_and_evicts_"
+    "session_state).",
+    tags=("E14", "E13", "streaming"),
+)
+def q_streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from udacity_data_engineering_spark.streaming.event_stream import (
+        sessionized_counts,
+    )
+
+    run_id = uuid.uuid4().hex[:12]
+    tmp = tempfile.mkdtemp(prefix=f"stream_sess_{run_id}_")
+    feed_dir = os.path.join(tmp, "feed")
+    table(spark, sf_dir, "events").coalesce(4).write.mode("overwrite").parquet(
+        feed_dir
+    )
+    sink = f"stream_sess_sink_{run_id}"
+    run_available_now(
+        sessionized_counts(stream_events(spark, feed_dir)),
+        sink,
+        os.path.join(tmp, "ckpt"),
+        output_mode="complete",
+    )
+    out = (
+        spark.table(sink)
+        .select("user_id", "session_start", "n_events")
+        .localCheckpoint(eager=True)
+    )
+    spark.catalog.dropTempView(sink)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
