@@ -34,6 +34,34 @@ def test_short_docs_are_excluded(spark):
     assert rows[0].n_trigrams == 2
 
 
+def test_by_lang_scores_against_own_language_model(spark):
+    """Per-language models are independent: the SAME text ('xxxx')
+    scores differently under en (where 'xxx' is a minority trigram of a
+    model dominated by 'aaa') than under de (where it IS the whole
+    model) — exact add-one arithmetic checked per language. A single
+    global model would give both copies one blended score."""
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "aaaaaa"),   # en model: 'aaa' c=4, 'xxx' c=2 (doc 3)
+            (2, "de", "xxxx"),     # de model: 'xxx' c=4 (docs 2+4)
+            (3, "en", "xxxx"),
+            (4, "de", "xxxx"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    got = {
+        r.doc_id: (r.lang, r.cross_entropy)
+        for r in charlm_score(docs, by="lang").collect()
+    }
+    # en: N=6, V=2 -> ln(8) - ln(c+1)
+    assert got[1] == ("en", round(math.log(8) - math.log(5), 4))
+    assert got[3] == ("en", round(math.log(8) - math.log(3), 4))
+    # de: N=4, V=1 -> ln(5) - ln(5) = 0 exactly
+    assert got[2] == ("de", 0.0)
+    assert got[4] == got[2]  # same text+lang -> same score
+    assert got[3][1] != got[4][1]  # same text, different model -> differs
+
+
 def test_self_scoring_ranks_typical_below_atypical(spark):
     """Self-perplexity ordering: a doc made of the corpus's dominant
     trigrams must score strictly lower cross-entropy than a one-off

@@ -40,26 +40,37 @@ from udacity_data_engineering_spark.session import table
 
 
 def char_trigrams(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(doc_id, t): every overlapping character trigram of every doc.
-    Docs shorter than 3 characters contribute nothing. JVM-side:
-    Column.substr over a sequence, one explode."""
+    """(doc_id, *keep_cols, t): every overlapping character trigram of
+    every doc. Docs shorter than 3 characters contribute nothing.
+    JVM-side: Column.substr over a sequence, one explode."""
     base = spread(docs).filter(F.length(F.col(text_col)) >= 3)
     tri = F.transform(
         F.sequence(F.lit(1), F.length(F.col(text_col)) - 2),
         lambda i: F.col(text_col).substr(i, F.lit(3)),
     )
-    return base.select(F.col(id_col).alias("doc_id"), F.explode(tri).alias("t"))
-
-
-def trigram_model(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(t, c): trigram counts over the reference corpus — the 'language
-    model'. One partial-aggregating groupBy; the result is model state
-    (persist/broadcast it when scoring many batches)."""
-    return char_trigrams(docs, text_col=text_col).groupBy("t").agg(
-        F.count(F.lit(1)).alias("c")
+    return base.select(
+        F.col(id_col).alias("doc_id"), *keep_cols, F.explode(tri).alias("t")
     )
+
+
+def trigram_model(
+    docs: DataFrame, text_col: str = "text", by: str | None = None
+) -> DataFrame:
+    """(t, c) — or (by, t, c) — trigram counts over the reference
+    corpus: the 'language model'. One partial-aggregating groupBy; the
+    result is model state (persist/broadcast it when scoring many
+    batches). ``by`` trains one independent model per value of that
+    column (the CCNet per-language setting) at the cost of ONE extra
+    group key — no extra shuffle, no per-model job."""
+    keys = ([by] if by else []) + ["t"]
+    return char_trigrams(
+        docs, text_col=text_col, keep_cols=(by,) if by else ()
+    ).groupBy(*keys).agg(F.count(F.lit(1)).alias("c"))
 
 
 def charlm_score(
@@ -67,38 +78,50 @@ def charlm_score(
     model_docs: DataFrame | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    by: str | None = None,
 ) -> DataFrame:
-    """(doc_id, n_trigrams, cross_entropy): add-one-smoothed negative
-    mean trigram log-likelihood per document, against a model trained on
-    ``model_docs`` (default: the scored corpus itself —
+    """(doc_id, [by,] n_trigrams, cross_entropy): add-one-smoothed
+    negative mean trigram log-likelihood per document, against a model
+    trained on ``model_docs`` (default: the scored corpus itself —
     self-perplexity, the single-corpus curation setting). Lower = more
     typical of the reference distribution; a pipeline drops the high
     tail. cross_entropy is rounded to 4 decimals (the serialization
     contract shared with the DuckDB oracle; exp(cross_entropy) is the
-    perplexity if you want the conventional units)."""
+    perplexity if you want the conventional units).
+
+    ``by`` (e.g. "lang") scores each document against ITS OWN group's
+    model — per-language perplexity cutoffs, the CCNet production
+    setting (a Russian doc must not be judged against an English
+    model). Costs one extra key in the model groupBy and the scoring
+    join; the totals row becomes a group-cardinality frame (still
+    broadcast-sized)."""
     model = trigram_model(
-        model_docs if model_docs is not None else docs, text_col=text_col
+        model_docs if model_docs is not None else docs, text_col=text_col, by=by
     )
-    totals = model.agg(
+    tkeys = [by] if by else []
+    totals = model.groupBy(*tkeys).agg(
         F.sum("c").alias("__n_total"), F.count(F.lit(1)).alias("__v")
     )
-    tri = char_trigrams(docs, id_col, text_col)
-    scored = (
-        tri.join(model, "t", "left")
-        .crossJoin(F.broadcast(totals))
-        .select(
-            "doc_id",
-            "__n_total",
-            "__v",
-            F.log(F.coalesce(F.col("c"), F.lit(0)) + 1).alias("__lp"),
-        )
+    tri = char_trigrams(docs, id_col, text_col, keep_cols=(by,) if by else ())
+    joined = tri.join(model, ([by] if by else []) + ["t"], "left")
+    joined = (
+        joined.join(F.broadcast(totals), by)
+        if by
+        else joined.crossJoin(F.broadcast(totals))
     )
-    return scored.groupBy("doc_id", "__n_total", "__v").agg(
+    scored = joined.select(
+        "doc_id",
+        *tkeys,
+        "__n_total",
+        "__v",
+        F.log(F.coalesce(F.col("c"), F.lit(0)) + 1).alias("__lp"),
+    )
+    return scored.groupBy("doc_id", *tkeys, "__n_total", "__v").agg(
         F.count(F.lit(1)).alias("n_trigrams"),
         F.round(
             F.log(F.col("__n_total") + F.col("__v")) - F.avg("__lp"), 4
         ).alias("cross_entropy"),
-    ).select("doc_id", "n_trigrams", "cross_entropy")
+    ).select("doc_id", *tkeys, "n_trigrams", "cross_entropy")
 
 
 @register(
@@ -131,3 +154,35 @@ def charlm_score(
 )
 def q_charlm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return charlm_score(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_charlm_by_lang",
+    oracle="""
+        WITH tri AS (
+            SELECT doc_id, lang, substr(text, CAST(i AS BIGINT), 3) AS t
+            FROM documents,
+                 LATERAL (SELECT unnest(
+                     range(1, greatest(len(text) - 2, 0) + 1)) AS i)
+            WHERE len(text) >= 3
+        ), model AS (
+            SELECT lang, t, count(*) AS c FROM tri GROUP BY lang, t
+        ), tot AS (
+            SELECT lang, sum(c) AS n_total, count(*) AS v
+            FROM model GROUP BY lang
+        )
+        SELECT tri.doc_id, tri.lang, CAST(count(*) AS BIGINT) AS n_trigrams,
+               round(ln(n_total + v) - avg(ln(c + 1)), 4) AS cross_entropy
+        FROM tri JOIN model USING (lang, t) JOIN tot USING (lang)
+        GROUP BY tri.doc_id, tri.lang, n_total, v
+    """,
+    doc="Per-language perplexity scoring (the CCNet production setting): "
+    "one independent char-trigram model per lang value — a single extra "
+    "group key in the model aggregate, never a per-model job — each doc "
+    "scored against its own language's model. The totals row becomes a "
+    "language-cardinality broadcast frame. Hash-proven: DuckDB "
+    "recomputes the identical per-language counts and formula.",
+    tags=("E10", "llm-pipeline", "quality"),
+)
+def q_charlm_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return charlm_score(table(spark, sf_dir, "documents"), by="lang")
