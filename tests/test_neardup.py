@@ -41,6 +41,64 @@ def test_simhash_near_identical_docs_detected(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+def _components(edges: set[tuple[int, int]], nodes: set[int]) -> dict[int, int]:
+    """Reference union-find — min label per component."""
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in nodes}
+
+
+def test_group_graph_connectivity_equals_expanded_pairs(spark):
+    """expand_pairs=False emits star edges + rep pairs instead of every
+    member pair; a union-find over either graph must produce identical
+    components — the contract that lets decision consumers switch to
+    the linear emission."""
+    base = ("w%d " * 60) % tuple(range(60))
+    rows = (
+        [(i, base.strip()) for i in range(1, 6)]            # 5-clique
+        + [(10, (base + "extra").strip())]                   # near-dup of clique
+        + [(20, " ".join(f"z{i}" for i in range(60)))]       # unrelated
+        + [(21, " ".join(f"z{i}" for i in range(60)))]       # 2-clique
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    expanded = {
+        (p.doc_a, p.doc_b) for p in simhash_candidates(df).collect()
+    }
+    grouped = {
+        (p.doc_a, p.doc_b)
+        for p in simhash_candidates(df, expand_pairs=False).collect()
+    }
+    nodes = {r[0] for r in rows}
+    assert _components(expanded, nodes) == _components(grouped, nodes)
+    # and the group emission is strictly smaller on the clique
+    assert len(grouped) < len(expanded)
+
+
+def test_group_graph_emission_is_linear_in_clique_size(spark):
+    """m identical docs: expanded emission is C(m,2) pairs, the group
+    graph is exactly m-1 star edges (rep = min id, hamming 0)."""
+    m = 12
+    df = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon") for i in range(1, m + 1)],
+        "doc_id long, text string",
+    )
+    assert simhash_candidates(df).count() == m * (m - 1) // 2
+    graph = simhash_candidates(df, expand_pairs=False).collect()
+    assert len(graph) == m - 1
+    assert all(p.doc_a == 1 and p.hamming == 0 for p in graph)
+    assert sorted(p.doc_b for p in graph) == list(range(2, m + 1))
+
+
 def test_hamming_column(spark):
     df = spark.createDataFrame(
         [([1, 0, 1, 0], [1, 1, 0, 0])], "a array<int>, b array<int>"

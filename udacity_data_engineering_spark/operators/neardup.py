@@ -254,6 +254,53 @@ def simhash_group_pairs(
     return groups, gpairs
 
 
+def simhash_group_graph(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    cap: int = SIMHASH_BUCKET_CAP,
+) -> DataFrame:
+    """The GROUP-GRANULAR near-dup graph: (doc_a, doc_b, hamming) rows
+    where identical-signature cliques appear as m-1 linear rep→member
+    star edges (hamming 0, rep = min member id) instead of C(m,2)
+    expanded pairs, and cross-group links appear once per REP pair
+    (verified Hamming 1..max_hamming) instead of |A|×|B| member pairs.
+
+    Connectivity is identical to the expanded candidate graph (two
+    clique members meet through their rep; two cliques meet through
+    their reps), so any component/union-find consumer — dedup
+    survivors, cluster audits — gets the same answer from
+    asymptotically fewer rows: output is O(groups + rep_pairs), not
+    O(Σ m² ). This is the emission the 100× probe wants for the one
+    output-bound row simhash_candidates had left (18.5× for 100× rows
+    — all of it C(m,2) intra-clique pair VOLUME, SCALE.md): callers
+    that need the decision, not the pair list, should consume this
+    surface (or pass expand_pairs=False to simhash_candidates)."""
+    groups, gpairs = simhash_group_pairs(docs, id_col, text_col, cap)
+    stars = (
+        groups.filter(F.size("ids") >= 2)
+        .select(
+            F.element_at(F.col("ids"), 1).alias("doc_a"),
+            F.explode("ids").alias("doc_b"),
+        )
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .withColumn("hamming", F.lit(0))
+    )
+    rep_edges = (
+        gpairs.filter(
+            (F.col("hamming") >= 1) & (F.col("hamming") <= max_hamming)
+        )
+        .select(
+            F.element_at(F.col("a.ids"), 1).alias("doc_a"),
+            F.element_at(F.col("b.ids"), 1).alias("doc_b"),
+            "hamming",
+        )
+        .distinct()
+    )
+    return stars.unionAll(rep_edges)
+
+
 def simhash_candidates(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -262,6 +309,7 @@ def simhash_candidates(
     max_hamming: int = 3,
     cap: int = SIMHASH_BUCKET_CAP,
     fail_on_drops: bool = False,
+    expand_pairs: bool = True,
 ) -> DataFrame:
     """SimHash near-dup pairs: band the 64 signature bits into ``bands``
     chunks — any pair within Hamming distance (bands-1) shares at least
@@ -290,7 +338,15 @@ def simhash_candidates(
 
     ``fail_on_drops=True`` raises (one extra eager audit job) if ANY of
     the three capped frontiers dropped work — over-cap cliques, their
-    cross-band exposure, or over-cap band buckets."""
+    cross-band exposure, or over-cap band buckets.
+
+    ``expand_pairs=False`` returns the group-granular graph instead
+    (simhash_group_graph): rep→member star edges + verified rep pairs —
+    same connectivity, O(groups + rep_pairs) rows instead of O(Σ m²).
+    Use it whenever the consumer is a component/decision step rather
+    than a materialized pair list; on a duplicate-heavy corpus the
+    expanded emission's OUTPUT volume is the dominant cost (the 100×
+    probe's 18.5× row)."""
     if bands != 4:
         raise ValueError("packed simhash banding is fixed at 4 x 16 bits")
     if fail_on_drops:
@@ -302,6 +358,8 @@ def simhash_candidates(
             simhash_candidate_stats(docs, id_col, text_col, bands, cap),
             "simhash_candidates",
         )
+    if not expand_pairs:
+        return simhash_group_graph(docs, id_col, text_col, max_hamming, cap)
     # over-cap cliques pruned pre-materialization inside simhash_groups
     groups, gpairs = simhash_group_pairs(docs, id_col, text_col, cap)
     # intra-clique pairs (identical sigs, Hamming 0): double-explode of
@@ -402,27 +460,9 @@ def simhash_survivors(
         min_id_survivors,
     )
 
-    groups, gpairs = simhash_group_pairs(docs, id_col, text_col, cap)
-    rep_edges = (
-        gpairs.filter(
-            (F.col("hamming") >= 1) & (F.col("hamming") <= max_hamming)
-        )
-        .select(
-            F.element_at(F.col("a.ids"), 1).alias("doc_a"),
-            F.element_at(F.col("b.ids"), 1).alias("doc_b"),
-        )
-        .distinct()
-    )
-    stars = (
-        groups.filter(F.size("ids") >= 2)
-        .select(
-            F.element_at(F.col("ids"), 1).alias("doc_a"),
-            F.explode("ids").alias("doc_b"),
-        )
-        .filter(F.col("doc_a") != F.col("doc_b"))
-    )
+    graph = simhash_group_graph(docs, id_col, text_col, max_hamming, cap)
     comp = connected_components(
-        rep_edges.unionAll(stars), "doc_a", "doc_b"
+        graph.select("doc_a", "doc_b"), "doc_a", "doc_b"
     )
     return min_id_survivors(docs, comp, id_col, *keep_cols)
 
