@@ -213,6 +213,20 @@ def main() -> None:
         "q_streaming_dedup_watermark",
         "q_neardup_ensemble",
         "q_ensemble_survivors",
+        # round-7 stragglers (VERDICT r7 item 5) + round-8 additions
+        "q_token_budget_mix",
+        "q_length_bucket_batches",
+        "q_dedup_best_survivors",
+        "q_streaming_session",
+        "q_simhash_survivors",
+        "q_multimodal_frame_dedup",
+        "q_multimodal_shared_frames",
+        "q_substring_dupes_winnowed",
+        "q_bpe_token_counts",
+        "q_token_budget_mix_bpe",
+        "q_incremental_neardup",
+        "q_incremental_neardup_simhash",
+        "q_charlm_by_lang",
     ):
         best = float("inf")
         for _ in range(REPS):  # best-of-3, matching BASELINE.md methodology

@@ -1,0 +1,468 @@
+"""Subword (BPE) tokenization — real token units for the budget /
+packing / chunking family (charter extension; the reference repo,
+etl.py:1-208, has no text stage at all).
+
+Everything token-budget-shaped in this engine (token_budget_sample,
+length_bucket_batches, pack_by_offset) measured whitespace tokens —
+fine for the synthetic space-separated corpus, but real training
+budgets are SUBWORD tokens, and whitespace counts misestimate them by
+2-4x on non-English or code-heavy text. This module implements
+byte-pair encoding (Sennrich, Haddow & Birch, ACL 2016 — the public
+algorithm every production tokenizer descends from) Spark-first:
+
+- **Training is bounded driver-side model state** (the PQ-codebook
+  posture, pq.py:69): ONE distributed word-count aggregate over a
+  deterministic hash sample of the corpus, a distributed top-K
+  (orderBy + limit — never a full collect), then the classic merge
+  loop in pure Python over at most ``max_words`` (word, count) rows.
+  The model is the ordered merges list — a few KB, independent of
+  corpus size.
+- **Application is an Arrow-batched mapInPandas kernel** (never a
+  row-at-a-time UDF): the merge-ranks dict travels once per executor
+  via a Spark broadcast, and a per-task word→tokens cache makes the
+  amortized cost per word O(1) on natural text (word frequency is
+  Zipfian; the cache hit rate IS the Zipf mass). No shuffle — token
+  counting is map-only, O(corpus chars).
+
+Determinism contract (what makes the counts reproducible on any
+cluster layout, like the Knuth-hash sampling family): the training
+sample is hash-chosen (sampling.deterministic_sample), the top-K order
+is total ((count desc, word asc)), and merge ties break on the
+lexicographically smallest pair — so the same corpus always yields the
+same merges, hence the same token counts, on any engine/partitioning.
+
+Exactness is pinned in tests/test_bpe.py against an independent
+pure-Python reference encoder (token-sequence equality, not just
+counts); the budget query built on these counts (q_token_budget_mix_bpe,
+sampling.py) is hash-proven via a precomputed-counts oracle path.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from udacity_data_engineering_spark.plans.registry import register
+from udacity_data_engineering_spark.session import table
+
+#: End-of-word marker appended to every word before merging — makes
+#: word-final subwords distinct from word-internal ones ("est</w>" vs
+#: "est"), the Sennrich formulation.
+EOW = "</w>"
+
+#: Committed tokenizer fixture (scripts/train_bpe_fixture.py — trained
+#: once on sf0.001 documents, version-controlled: the production
+#: posture where every pipeline stage applies the same pinned merges).
+#: word_tokens.csv beside it is the DuckDB oracle's per-word lookup.
+BPE_DIR = str(Path(__file__).resolve().parent.parent.parent / "fixtures" / "bpe")
+
+#: Merge count for the committed fixture. Chosen so subword structure
+#: SURVIVES on the closed 31-word test vocabulary: ~160 merges would
+#: fully fuse every word into a single token (a degenerate model);
+#: 40 leaves frequent words at 1-2 subwords and rare ones at 3+ — the
+#: shape a real tokenizer produces on natural text.
+FIXTURE_NUM_MERGES = 40
+
+
+def load_merges(path: str | None = None) -> list[tuple[str, str]]:
+    """Load an ordered merges list from a merges.txt ('a b' per line —
+    the standard published format)."""
+    p = Path(path) if path else Path(BPE_DIR) / "merges.txt"
+    merges: list[tuple[str, str]] = []
+    for line in p.read_text(encoding="utf-8").splitlines():
+        if line:
+            a, b = line.split(" ", 1)
+            merges.append((a, b))
+    return merges
+
+
+def train_bpe(
+    word_counts: list[tuple[str, int]], num_merges: int = 200
+) -> list[tuple[str, str]]:
+    """Classic BPE merge training over a (word, count) vocabulary —
+    pure Python, deterministic. Returns the ordered merges list (the
+    model). Ties on pair frequency break on the lexicographically
+    smallest pair, so the output is a pure function of the input
+    multiset (dict/iteration order can never leak in). Stops early when
+    no pair occurs twice (merging singletons is pure vocab bloat).
+
+    O(num_merges × Σ len(word)) on a bounded vocabulary — milliseconds
+    for the max_words=5000 / 200-merge defaults."""
+    vocab: dict[tuple[str, ...], int] = {}
+    for w, c in word_counts:
+        if w:
+            key = tuple(w) + (EOW,)
+            vocab[key] = vocab.get(key, 0) + int(c)
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for sym, c in vocab.items():
+            for i in range(len(sym) - 1):
+                p = (sym[i], sym[i + 1])
+                pairs[p] = pairs.get(p, 0) + c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < 2:
+            break
+        a, b = best[0]
+        merged = a + b
+        out: dict[tuple[str, ...], int] = {}
+        for sym, c in vocab.items():
+            res: list[str] = []
+            i = 0
+            while i < len(sym):
+                if i < len(sym) - 1 and sym[i] == a and sym[i + 1] == b:
+                    res.append(merged)
+                    i += 2
+                else:
+                    res.append(sym[i])
+                    i += 1
+            key = tuple(res)
+            out[key] = out.get(key, 0) + c
+        vocab = out
+        merges.append((a, b))
+    return merges
+
+
+def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Encode ONE word with a trained merges table: repeatedly apply
+    the lowest-rank applicable merge to all its occurrences (the
+    standard greedy BPE application — identical to how the trainer
+    segmented the training vocabulary, which is what makes train-time
+    and apply-time segmentations agree)."""
+    sym = list(word) + [EOW]
+    while len(sym) > 1:
+        best_rank, a, b = None, None, None
+        for i in range(len(sym) - 1):
+            r = ranks.get((sym[i], sym[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, a, b = r, sym[i], sym[i + 1]
+        if best_rank is None:
+            break
+        out: list[str] = []
+        i = 0
+        while i < len(sym):
+            if i < len(sym) - 1 and sym[i] == a and sym[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(sym[i])
+                i += 1
+        sym = out
+    return sym
+
+
+def corpus_word_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sample_pct: int | None = None,
+    max_words: int = 5000,
+) -> list[tuple[str, int]]:
+    """Bounded (word, count) vocabulary for BPE training: one
+    distributed explode+groupBy word count (partial aggregation
+    map-side), distributed top-``max_words`` under the TOTAL order
+    (count desc, word asc), collected to the driver. This is the only
+    driver-side materialization in the BPE path and it is
+    model-sized by construction — max_words rows regardless of corpus
+    size. ``sample_pct`` trains on a deterministic Knuth-hash sample
+    of documents (the 100 TB posture: the merges table stabilizes long
+    before the full corpus is counted)."""
+    from udacity_data_engineering_spark.operators.sampling import (
+        deterministic_sample,
+    )
+
+    d = docs if sample_pct is None else deterministic_sample(docs, id_col, sample_pct)
+    wc = (
+        d.filter(F.col(text_col).isNotNull())
+        .select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rows = wc.orderBy(F.col("n").desc(), F.col("w")).limit(max_words).collect()
+    return [(r.w, int(r.n)) for r in rows]
+
+
+def train_bpe_merges(
+    docs: DataFrame,
+    num_merges: int = 200,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sample_pct: int | None = None,
+    max_words: int = 5000,
+) -> list[tuple[str, str]]:
+    """Train a BPE merges table on (a deterministic sample of) a
+    corpus — the composition real pipelines run once per corpus and
+    persist."""
+    return train_bpe(
+        corpus_word_counts(docs, text_col, id_col, sample_pct, max_words),
+        num_merges,
+    )
+
+
+def _counts_schema(keep: tuple[str, ...], docs: DataFrame, with_tokens: bool):
+    fields = [T.StructField("doc_id", T.LongType())]
+    for c in keep:
+        fields.append(docs.schema[c])
+    fields += [
+        T.StructField("n_words", T.IntegerType()),
+        T.StructField("n_tokens", T.IntegerType()),
+    ]
+    if with_tokens:
+        fields.append(T.StructField("tokens", T.ArrayType(T.StringType())))
+    return T.StructType(fields)
+
+
+def _bpe_apply(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str,
+    text_col: str,
+    keep_cols: tuple[str, ...],
+    with_tokens: bool,
+) -> DataFrame:
+    """Shared Arrow-batched application kernel. The ranks dict is a
+    Spark broadcast (shipped once per executor, not per task); the
+    word→tokens cache is per task and exploits Zipfian word reuse.
+    Map-only — no shuffle; the text column is consumed inside the
+    kernel and never travels further."""
+    import pandas as pd
+
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    bc = docs.sparkSession.sparkContext.broadcast(ranks)
+    schema = _counts_schema(keep_cols, docs, with_tokens)
+
+    def kernel(batches):
+        r = bc.value
+        cache: dict[str, list[str]] = {}
+
+        def enc(word: str) -> list[str]:
+            t = cache.get(word)
+            if t is None:
+                t = encode_word(word, r)
+                cache[word] = t
+            return t
+
+        for pdf in batches:
+            n_words, n_tokens, toks_col = [], [], []
+            for text in pdf["__text"]:
+                if text is None:
+                    n_words.append(0)
+                    n_tokens.append(0)
+                    if with_tokens:
+                        toks_col.append([])
+                    continue
+                words = [w for w in text.split(" ") if w]
+                toks: list[str] = []
+                for w in words:
+                    toks.extend(enc(w))
+                n_words.append(len(words))
+                n_tokens.append(len(toks))
+                if with_tokens:
+                    toks_col.append(toks)
+            out = {"doc_id": pdf["doc_id"]}
+            for c in keep_cols:
+                out[c] = pdf[c]
+            out["n_words"] = pd.Series(n_words, dtype="int32")
+            out["n_tokens"] = pd.Series(n_tokens, dtype="int32")
+            if with_tokens:
+                out["tokens"] = toks_col
+            yield pd.DataFrame(out)
+
+    prepped = docs.select(
+        F.col(id_col).alias("doc_id"),
+        *keep_cols,
+        F.col(text_col).alias("__text"),
+    )
+    return prepped.mapInPandas(kernel, schema)
+
+
+def bpe_token_counts(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(doc_id, *keep_cols, n_words, n_tokens): subword token counts
+    per document — the pluggable ``counts`` frame for
+    token_budget_sample / length_bucket_batches, replacing whitespace
+    counts with real tokenizer units. NULL text counts 0 (consistent
+    with 'no tokens to budget'); empty words from repeated spaces are
+    skipped."""
+    return _bpe_apply(docs, merges, id_col, text_col, keep_cols, with_tokens=False)
+
+
+def bpe_tokenize(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_words, n_tokens, tokens): full subword segmentation —
+    the test/debug surface (token-sequence exactness is pinned against
+    a pure-Python reference encoder in tests/test_bpe.py). Production
+    counting should use bpe_token_counts, which never materializes the
+    token arrays."""
+    return _bpe_apply(docs, merges, id_col, text_col, (), with_tokens=True)
+
+
+@register(
+    "q_bpe_tokenize",
+    doc="Subword (BPE) train + apply, end to end: merges table trained "
+    "on a deterministic 20% hash-sample of the corpus (bounded "
+    "driver-side model, distributed top-K vocabulary — the PQ-codebook "
+    "posture), applied via an Arrow-batched mapInPandas kernel with "
+    "broadcast ranks and a per-task Zipf-exploiting word cache. Emits "
+    "per-doc whitespace-word and subword counts; n_tokens >= n_words "
+    "by construction (a word is >= 1 subword). The merge-training loop "
+    "is not SQL-expressible -> rows-only; trainer + encoder exactness "
+    "vs an independent pure-Python reference implementation is pinned "
+    "in tests/test_bpe.py, and the APPLICATION kernel is separately "
+    "hash-proven by q_bpe_token_counts against the committed fixture.",
+    tags=("E10", "llm-pipeline", "pandas"),
+)
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    merges = train_bpe_merges(docs, num_merges=FIXTURE_NUM_MERGES, sample_pct=20)
+    return bpe_token_counts(docs, merges)
+
+
+@register(
+    "q_bpe_token_counts",
+    oracle=f"""
+        WITH lut AS (
+            SELECT word, CAST(n_tokens AS INT) AS wt
+            FROM read_csv('{BPE_DIR}/word_tokens.csv', header = true)
+        ), words AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(count(*) AS INT) AS n_words,
+               CAST(sum(wt) AS INT) AS n_tokens
+        FROM words JOIN lut ON lut.word = words.w
+        GROUP BY doc_id
+    """,
+    doc="Subword token counting under the COMMITTED tokenizer fixture "
+    "(fixtures/bpe — trained once, version-controlled, applied "
+    "everywhere: the production posture). Hash-proven end to end: the "
+    "corpus vocabulary is closed, so DuckDB reproduces the Arrow "
+    "kernel's counts exactly from the fixture's per-word lookup table "
+    "(itself written by the independent pure-Python reference "
+    "encoder). This pins the distributed mapInPandas application path "
+    "— broadcast ranks, per-task cache, batch iteration — against the "
+    "reference semantics on the REAL corpus, not just pytest fixtures.",
+    tags=("E10", "llm-pipeline", "pandas"),
+)
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_token_counts(table(spark, sf_dir, "documents"), load_merges())
+
+
+@register(
+    "q_token_budget_mix_bpe",
+    oracle=f"""
+        WITH lut AS (
+            SELECT word, CAST(n_tokens AS INT) AS wt
+            FROM read_csv('{BPE_DIR}/word_tokens.csv', header = true)
+        ), d AS (
+            SELECT doc_id, any_value(source) AS source,
+                   CAST(sum(wt) AS INT) AS n_tokens
+            FROM (SELECT doc_id, source,
+                         unnest(string_split(text, ' ')) AS w
+                  FROM documents) t
+            JOIN lut ON lut.word = t.w
+            GROUP BY doc_id
+        ), h AS (
+            SELECT doc_id, source, n_tokens,
+                   ((doc_id % 2147483648) * 2654435761) % 4294967296 AS hh
+            FROM d
+        ), tot AS (
+            SELECT sum(n_tokens) / 40.0 AS budget FROM d
+        ), c AS (
+            SELECT doc_id, source, n_tokens,
+                   sum(n_tokens) OVER (PARTITION BY source
+                                       ORDER BY hh, doc_id
+                                       ROWS UNBOUNDED PRECEDING)
+                       - n_tokens AS cum_before
+            FROM h
+        )
+        SELECT doc_id, source, n_tokens
+        FROM c, tot WHERE cum_before < budget
+    """,
+    doc="Token-budget corpus mixing in REAL tokenizer units: the same "
+    "greedy Knuth-hash-ordered per-source prefix as q_token_budget_mix "
+    "but budgeted on subword counts from the committed BPE fixture "
+    "(whitespace counts misestimate subword budgets 2-4x on real "
+    "text). Hash-proven: DuckDB recomputes the counts from the "
+    "fixture's reference-encoder lookup, then the identical hash "
+    "order, running sum and budget. At scale the counts frame is "
+    "persisted once and shared across every budget/packing stage.",
+    tags=("E10", "llm-pipeline", "sampling", "pandas"),
+)
+def q_token_budget_mix_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from udacity_data_engineering_spark.operators.sampling import (
+        token_budget_sample,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    counts = bpe_token_counts(docs, load_merges(), keep_cols=("source",)).select(
+        "doc_id", "source", "n_tokens"
+    )
+    total = counts.agg((F.sum("n_tokens") / 40.0).alias("budget"))
+    budgets = docs.select("source").distinct().crossJoin(F.broadcast(total))
+    return token_budget_sample(docs, budgets, counts=counts)
+
+
+@register(
+    "q_length_bucket_batches_bpe",
+    oracle=f"""
+        WITH lut AS (
+            SELECT word, CAST(n_tokens AS INT) AS wt
+            FROM read_csv('{BPE_DIR}/word_tokens.csv', header = true)
+        ), d AS (
+            SELECT doc_id, CAST(sum(wt) AS INT) AS n_tokens
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                  FROM documents) t
+            JOIN lut ON lut.word = t.w
+            GROUP BY doc_id
+        ), b AS (
+            SELECT doc_id, n_tokens, n_tokens // 8 AS bucket_id,
+                   ((doc_id % 2147483648) * 2654435761) % 4294967296 AS h
+            FROM d
+        ), a AS (
+            SELECT bucket_id, n_tokens,
+                   CAST((row_number() OVER (PARTITION BY bucket_id
+                                            ORDER BY h, doc_id) - 1) // 16
+                        AS BIGINT) AS batch_id
+            FROM b
+        )
+        SELECT bucket_id, batch_id,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               max(n_tokens) AS max_tokens,
+               CAST(max(n_tokens) * count(*) AS BIGINT) AS padded_tokens,
+               CAST(max(n_tokens) * count(*) - sum(n_tokens) AS BIGINT)
+                   AS wasted_tokens
+        FROM a GROUP BY bucket_id, batch_id
+    """,
+    doc="Length-bucketed batching in REAL tokenizer units: the same "
+    "scan-side value-range buckets + per-bucket Knuth-hash batch "
+    "assignment as q_length_bucket_batches, measured in subword "
+    "counts from the committed BPE fixture — padding waste in the "
+    "units the accelerator actually pads. Hash-proven via the "
+    "fixture's reference-encoder lookup.",
+    tags=("E10", "llm-pipeline", "pandas"),
+)
+def q_length_bucket_batches_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from udacity_data_engineering_spark.operators.packing import (
+        length_bucket_batches,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    counts = bpe_token_counts(docs, load_merges()).select("doc_id", "n_tokens")
+    return length_bucket_batches(docs, counts=counts)

@@ -210,6 +210,7 @@ def length_bucket_batches(
     batch_size: int = 16,
     id_col: str = "doc_id",
     text_col: str = "text",
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """Length-bucketed batching — the padding-waste reducer for padded
     (non-packed) training/inference batches: rectangular batches pad
@@ -226,15 +227,24 @@ def length_bucket_batches(
     (bucket_id, batch_id, n_docs, max_tokens, padded_tokens = max ×
     count, wasted_tokens = padded - real). The tail batch of each
     bucket may be short; waste within a batch is bounded by
-    (width - 1) × batch_size tokens by construction."""
+    (width - 1) × batch_size tokens by construction.
+
+    ``counts`` plugs in a precomputed (id_col, n_tokens) frame — real
+    tokenizer units (bpe.bpe_token_counts) instead of the whitespace
+    default."""
     from udacity_data_engineering_spark.operators.sampling import knuth_hash
 
-    n = F.size(F.split(F.col(text_col), " "))
-    scored = docs.select(
-        F.col(id_col).alias("doc_id"),
-        n.alias("n_tokens"),
-        knuth_hash(F.col(id_col)).alias("__h"),
-    ).withColumn("bucket_id", F.expr(f"n_tokens DIV {int(width)}"))
+    base = (
+        counts.select(F.col(id_col).alias("doc_id"), "n_tokens")
+        if counts is not None
+        else docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(F.split(F.col(text_col), " ")).alias("n_tokens"),
+        )
+    )
+    scored = base.withColumn("__h", knuth_hash(F.col("doc_id"))).withColumn(
+        "bucket_id", F.expr(f"n_tokens DIV {int(width)}")
+    )
     batched = scored.withColumn(
         "batch_id",
         F.expr(f"(row_number() OVER (PARTITION BY bucket_id "

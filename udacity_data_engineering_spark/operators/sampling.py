@@ -275,6 +275,7 @@ def token_budget_sample(
     group_col: str = "source",
     id_col: str = "doc_id",
     text_col: str = "text",
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """Token-budget corpus mixing: per group, keep a deterministic
     greedy PREFIX of documents (Knuth-hash order — stable across runs,
@@ -292,7 +293,12 @@ def token_budget_sample(
     packing.py). Scale shape: one window shuffle keyed on the group,
     running-sum frame (WindowExec streams + spills), then the
     broadcast-joined filter; the only wide column (text) is dropped at
-    the first projection."""
+    the first projection.
+
+    ``counts`` plugs in a precomputed (id_col, group_col, n_tokens)
+    frame — real tokenizer units (bpe.bpe_token_counts) instead of the
+    whitespace default. At scale, persist that frame once and reuse it
+    across every budget/packing stage."""
     from pyspark.sql.window import Window
 
     w = (
@@ -300,12 +306,16 @@ def token_budget_sample(
         .orderBy("__h", id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    scored = docs.select(
-        id_col,
-        group_col,
-        F.size(F.split(F.col(text_col), " ")).alias("n_tokens"),
-        knuth_hash(F.col(id_col)).alias("__h"),
+    base = (
+        counts.select(id_col, group_col, "n_tokens")
+        if counts is not None
+        else docs.select(
+            id_col,
+            group_col,
+            F.size(F.split(F.col(text_col), " ")).alias("n_tokens"),
+        )
     )
+    scored = base.withColumn("__h", knuth_hash(F.col(id_col)))
     cum = scored.withColumn(
         "__cum_before", F.sum("n_tokens").over(w) - F.col("n_tokens")
     )

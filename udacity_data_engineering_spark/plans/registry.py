@@ -58,11 +58,18 @@ def register(
 # after these. A name listed here but not registered is a hard error (catches
 # renames going stale).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # Round-7 rotation (continuing r6's): ten more long-stable slots
-    # whose §2 row stays covered by an in-window sibling rotated out
-    # (each noted on its family line) and ten hash-provable,
-    # never-driver-checked queries rotated in (sql-surface scalar
-    # functions, running windows, chunking/packing, n-gram counts).
+    # Round-8 rotation (continuing r6/r7's): the ten round-7 operators
+    # the driver has never checked rotate in (VERDICT r7 item 3 named
+    # them explicitly); ten once-or-more driver-green slots whose
+    # family keeps an in-window representative rotate out
+    # (r8 out: q_string_funcs, q_math_funcs, q_null_handling —
+    # sql-surface keeps q_case_when + q_pivot; q_doc_chunks,
+    # q_pack_offsets, q_ngram_counts — E10 keeps bm25 + quality +
+    # charlm; q_sliding_window — E13 keeps session_window;
+    # q_temperature_mix — sampling keeps stratified + token_budget;
+    # q_corpus_pipeline — corpus keeps curation_pipeline;
+    # q_incremental_dedup — dedup keeps minhash_dedup_survivors +
+    # dedup_components + best_survivors).
     # --- §2A reference-parity core (relational / datetime / SQL entry) ---
     "q_scan_count",          # 2A.6 parquet scan + 2A.22 count
     "q_project_rename",      # 2A.7+8 projection (+rename) — the bare
@@ -102,11 +109,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_sparkify_songplays_nat",  # hash-proven 3-key join (surrogate-id
                                  # variant q_sparkify_songplays is
                                  # rows-only and sits just past the window)
-    # --- SQL scalar surface (rotated in r7, never driver-checked) ---
-    "q_string_funcs",          # string builtins over customer
-    "q_math_funcs",            # arithmetic/rounding builtins
+    # --- SQL scalar surface (rotated in r7; string/math/null rotated
+    # out r8 after going driver-green — case_when + pivot keep it) ---
     "q_case_when",             # conditional expressions
-    "q_null_handling",         # coalesce/nullif/nvl semantics
     "q_pivot",                 # pivot aggregation
     # --- §2B: one-two per extension family ---
     "q_groupby_agg",           # E1
@@ -134,28 +139,49 @@ DRIVER_PRIORITY: tuple[str, ...] = (
                                # rotated out r7 — tokenization stays
                                # exercised inside bm25/vocab/ngrams)
     "q_quality_classifier",    # E10/quality model-based filter (r6)
-    "q_ngram_counts",          # E10/corpus n-gram stats (rotated in r7;
-                               # q_vocab_topk driver-green r2-r6, rotated
-                               # out — corpus-prep family keeps the slot)
-    "q_doc_chunks",            # E10/llm-pipeline chunking (rotated in r7)
-    "q_pack_offsets",          # E10/llm-pipeline sequence packing
-                               # offsets (rotated in r7)
+    "q_charlm_score",          # E10/quality char-trigram LM scoring
+                               # (rotated in r8; q_ngram_counts
+                               # driver-green r7, rotated out — corpus
+                               # n-gram stats stay exercised inside
+                               # bm25/charlm)
+    "q_length_bucket_batches", # E10/llm-pipeline padded-batch packing
+                               # (rotated in r8; q_doc_chunks +
+                               # q_pack_offsets driver-green r7, rotated
+                               # out — the packing family keeps this
+                               # slot + token_budget below)
+    "q_token_budget_mix",      # E10/sampling token-budget mixing
+                               # (rotated in r8; q_temperature_mix
+                               # driver-green r6-r7, rotated out —
+                               # sampling keeps stratified_mix below)
     "q_minhash_dedup_survivors",  # E11/E12 end-to-end dedup pipeline
                                # (q_doc_fingerprint / q_doc_dedup_survivors
                                # driver-green r2-r5, rotated out r6)
     "q_dedup_components",      # E11 connected-components labeling (r6)
-    "q_corpus_pipeline",       # corpus end-to-end composition (r6)
+    "q_dedup_best_survivors",  # E11/E12 quality-aware survivor rule
+                               # (rotated in r8; hash vs recursive-CTE
+                               # closure)
+    "q_curation_pipeline",     # corpus end-to-end composition (rotated
+                               # in r8; q_corpus_pipeline driver-green
+                               # r6-r7, rotated out — curation subsumes
+                               # the dedup→flags→cutoff shape)
+    "q_substring_dupes",       # E11+ substring-level dedup (rotated in
+                               # r8; never driver-checked)
+    "q_substring_dupes_winnowed",  # E11+ winnowed sampling variant (r8)
+    "q_substring_doc_flags",   # E11+ per-doc duplicated-span flags (r8)
     "q_embedding_neardup_lsh", # E12 scale path
     "q_simhash_candidates",    # E12/dedup
-    "q_incremental_dedup",     # E11 batch-vs-lake dedup (hash-proven;
-                               # q_minhash_candidates is exercised inside
-                               # q_minhash_dedup_survivors above)
+    "q_knn_join",              # E12 exact batch k-NN join (rotated in
+                               # r8; q_incremental_dedup driver-green
+                               # r6-r7, rotated out — E11 batch-vs-lake
+                               # stays covered by the dedup slots above)
     "q_ivf_topk",              # ANN scale path
     "q_session_window",        # E13 (q_tumbling_agg driver-green r1-r5,
                                # rotated out r6 — the same aggregate is
                                # hash-proven through the STREAM path by
-                               # q_streaming_tumbling below)
-    "q_sliding_window",        # E13 overlapping windows (rotated in r7)
+                               # q_streaming_tumbling below; the
+                               # overlapping-window variant
+                               # q_sliding_window driver-green r7,
+                               # rotated out r8)
     "q_multimodal_resize",     # E15 resize plumbing (r6;
                                # q_multimodal_decode driver-green r2-r6,
                                # rotated out r7 — E15 keeps this slot +
@@ -165,8 +191,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
                                     # injection (round 5)
     "q_streaming_tumbling",    # E14/E13 stream-batch parity as a
                                # driver-checked fact (rotated in r6)
+    "q_streaming_session",     # E14/E13 merging-interval stateful
+                               # operator through the real stream path
+                               # (rotated in r8; hash vs
+                               # gaps-and-islands oracle)
     "q_stratified_mix",        # sampling / corpus mixing
-    "q_temperature_mix",       # sampling temperature reweighting (r6)
     "q_cluster_centroids",     # embedding-housekeeping family (round 2;
                                # flagship TPC-H q_shipping_priority was
                                # driver-green in r1 — slot rotated)
