@@ -52,6 +52,39 @@ def build_replica(spark) -> None:
     Path(f"{BASE}/_done").touch()
 
 
+def nd_batch_docs(spark):
+    """The FIXED incremental-near-dup batch: a deterministic ~1/20
+    slice of the sf0.1 corpus (odd ids — disjoint from every lake,
+    whose ids are even; the replica's +i*10M shift preserves parity).
+    The batch must stay CONSTANT across 1x/Nx so the probe measures the
+    operator's contract — cost scales with the batch, not the lake."""
+    docs = table(spark, SF_DIR, "documents")
+    return docs.filter(F.col("doc_id") % 20 == 1)
+
+
+def build_nd_indexes(spark, label: str, docs) -> str:
+    """Persist the near-dup lake state for ``docs``'s even-id half —
+    OUTSIDE the timed region, because write-once index construction is
+    the amortized cost the incremental operators exist to avoid paying
+    per batch. Writes {dir}/bands + {dir}/fps (MinHash) and
+    {dir}/simbands (SimHash signature band index)."""
+    from udacity_data_engineering_spark.operators.incremental import (
+        fingerprint_ids,
+        minhash_lake_index,
+        simhash_lake_index,
+    )
+
+    out = f"{BASE}/nd_index_{label}"
+    if os.path.exists(f"{out}/_done"):
+        return out
+    lake = docs.filter(F.col("doc_id") % 2 == 0)
+    minhash_lake_index(lake).write.mode("overwrite").parquet(f"{out}/bands")
+    fingerprint_ids(lake).write.mode("overwrite").parquet(f"{out}/fps")
+    simhash_lake_index(lake).write.mode("overwrite").parquet(f"{out}/simbands")
+    Path(f"{out}/_done").touch()
+    return out
+
+
 def main() -> None:
     spark = build_session(app_name="scale-probe", cpus=32)
     build_replica(spark)
@@ -228,9 +261,22 @@ def main() -> None:
 
             return incremental_neardup(
                 nd_batch,
-                docs,
+                docs.filter(F.col("doc_id") % 2 == 0),
                 spark.read.parquet(f"{nd_index_dir}/bands"),
                 spark.read.parquet(f"{nd_index_dir}/fps"),
+            ).count()
+
+        def inc_sh():
+            # round 9: incremental SimHash — same fixed batch probing
+            # the persisted signature band index; batch-lake
+            # verification is pure Hamming arithmetic, zero lake text
+            # reads, so the growth law should be index-scan-bound.
+            from udacity_data_engineering_spark.operators.incremental import (
+                incremental_simhash,
+            )
+
+            return incremental_simhash(
+                nd_batch, spark.read.parquet(f"{nd_index_dir}/simbands")
             ).count()
 
         return {
@@ -247,9 +293,10 @@ def main() -> None:
             "ensemble_pairs": ens,
             "ensemble_survivors": ens_surv,
             "incremental_neardup": inc_nd,
+            "incremental_simhash": inc_sh,
         }
 
-    def stream_ingest(src_dir: str, mfpt: int = 4) -> dict:
+    def stream_ingest(src_dir: str, mfpt: int = 4, agg: str = "tumbling") -> dict:
         """One bounded multi-batch watermarked streaming ingest
         (maxFilesPerTrigger=mfpt, tumbling 1h windows, 2h watermark,
         noop sink in update mode — pure ingest+state cost, no sink
@@ -262,18 +309,21 @@ def main() -> None:
         import tempfile
 
         from udacity_data_engineering_spark.streaming.event_stream import (
+            sessionized_counts,
             stream_events,
             windowed_counts,
         )
 
         ckpt = tempfile.mkdtemp(prefix="probe_stream_ckpt_")
-        df = windowed_counts(
-            stream_events(spark, src_dir, max_files_per_trigger=mfpt)
-        )
+        build = windowed_counts if agg == "tumbling" else sessionized_counts
+        df = build(stream_events(spark, src_dir, max_files_per_trigger=mfpt))
+        # session windows reject update mode; append also exercises the
+        # watermark-driven finalize+evict path the state claim is about
+        mode = "update" if agg == "tumbling" else "append"
         t0 = time.perf_counter()
         q = (
             df.writeStream.format("noop")
-            .outputMode("update")
+            .outputMode(mode)
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
@@ -306,12 +356,16 @@ def main() -> None:
         "embeddings": spark.read.parquet(f"{BASE}/embeddings"),
     }
     n_emb_small = small_docs["embeddings"].count()
+    nd_batch = nd_batch_docs(spark).localCheckpoint(eager=True)
     for label, t, d, kc in (
         ("1x", small, small_docs, 16),
         ("%dx" % FACTOR, big, big_docs, 16 * FACTOR),
     ):
+        nd_dir = build_nd_indexes(spark, label, d["documents"])
         allshapes = dict(shapes(t))
-        allshapes.update(pipeline_shapes(d["documents"], d["embeddings"], kc))
+        allshapes.update(
+            pipeline_shapes(d["documents"], d["embeddings"], kc, nd_dir, nd_batch)
+        )
         for name, fn in allshapes.items():
             best = float("inf")
             for _ in range(2):
@@ -334,6 +388,7 @@ def main() -> None:
         else:
             shutil.copy(src, f"{one_x_src}/events.parquet")
     stream_detail = {}
+    session_detail = {}
     for label, src in (("1x", one_x_src), (f"{FACTOR}x", f"{BASE}/events")):
         best = None
         for _ in range(2):
@@ -341,9 +396,25 @@ def main() -> None:
             if best is None or m["sec"] < best["sec"]:
                 best = m
         stream_detail[label] = best
+        # round 9: the MERGING-state operator (session windows) has
+        # different state dynamics — windows coalesce, state rows
+        # shrink on merge and grow with distinct users in the
+        # watermark horizon (the replica multiplies USERS, unlike the
+        # tumbling shape's fixed event-type keyspace), so peak state
+        # must track active keys, never total ingested rows.
+        best = None
+        for _ in range(2):
+            m = stream_ingest(src, agg="session")
+            if best is None or m["sec"] < best["sec"]:
+                best = m
+        session_detail[label] = best
     results["streaming_tumbling_ingest"] = {
         "1x": stream_detail["1x"]["sec"],
         f"{FACTOR}x": stream_detail[f"{FACTOR}x"]["sec"],
+    }
+    results["streaming_session_ingest"] = {
+        "1x": session_detail["1x"]["sec"],
+        f"{FACTOR}x": session_detail[f"{FACTOR}x"]["sec"],
     }
     for name, r in results.items():
         r["ratio"] = round(r[f"{FACTOR}x"] / max(r["1x"], 1e-9), 2)
@@ -351,6 +422,7 @@ def main() -> None:
         "factor": FACTOR,
         "shapes": results,
         "streaming_detail": stream_detail,
+        "streaming_session_detail": session_detail,
     }))
 
 

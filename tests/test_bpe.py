@@ -14,6 +14,7 @@ code twice.
 from __future__ import annotations
 
 import csv
+import os
 import random
 from pathlib import Path
 
@@ -127,6 +128,27 @@ def test_committed_fixture_roundtrips_with_encoder():
     for r in rows:
         assert len(encode_word(r["word"], ranks)) == int(r["n_tokens"])
         assert ref_encode(r["word"], merges) == encode_word(r["word"], ranks)
+
+
+def test_fixture_vocabulary_is_closed_over_every_corpus_scale():
+    """The q_bpe_token_counts / *_bpe oracles join word_tokens.csv;
+    an out-of-vocabulary word (or an unexpected NULL-vs-empty text
+    shape) would silently diverge oracle counts from the kernel's
+    char-fallback encoding. Assert closure against EVERY testdata
+    scale so the oracle-parity claim is corpus-proven, not assumed."""
+    duckdb = pytest.importorskip("duckdb")
+    lut = {r["word"] for r in csv.DictReader((Path(BPE_DIR) / "word_tokens.csv").open())}
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        pq = f"/root/testdata/{sf}/documents.parquet"
+        if not os.path.exists(pq):
+            continue
+        words = duckdb.sql(
+            f"""SELECT DISTINCT w FROM (
+                    SELECT unnest(string_split(coalesce(text,''), ' ')) AS w
+                    FROM '{pq}') WHERE w <> ''"""
+        ).fetchall()
+        oov = sorted({w for (w,) in words} - lut)
+        assert not oov, f"{sf}: out-of-vocabulary words break the LUT oracle: {oov[:10]}"
 
 
 @pytest.fixture(scope="module")

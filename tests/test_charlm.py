@@ -74,3 +74,25 @@ def test_self_scoring_ranks_typical_below_atypical(spark):
     got = {r.doc_id: r.cross_entropy for r in charlm_score(docs).collect()}
     assert got[0] < got[99]
     assert all(got[i] == got[0] for i in range(5))  # identical docs, equal score
+
+
+def test_by_group_external_model_unmodeled_group_null_sentinel(spark):
+    """Batch-vs-reference by-group scoring: a batch doc whose group has
+    NO model in the reference corpus is still emitted, cross_entropy
+    NULL (the explicit unmodeled-group sentinel) — never silently
+    dropped, never judged against another group's model."""
+    ref = spark.createDataFrame(
+        [(10, "en", "aaaaaa")], "doc_id long, lang string, text string"
+    )
+    batch = spark.createDataFrame(
+        [(1, "en", "aaaa"), (2, "fr", "zzzz")],
+        "doc_id long, lang string, text string",
+    )
+    got = {
+        r.doc_id: (r.lang, r.cross_entropy)
+        for r in charlm_score(batch, model_docs=ref, by="lang").collect()
+    }
+    assert set(got) == {1, 2}
+    # en: model 'aaa' c=4, N=4, V=1 -> ln(5) - ln(5) = 0
+    assert got[1] == ("en", 0.0)
+    assert got[2] == ("fr", None)

@@ -186,3 +186,25 @@ def test_incremental_simhash_equals_from_scratch_at_signature_level(spark):
     assert (sa, sa, 0) in got or any(
         (e[0] == sa or e[1] == sa) and e[2] == 0 for e in got
     )
+
+
+def test_incremental_simhash_caps_combined_probe_bucket(spark):
+    """A hot lake band bucket must not blow up probe cost: when the
+    COMBINED (batch sigs + lake sigs) population of a band bucket
+    exceeds ``cap``, that bucket is dropped from cross-pair generation
+    — the same in_cap_groups contract the from-scratch path applies.
+    With cap below the fixture's bucket population the batch↔lake
+    hamming-0 edge disappears; with the default cap it is present."""
+    lake, batch = _neardup_fixture(spark)
+    idx = simhash_lake_index(lake)
+
+    def cross_edges(df):
+        # batch ids are odd, lake ids even — cross edges mix parities
+        return {
+            (r.doc_a, r.doc_b)
+            for r in df.collect()
+            if (r.doc_a % 2) != (r.doc_b % 2)
+        }
+
+    assert cross_edges(incremental_simhash(batch, idx))  # default cap: edges
+    assert cross_edges(incremental_simhash(batch, idx, cap=1)) == set()

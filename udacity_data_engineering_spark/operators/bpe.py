@@ -340,14 +340,22 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT word, CAST(n_tokens AS INT) AS wt
             FROM read_csv('{BPE_DIR}/word_tokens.csv', header = true)
         ), words AS (
-            SELECT doc_id, unnest(string_split(text, ' ')) AS w
-            FROM documents
+            SELECT doc_id, w FROM (
+                SELECT doc_id,
+                       unnest(string_split(coalesce(text, ''), ' ')) AS w
+                FROM documents
+            ) WHERE w <> ''
+        ), agg AS (
+            SELECT doc_id,
+                   CAST(count(*) AS INT) AS n_words,
+                   CAST(sum(wt) AS INT) AS n_tokens
+            FROM words JOIN lut ON lut.word = words.w
+            GROUP BY doc_id
         )
-        SELECT doc_id,
-               CAST(count(*) AS INT) AS n_words,
-               CAST(sum(wt) AS INT) AS n_tokens
-        FROM words JOIN lut ON lut.word = words.w
-        GROUP BY doc_id
+        SELECT d.doc_id,
+               CAST(coalesce(agg.n_words, 0) AS INT) AS n_words,
+               CAST(coalesce(agg.n_tokens, 0) AS INT) AS n_tokens
+        FROM documents d LEFT JOIN agg USING (doc_id)
     """,
     doc="Subword token counting under the COMMITTED tokenizer fixture "
     "(fixtures/bpe — trained once, version-controlled, applied "
@@ -370,14 +378,19 @@ def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH lut AS (
             SELECT word, CAST(n_tokens AS INT) AS wt
             FROM read_csv('{BPE_DIR}/word_tokens.csv', header = true)
-        ), d AS (
-            SELECT doc_id, any_value(source) AS source,
-                   CAST(sum(wt) AS INT) AS n_tokens
-            FROM (SELECT doc_id, source,
-                         unnest(string_split(text, ' ')) AS w
-                  FROM documents) t
+        ), agg AS (
+            SELECT doc_id, CAST(sum(wt) AS INT) AS n_tokens
+            FROM (SELECT doc_id, w FROM (
+                      SELECT doc_id,
+                             unnest(string_split(coalesce(text, ''), ' ')) AS w
+                      FROM documents
+                  ) WHERE w <> '') t
             JOIN lut ON lut.word = t.w
             GROUP BY doc_id
+        ), d AS (
+            SELECT doc.doc_id, doc.source,
+                   CAST(coalesce(agg.n_tokens, 0) AS INT) AS n_tokens
+            FROM documents doc LEFT JOIN agg USING (doc_id)
         ), h AS (
             SELECT doc_id, source, n_tokens,
                    ((doc_id % 2147483648) * 2654435761) % 4294967296 AS hh
@@ -425,12 +438,19 @@ def q_token_budget_mix_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH lut AS (
             SELECT word, CAST(n_tokens AS INT) AS wt
             FROM read_csv('{BPE_DIR}/word_tokens.csv', header = true)
-        ), d AS (
+        ), agg AS (
             SELECT doc_id, CAST(sum(wt) AS INT) AS n_tokens
-            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
-                  FROM documents) t
+            FROM (SELECT doc_id, w FROM (
+                      SELECT doc_id,
+                             unnest(string_split(coalesce(text, ''), ' ')) AS w
+                      FROM documents
+                  ) WHERE w <> '') t
             JOIN lut ON lut.word = t.w
             GROUP BY doc_id
+        ), d AS (
+            SELECT doc.doc_id,
+                   CAST(coalesce(agg.n_tokens, 0) AS INT) AS n_tokens
+            FROM documents doc LEFT JOIN agg USING (doc_id)
         ), b AS (
             SELECT doc_id, n_tokens, n_tokens // 8 AS bucket_id,
                    ((doc_id % 2147483648) * 2654435761) % 4294967296 AS h

@@ -94,7 +94,14 @@ def charlm_score(
     setting (a Russian doc must not be judged against an English
     model). Costs one extra key in the model groupBy and the scoring
     join; the totals row becomes a group-cardinality frame (still
-    broadcast-sized)."""
+    broadcast-sized). With an external ``model_docs``, a batch group
+    with NO model (its ``by`` value absent from the model corpus) is
+    still emitted, with ``cross_entropy`` NULL as the explicit
+    "unmodeled group" sentinel — it must not be silently dropped, and
+    scoring it against an add-one floor of the WRONG language's model
+    would be exactly the cross-language judgment ``by`` exists to
+    prevent. Callers route NULL-scored groups to a fallback (global
+    model, or hold out for a model refresh)."""
     model = trigram_model(
         model_docs if model_docs is not None else docs, text_col=text_col, by=by
     )
@@ -105,7 +112,7 @@ def charlm_score(
     tri = char_trigrams(docs, id_col, text_col, keep_cols=(by,) if by else ())
     joined = tri.join(model, ([by] if by else []) + ["t"], "left")
     joined = (
-        joined.join(F.broadcast(totals), by)
+        joined.join(F.broadcast(totals), by, "left")
         if by
         else joined.crossJoin(F.broadcast(totals))
     )

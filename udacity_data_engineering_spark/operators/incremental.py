@@ -325,6 +325,7 @@ def incremental_simhash(
     max_hamming: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    cap: int | None = None,
 ) -> DataFrame:
     """Group-granular SimHash near-dup edges TOUCHING the new batch,
     without re-signing the lake: (doc_a, doc_b, hamming) where
@@ -339,15 +340,29 @@ def incremental_simhash(
     be disjoint.
 
     The batch side keeps simhash_group_graph's bucket cap; the lake
-    probe is a plain index join (its cost is band selectivity ×
-    batch bands, not lake size — SCALE.md measures the growth law)."""
+    probe caps the COMBINED (batch signatures + lake signatures) band
+    bucket population at the same ``cap`` (default: neardup's
+    SIMHASH_BUCKET_CAP) under the same in_cap_groups contract as the
+    from-scratch path and incremental_neardup — a hot lake band bucket
+    must bound probe cost, not blow it up in lake bucket size, and the
+    incremental == from-scratch equivalence pinned in
+    tests/test_incremental.py holds for sub-cap buckets on both paths
+    (over-cap buckets are dropped from pair generation by BOTH).
+    Probe cost is band selectivity × batch bands, not lake size —
+    SCALE.md measures the growth law."""
     from udacity_data_engineering_spark.operators.neardup import (
+        SIMHASH_BUCKET_CAP,
         hamming_packed,
         simhash_banded,
         simhash_group_graph,
         simhash_sigs,
     )
+    from udacity_data_engineering_spark.operators.similarity import (
+        in_cap_groups,
+    )
 
+    if cap is None:
+        cap = SIMHASH_BUCKET_CAP
     bb = simhash_group_graph(batch, id_col, text_col, max_hamming)
     breps = (
         simhash_sigs(batch, id_col, text_col)
@@ -355,10 +370,23 @@ def incremental_simhash(
         .agg(F.min("doc_id").alias("doc_id"))
     )
     bband = simhash_banded(breps)
+    probe = bband.select("band_id", "band_key").distinct()
+    lake_in = lake_index.join(probe, ["band_id", "band_key"], "left_semi")
+    uni = bband.select(
+        "doc_id", "lo", "hi", "band_id", "band_key"
+    ).withColumn("is_batch", F.lit(True)).unionByName(
+        lake_in.selectExpr(
+            "rep_id AS doc_id", "lo", "hi", "band_id", "band_key"
+        ).withColumn("is_batch", F.lit(False))
+    )
+    capped = in_cap_groups(uni, ["band_id", "band_key"], cap)
     cross = (
-        bband.join(
-            lake_index.selectExpr(
-                "rep_id", "lo AS __llo", "hi AS __lhi", "band_id", "band_key"
+        capped.filter(F.col("is_batch"))
+        .select("doc_id", "lo", "hi", "band_id", "band_key")
+        .join(
+            capped.filter(~F.col("is_batch")).selectExpr(
+                "doc_id AS rep_id", "lo AS __llo", "hi AS __lhi",
+                "band_id", "band_key",
             ),
             ["band_id", "band_key"],
         )
