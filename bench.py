@@ -227,6 +227,11 @@ def main() -> None:
         "q_incremental_neardup",
         "q_incremental_neardup_simhash",
         "q_charlm_by_lang",
+        "q_weighted_sample",
+        "q_stratified_fixed_k",
+        "q_hybrid_rrf",
+        "q_substring_ranges",
+        "q_dsir_mix",
     ):
         best = float("inf")
         for _ in range(REPS):  # best-of-3, matching BASELINE.md methodology

@@ -84,6 +84,17 @@ PYTHON_PATH_QUERIES = {
     # argpartition by design (mergeable top-k; see operators/knn.py) —
     # the merge window over O(batches x queries x k) rows is JVM-side.
     "q_knn_join",
+    # incremental MinHash probes band the batch with the same Arrow-batched
+    # perm-min kernel as q_minhash_candidates (SimHash's incremental twin
+    # stays JVM-side and is deliberately NOT listed here):
+    "q_incremental_neardup",
+    # BPE application is an Arrow-batched mapInPandas kernel by design
+    # (broadcast merge ranks + per-task word cache, operators/bpe.py);
+    # the two *_bpe budget/packing variants consume its counts frame:
+    "q_bpe_tokenize",
+    "q_bpe_token_counts",
+    "q_token_budget_mix_bpe",
+    "q_length_bucket_batches_bpe",
     # Python DataSource API demo — a Python-eval plan by construction.
     "q_python_datasource",
     # Arrow-batched media kernels (numpy fancy-index / reshape per batch —
@@ -322,3 +333,35 @@ def test_cluster_centroids_single_shuffle(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("HashAggregate") >= 2
     assert "Python" not in plan
+
+
+def test_priority_sample_scan_side_and_takeordered(spark, sf_dir):
+    """Round 9: the weighted sample's priority must be scan-side
+    arithmetic and the selection TakeOrderedAndProject — never a
+    global Sort, never a shuffle before the per-partition heaps."""
+    plan = plan_of(MANIFEST["q_weighted_sample"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan  # scan -> project -> heaps, no shuffle
+
+
+def test_hybrid_rrf_broadcasts_query_vector(spark, sf_dir):
+    """The dense leg's 1-row query side must broadcast; the corpus is
+    never on the build side of a shuffle join for the fusion."""
+    plan = plan_of(MANIFEST["q_hybrid_rrf"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_substring_ranges_partial_agg_no_python(spark, sf_dir):
+    """Digest aggregation must be partial+final; the whole pipeline is
+    JVM-side (no Python/Pandas nodes)."""
+    plan = plan_of(MANIFEST["q_substring_ranges"].fn(spark, sf_dir), "simple")
+    assert plan.count("HashAggregate") >= 2
+    assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_dsir_model_join_broadcasts(spark, sf_dir):
+    """The 256-row model and the totals row must broadcast — the
+    word-explode side never shuffles for the model join."""
+    plan = plan_of(MANIFEST["q_dsir_mix"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan

@@ -41,11 +41,13 @@ def test_window_covers_core_parity_and_extension_families():
 
 
 def test_window_oracle_coverage_never_regresses():
-    """46 of the 50 driver-window slots are hash-proven as of round 5
-    (q_json_infer_scan gained a read_json+raw-line oracle); the 4
-    rows-only residents are all genuinely non-SQL-expressible (seeded
-    LSH/IVF paths). Adding a window query without an oracle, or dropping
-    an oracle from a window query, must be a deliberate decision — not
+    """43 of the 50 driver-window slots are hash-proven as of round 9;
+    the 7 rows-only residents are all genuinely non-SQL-expressible
+    (seeded LSH/IVF banding — including the round-8 incremental
+    batch-vs-lake paths and the group-granular simhash decision, whose
+    exactness is pinned by from-scratch-equivalence pytest contracts
+    instead). Adding a window query without an oracle, or dropping an
+    oracle from a window query, must be a deliberate decision — not
     drift."""
     qs = all_queries()
     no_oracle = {n for n in DRIVER_PRIORITY if not qs[n].oracle}
@@ -54,6 +56,9 @@ def test_window_oracle_coverage_never_regresses():
         "q_embedding_neardup_lsh",
         "q_simhash_candidates",
         "q_ivf_topk",
+        "q_incremental_neardup",
+        "q_incremental_neardup_simhash",
+        "q_simhash_survivors",
     }, f"driver-window oracle coverage changed: rows-only = {sorted(no_oracle)}"
 
 

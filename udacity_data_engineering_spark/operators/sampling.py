@@ -363,3 +363,145 @@ def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     budgets = docs.select("source").distinct().crossJoin(F.broadcast(total))
     return token_budget_sample(docs, budgets)
+
+
+def priority_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, deterministic and
+    engine-portable: priority sampling (Duffield, Lund & Thorup,
+    "Priority sampling for estimation of arbitrary subset sums",
+    JACM 54(6), 2007). Each row gets priority ``q = u / w`` where
+    ``u = (knuth_hash(id)+1) / 2^32`` is a deterministic uniform in
+    (0, 1]; the sample is the ``k`` SMALLEST priorities — heavier rows
+    get smaller priorities, so inclusion probability rises with
+    weight, and every step is reproducible on any partitioning or
+    engine (the property a seeded RNG stream loses on repartition —
+    see the module docstring).
+
+    Parity discipline: u is an exact dyadic rational (an integer over
+    2^32), and both divisions are IEEE-correctly-rounded, so the
+    priority DOUBLES are bit-identical across engines — the ordering,
+    hence the selected set, cannot diverge (unlike an exp/log-domain
+    Efraimidis–Elias key, where libm rounding is not pinned). Rows
+    with weight <= 0 carry no mass and are excluded.
+
+    Scale shape: the priority is scan-side arithmetic (no shuffle);
+    top-k is TakeOrderedAndProject — per-partition heaps of k rows
+    merged once on the driver, never a global sort. The emitted
+    ``priority_e8`` is floor(q * 1e8) as an integer — the exactness-
+    safe serialization of the double for value-hash comparison."""
+    u = (knuth_hash(F.col(id_col)) + 1) / F.lit(4294967296.0)
+    q = u / F.col(weight_col)
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("__q", q)
+        .orderBy("__q", id_col)
+        .limit(k)
+        .select(
+            id_col,
+            weight_col,
+            F.floor(F.col("__q") * 1e8).cast("long").alias("priority_e8"),
+        )
+    )
+
+
+@register(
+    "q_weighted_sample",
+    oracle="""
+        WITH p AS (
+            SELECT doc_id, n_chars,
+                   ((((doc_id % 2147483648) * 2654435761) % 4294967296 + 1)
+                    / 4294967296.0) / n_chars AS q
+            FROM documents WHERE n_chars > 0
+        )
+        SELECT doc_id, n_chars,
+               CAST(floor(q * 1e8) AS BIGINT) AS priority_e8
+        FROM p ORDER BY q, doc_id LIMIT 200
+    """,
+    doc="Deterministic weighted sampling without replacement (priority "
+    "sampling, Duffield-Lund-Thorup JACM'07): 200 documents drawn with "
+    "probability increasing in n_chars via hash-derived priorities "
+    "u/w. Hash-proven: the priority doubles are exact dyadic-rational "
+    "divisions (IEEE correctly rounded on both engines), so DuckDB "
+    "reproduces the identical ordering and the identical sample — the "
+    "weighted analogue of q_stratified_mix's portable hash cut. Plan: "
+    "scan-side arithmetic + TakeOrderedAndProject (per-partition "
+    "top-k heaps, no global sort).",
+    tags=("E10", "llm-pipeline", "sampling"),
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return priority_sample(table(spark, sf_dir, "documents"), "n_chars", 200)
+
+
+def priority_sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fixed-size weighted sample PER GROUP — "exactly k documents per
+    language/source, preferring heavy ones" — the stratified form of
+    priority_sample (same Duffield-Lund-Thorup priorities, same
+    engine-portability argument), selection = the k smallest priorities
+    within each group via one windowed row_number.
+
+    Scale shape: priorities are scan-side; one shuffle on the group key
+    feeds a per-group sort that WindowExec streams and spills — never a
+    global sort, never a driver-side collect. (The un-stratified
+    priority_sample keeps its TakeOrderedAndProject shape; this variant
+    pays the group shuffle to deliver exact per-stratum counts.)"""
+    from pyspark.sql.window import Window
+
+    u = (knuth_hash(F.col(id_col)) + 1) / F.lit(4294967296.0)
+    q = u / F.col(weight_col)
+    w = Window.partitionBy(group_col).orderBy("__q", id_col)
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("__q", q)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(
+            id_col,
+            group_col,
+            weight_col,
+            F.floor(F.col("__q") * 1e8).cast("long").alias("priority_e8"),
+        )
+    )
+
+
+@register(
+    "q_stratified_fixed_k",
+    oracle="""
+        WITH p AS (
+            SELECT doc_id, lang, n_chars,
+                   ((((doc_id % 2147483648) * 2654435761) % 4294967296 + 1)
+                    / 4294967296.0) / n_chars AS q
+            FROM documents WHERE n_chars > 0
+        ), r AS (
+            SELECT doc_id, lang, n_chars, q,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY q, doc_id) AS rn
+            FROM p
+        )
+        SELECT doc_id, lang, n_chars,
+               CAST(floor(q * 1e8) AS BIGINT) AS priority_e8
+        FROM r WHERE rn <= 30
+    """,
+    doc="Fixed-size weighted sample per stratum: exactly 30 documents "
+    "per language, drawn with probability increasing in n_chars via "
+    "the same deterministic Duffield-Lund-Thorup priorities as "
+    "q_weighted_sample, selected by one per-group window — the "
+    "production 'balanced eval slice' cut where proportional sampling "
+    "(q_stratified_mix) starves rare strata. Hash-proven: identical "
+    "dyadic-rational priorities, identical per-group ranking in DuckDB.",
+    tags=("E10", "llm-pipeline", "sampling"),
+)
+def q_stratified_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return priority_sample_per_group(
+        table(spark, sf_dir, "documents"), "lang", "n_chars", 30
+    )

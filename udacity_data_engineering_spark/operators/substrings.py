@@ -218,3 +218,137 @@ def q_substring_dupes_winnowed(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_substring_doc_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_dup_span_counts(table(spark, sf_dir, "documents"))
+
+
+def span_position_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = SPAN_WORDS,
+) -> DataFrame:
+    """(doc_id, pos, fp): span_fingerprints keeping the 1-based word
+    position of each window — the input removal needs (flagging only
+    counts, so span_fingerprints stays position-free and 8 bytes
+    narrower per row)."""
+    words = F.split(F.col(text_col), " ")
+    base = spread(docs).select(
+        F.col(id_col).alias("doc_id"), words.alias("__w")
+    ).filter(F.size("__w") >= n)
+    k = F.size(F.col("__w")) - (n - 1)
+    return base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), k),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.sha2(
+                        F.concat_ws(" ", F.slice(F.col("__w"), i, n)), 256
+                    ).alias("fp"),
+                ),
+            )
+        ).alias("s"),
+    ).select("doc_id", "s.pos", "s.fp")
+
+
+def duplicate_ranges(
+    docs: DataFrame,
+    n: int = SPAN_WORDS,
+    min_docs: int = 2,
+) -> DataFrame:
+    """(doc_id, range_start, range_end, n_windows): the MAXIMAL
+    duplicated word ranges per document — overlapping/abutting
+    duplicated n-word windows coalesced into one [range_start,
+    range_end] interval (1-based, inclusive). This is the REMOVAL
+    granularity of substring dedup (Lee et al. arXiv:2107.06499 cut
+    the exact duplicated substring, not fixed windows): a 100-word
+    verbatim boilerplate block is 81 overlapping 20-word windows but
+    ONE range to splice out.
+
+    Shape: the window table aggregates once on the digest to find
+    cross-doc duplicates (partial-agg groupBy), joins back on the
+    digest, then coalescing is one per-doc window pass — classic
+    gaps-and-islands: a new island starts where the position gap
+    exceeds ``n`` (beyond adjacency of covered intervals). Per-doc
+    state in WindowExec is streamed + spillable; nothing here is
+    quadratic in corpus or document size."""
+    from pyspark.sql.window import Window
+
+    spans = span_position_fingerprints(docs, n=n)
+    dup = (
+        spans.groupBy("fp")
+        .agg(F.countDistinct("doc_id").alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("fp")
+    )
+    flagged = spans.join(dup, "fp").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = flagged.withColumn(
+        "__nf",
+        F.when(
+            F.lag("pos").over(w).isNull()
+            | (F.col("pos") - F.lag("pos").over(w) > n),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "__rid",
+        F.sum("__nf").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return isl.groupBy("doc_id", "__rid").agg(
+        F.min("pos").alias("range_start"),
+        (F.max("pos") + F.lit(n - 1)).alias("range_end"),
+        F.count(F.lit(1)).alias("n_windows"),
+    ).select("doc_id", "range_start", "range_end", "n_windows")
+
+
+_SPANS_POS_SQL = """
+        SELECT doc_id, CAST(i AS INT) AS pos,
+               sha256(array_to_string(words[i:i+{m}], ' ')) AS fp
+        FROM (SELECT doc_id, string_split(text, ' ') AS words
+              FROM documents),
+             LATERAL (SELECT unnest(
+                 range(1, greatest(len(words) - {m}, 0) + 1)) AS i)
+""".format(m=SPAN_WORDS - 1)
+
+
+@register(
+    "q_substring_ranges",
+    oracle=f"""
+        WITH spans AS ({_SPANS_POS_SQL}),
+        dup AS (
+            SELECT fp FROM spans GROUP BY fp
+            HAVING count(DISTINCT doc_id) >= 2
+        ), flagged AS (
+            SELECT doc_id, pos FROM spans JOIN dup USING (fp)
+        ), isl AS (
+            SELECT doc_id, pos,
+                   CASE WHEN lag(pos) OVER w IS NULL
+                             OR pos - lag(pos) OVER w > {SPAN_WORDS}
+                        THEN 1 ELSE 0 END AS nf
+            FROM flagged
+            WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        ), rid AS (
+            SELECT doc_id, pos,
+                   sum(nf) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS UNBOUNDED PRECEDING) AS rid
+            FROM isl
+        )
+        SELECT doc_id,
+               min(pos) AS range_start,
+               CAST(max(pos) + {SPAN_WORDS - 1} AS INT) AS range_end,
+               CAST(count(*) AS BIGINT) AS n_windows
+        FROM rid GROUP BY doc_id, rid
+    """,
+    doc="Maximal duplicated word ranges per document: q_substring_dupes' "
+    "overlapping 20-word duplicate windows coalesced into [start, end] "
+    "intervals via per-doc gaps-and-islands — the removal granularity "
+    "of Lee et al.'s substring dedup (splice out the exact duplicated "
+    "block once, not 81 overlapping windows). Hash-proven: DuckDB "
+    "recomputes the identical sha256 windows, island assignment and "
+    "interval bounds.",
+    tags=("E11", "dedup", "llm-pipeline"),
+)
+def q_substring_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return duplicate_ranges(table(spark, sf_dir, "documents"))

@@ -58,18 +58,19 @@ def register(
 # after these. A name listed here but not registered is a hard error (catches
 # renames going stale).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # Round-8 rotation (continuing r6/r7's): the ten round-7 operators
-    # the driver has never checked rotate in (VERDICT r7 item 3 named
-    # them explicitly); ten once-or-more driver-green slots whose
-    # family keeps an in-window representative rotate out
-    # (r8 out: q_string_funcs, q_math_funcs, q_null_handling —
-    # sql-surface keeps q_case_when + q_pivot; q_doc_chunks,
-    # q_pack_offsets, q_ngram_counts — E10 keeps bm25 + quality +
-    # charlm; q_sliding_window — E13 keeps session_window;
-    # q_temperature_mix — sampling keeps stratified + token_budget;
-    # q_corpus_pipeline — corpus keeps curation_pipeline;
-    # q_incremental_dedup — dedup keeps minhash_dedup_survivors +
-    # dedup_components + best_survivors).
+    # Round-9 rotation (continuing r6-r8's): eleven never-driver-checked
+    # queries rotate in — the five round-8 operators (BPE counting +
+    # the two BPE-unit budget/packing variants, both incremental
+    # near-dup paths, per-language charlm, group-granular simhash
+    # survivors) and the four round-9 operators (weighted sample,
+    # DSIR, substring ranges, hybrid RRF) — and eleven driver-green
+    # slots whose family keeps an in-window representative rotate out
+    # (r9 out: q_charlm_score, q_length_bucket_batches,
+    # q_token_budget_mix — superseded by their by-lang/BPE variants;
+    # q_dedup_best_survivors, q_curation_pipeline,
+    # q_substring_dupes_winnowed, q_substring_doc_flags, q_knn_join,
+    # q_streaming_session, q_stratified_mix, q_cluster_centroids —
+    # every family keeps at least one slot, see inline notes).
     # --- §2A reference-parity core (relational / datetime / SQL entry) ---
     "q_scan_count",          # 2A.6 parquet scan + 2A.22 count
     "q_project_rename",      # 2A.7+8 projection (+rename) — the bare
@@ -139,41 +140,66 @@ DRIVER_PRIORITY: tuple[str, ...] = (
                                # rotated out r7 — tokenization stays
                                # exercised inside bm25/vocab/ngrams)
     "q_quality_classifier",    # E10/quality model-based filter (r6)
-    "q_charlm_score",          # E10/quality char-trigram LM scoring
-                               # (rotated in r8; q_ngram_counts
-                               # driver-green r7, rotated out — corpus
-                               # n-gram stats stay exercised inside
-                               # bm25/charlm)
-    "q_length_bucket_batches", # E10/llm-pipeline padded-batch packing
-                               # (rotated in r8; q_doc_chunks +
-                               # q_pack_offsets driver-green r7, rotated
-                               # out — the packing family keeps this
-                               # slot + token_budget below)
-    "q_token_budget_mix",      # E10/sampling token-budget mixing
-                               # (rotated in r8; q_temperature_mix
-                               # driver-green r6-r7, rotated out —
-                               # sampling keeps stratified_mix below)
+    "q_charlm_by_lang",        # E10/quality per-language LM scoring
+                               # (rotated in r9, never driver-checked;
+                               # q_charlm_score driver-green r8, rotated
+                               # out — the by-group variant subsumes the
+                               # global formula)
+    "q_bpe_token_counts",      # E10/llm-pipeline subword counting under
+                               # the committed fixture (rotated in r9,
+                               # never driver-checked — pins the Arrow
+                               # kernel against the reference LUT)
+    "q_length_bucket_batches_bpe",  # E10/llm-pipeline padded-batch
+                               # packing in BPE units (rotated in r9;
+                               # whitespace q_length_bucket_batches
+                               # driver-green r8, rotated out)
+    "q_token_budget_mix_bpe",  # E10/sampling token-budget mixing in BPE
+                               # units (rotated in r9; whitespace
+                               # q_token_budget_mix driver-green r8,
+                               # rotated out)
+    "q_weighted_sample",       # sampling: deterministic weighted
+                               # sampling w/o replacement (round 9 op,
+                               # priority sampling — hash-proven;
+                               # q_stratified_mix driver-green r1-r8,
+                               # rotated out — hash-cut sampling stays
+                               # exercised through the budget mixes)
+    "q_dsir_mix",              # quality/sampling: DSIR importance
+                               # resampling (round 9 op, hash-proven;
+                               # q_curation_pipeline driver-green r8,
+                               # rotated out — percentile-cutoff
+                               # composition stays exercised here)
     "q_minhash_dedup_survivors",  # E11/E12 end-to-end dedup pipeline
                                # (q_doc_fingerprint / q_doc_dedup_survivors
                                # driver-green r2-r5, rotated out r6)
     "q_dedup_components",      # E11 connected-components labeling (r6)
-    "q_dedup_best_survivors",  # E11/E12 quality-aware survivor rule
-                               # (rotated in r8; hash vs recursive-CTE
-                               # closure)
-    "q_curation_pipeline",     # corpus end-to-end composition (rotated
-                               # in r8; q_corpus_pipeline driver-green
-                               # r6-r7, rotated out — curation subsumes
-                               # the dedup→flags→cutoff shape)
+    "q_incremental_neardup",   # E11/E12 batch-vs-lake MinHash (rotated
+                               # in r9, never driver-checked; rows-only
+                               # by design — seed-specific banding;
+                               # q_dedup_best_survivors driver-green r8,
+                               # rotated out)
+    "q_incremental_neardup_simhash",  # E12 batch-vs-lake SimHash
+                               # (rotated in r9, never driver-checked;
+                               # rows-only — hash-specific banding)
     "q_substring_dupes",       # E11+ substring-level dedup (rotated in
-                               # r8; never driver-checked)
-    "q_substring_dupes_winnowed",  # E11+ winnowed sampling variant (r8)
-    "q_substring_doc_flags",   # E11+ per-doc duplicated-span flags (r8)
+                               # r8; driver-green r8)
+    "q_substring_ranges",      # E11+ maximal duplicated-range
+                               # coalescing (round 9 op, hash-proven;
+                               # q_substring_dupes_winnowed +
+                               # q_substring_doc_flags driver-green r8,
+                               # rotated out — the family keeps dupes +
+                               # ranges)
     "q_embedding_neardup_lsh", # E12 scale path
     "q_simhash_candidates",    # E12/dedup
-    "q_knn_join",              # E12 exact batch k-NN join (rotated in
-                               # r8; q_incremental_dedup driver-green
-                               # r6-r7, rotated out — E11 batch-vs-lake
-                               # stays covered by the dedup slots above)
+    "q_simhash_survivors",     # E11/E12 SimHash dedup decision (rotated
+                               # in r9, never driver-checked; rows-only
+                               # — group-granular graph; q_knn_join
+                               # driver-green r8, rotated out)
+    "q_hybrid_rrf",            # E10/E12 hybrid BM25+cosine retrieval
+                               # via RRF (round 9 op, hash-proven;
+                               # q_cluster_centroids driver-green
+                               # r2-r8, rotated out — embedding
+                               # housekeeping stays exercised in the
+                               # dense leg here)
     "q_ivf_topk",              # ANN scale path
     "q_session_window",        # E13 (q_tumbling_agg driver-green r1-r5,
                                # rotated out r6 — the same aggregate is
@@ -190,15 +216,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
                                     # hash-proven via exact-redelivery
                                     # injection (round 5)
     "q_streaming_tumbling",    # E14/E13 stream-batch parity as a
-                               # driver-checked fact (rotated in r6)
-    "q_streaming_session",     # E14/E13 merging-interval stateful
-                               # operator through the real stream path
-                               # (rotated in r8; hash vs
-                               # gaps-and-islands oracle)
-    "q_stratified_mix",        # sampling / corpus mixing
-    "q_cluster_centroids",     # embedding-housekeeping family (round 2;
-                               # flagship TPC-H q_shipping_priority was
-                               # driver-green in r1 — slot rotated)
+                               # driver-checked fact (rotated in r6;
+                               # q_streaming_session driver-green r8,
+                               # rotated out r9 — merging-interval state
+                               # stays pytest- and probe-covered)
 )
 
 
