@@ -232,6 +232,8 @@ def main() -> None:
         "q_hybrid_rrf",
         "q_substring_ranges",
         "q_dsir_mix",
+        "q_range_join_binned",
+        "q_multimodal_dhash_pairs",
     ):
         best = float("inf")
         for _ in range(REPS):  # best-of-3, matching BASELINE.md methodology

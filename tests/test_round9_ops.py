@@ -233,3 +233,115 @@ def test_priority_sample_per_group_exact_k_and_reference(spark):
         grp = [r for r in rows if r[1] == g]
         want = sorted(grp, key=lambda r: (_py_priority(r[0], r[2]), r[0]))[:20]
         assert by_g[g] == {i for i, _, _ in want}
+
+
+# ---------------------------------------------------------------------------
+# binned range join
+# ---------------------------------------------------------------------------
+
+
+def test_range_join_binned_matches_bruteforce(spark):
+    from udacity_data_engineering_spark.operators.asof import range_join_binned
+
+    left = [(i, i * 3 % 29) for i in range(60)]          # (lid, day)
+    right = [(j, j * 5 % 31) for j in range(40)]         # (rid, start_day)
+    span = 7
+    ldf = spark.createDataFrame(left, "lid long, ld long")
+    rdf = spark.createDataFrame(right, "rid long, od long")
+    got = {
+        (r.lid, r.rid)
+        for r in range_join_binned(ldf, rdf, "ld", "od", span).collect()
+    }
+    want = {
+        (lid, rid)
+        for lid, d in left
+        for rid, s in right
+        if s <= d <= s + span - 1
+    }
+    assert got == want
+    # each matching pair exactly once (the <=2-cell explode must not dup)
+    rows = range_join_binned(ldf, rdf, "ld", "od", span).collect()
+    assert len(rows) == len(got)
+
+
+def test_range_join_binned_span_one_is_equijoin(spark):
+    from udacity_data_engineering_spark.operators.asof import range_join_binned
+
+    ldf = spark.createDataFrame([(1, 5), (2, 6)], "lid long, ld long")
+    rdf = spark.createDataFrame([(10, 5), (11, 7)], "rid long, od long")
+    got = {
+        (r.lid, r.rid)
+        for r in range_join_binned(ldf, rdf, "ld", "od", 1).collect()
+    }
+    assert got == {(1, 10)}
+
+
+# ---------------------------------------------------------------------------
+# payload dHash
+# ---------------------------------------------------------------------------
+
+
+def _ref_dhash(data: bytes, cells: int = 65) -> tuple[int, int]:
+    L = len(data)
+    b = [(c * L) // cells for c in range(cells + 1)]
+    cs = [(sum(data[b[c]:b[c + 1]]), b[c + 1] - b[c]) for c in range(cells)]
+    bits = [
+        1 if cs[c][0] * cs[c + 1][1] > cs[c + 1][0] * cs[c][1] else 0
+        for c in range(cells - 1)
+    ]
+    lo = sum(bits[c] << c for c in range(32))
+    hi = sum(bits[c + 32] << c for c in range(32))
+    return lo, hi
+
+
+def test_payload_dhash_matches_reference_on_committed_fixtures(spark):
+    from pathlib import Path
+
+    from udacity_data_engineering_spark.operators.multimodal import (
+        MEDIA_DIR,
+        payload_dhash,
+    )
+    from udacity_data_engineering_spark.session import configure
+
+    configure(spark)
+    media = spark.read.format("binaryFile").load(f"{MEDIA_DIR}/*")
+    got = {r.path.split("/")[-1]: (r.lo, r.hi) for r in payload_dhash(media).collect()}
+    assert len(got) == 10
+    for name, pair in got.items():
+        assert pair == _ref_dhash(Path(MEDIA_DIR, name).read_bytes()), name
+
+
+def test_payload_dhash_tolerates_single_byte_edit(spark, tmp_path):
+    import random
+
+    from udacity_data_engineering_spark.operators.multimodal import (
+        dhash_pairs,
+        payload_dhash,
+    )
+
+    rng = random.Random(7)
+    base = bytes(rng.randrange(256) for _ in range(650))
+    edited = bytearray(base)
+    edited[300] = (edited[300] + 128) % 256  # one byte changed
+    (tmp_path / "a.bin").write_bytes(base)
+    (tmp_path / "b.bin").write_bytes(bytes(edited))
+    media = spark.read.format("binaryFile").load(f"{tmp_path}/*")
+    pairs = dhash_pairs(payload_dhash(media)).collect()
+    assert len(pairs) == 1
+    # one byte perturbs one cell sum -> at most its two adjacent
+    # comparisons flip: sha2-exact dedup sees unrelated blobs, dHash
+    # sees near-identical ones
+    assert pairs[0].hamming <= 2
+
+
+def test_media_fixtures_meet_dhash_cell_floor():
+    """The dhash oracle's LATERAL position expansion emits no row for an
+    empty slice, so parity requires every fixture payload >= 65 bytes
+    (one byte per cell). Pin it so a future tiny fixture fails loudly
+    here instead of silently diverging the oracle."""
+    from pathlib import Path
+
+    from udacity_data_engineering_spark.operators.multimodal import MEDIA_DIR
+
+    for p in Path(MEDIA_DIR).iterdir():
+        assert p.stat().st_size >= 65, p.name

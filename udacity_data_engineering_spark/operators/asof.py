@@ -155,3 +155,116 @@ def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id_matched").alias("next_purchase_event_id"),
         F.col("ts_matched").alias("next_purchase_ts"),
     )
+
+
+def range_join_binned(
+    left: DataFrame,
+    right: DataFrame,
+    left_day: str,
+    right_start_day: str,
+    span_days: int,
+) -> DataFrame:
+    """Band/range join — every (left, right) pair with
+    ``left_day`` in [right_start_day, right_start_day + span_days - 1]
+    (integer day columns) — WITHOUT the cartesian product Catalyst
+    falls back to for pure inequality predicates
+    (BroadcastNestedLoopJoin: O(|L|·|R|) comparisons, a non-starter at
+    100 TB).
+
+    The grid/binning strategy every streaming/DB engine uses for band
+    joins (Flink interval join, DuckDB IEJoin's blocking analogue):
+    pick a cell width >= the band width, so each right-side interval
+    overlaps AT MOST TWO grid cells. The right side explodes into <= 2
+    (cell, row) copies, the left side computes its single cell
+    scan-side, and the band join becomes one hash EQUI-join on the
+    cell plus an exact residual filter. Shuffle volume is |L| + 2|R|
+    rows keyed by cell — never a pairwise blowup — and each matching
+    pair is produced exactly once (a left row lives in one cell, and
+    the right interval's two exploded cells are distinct).
+
+    Columns must be integer "days since epoch" (or any integer axis);
+    both sides keep all their other columns."""
+    if span_days < 1:
+        raise ValueError(f"span_days must be >= 1, got {span_days}")
+    w = span_days  # cell width = band width: <= 2 cells per interval
+    lcell = left.withColumn("__cell", F.floor(F.col(left_day) / w))
+    rcell = right.withColumn(
+        "__cell",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.floor(F.col(right_start_day) / w),
+                    F.floor((F.col(right_start_day) + (span_days - 1)) / w),
+                )
+            )
+        ),
+    )
+    resid = (F.col(left_day) >= F.col(right_start_day)) & (
+        F.col(left_day) <= F.col(right_start_day) + (span_days - 1)
+    )
+    return lcell.join(rcell, "__cell").filter(resid).drop("__cell")
+
+
+@register(
+    "q_range_join_binned",
+    oracle="""
+        WITH l AS (
+            SELECT l_quantity,
+                   date_diff('day', DATE '1970-01-01',
+                             CAST(l_shipdate AS DATE)) AS ld
+            FROM lineitem
+        ), o AS (
+            SELECT o_orderpriority,
+                   date_diff('day', DATE '1970-01-01',
+                             CAST(o_orderdate AS DATE)) AS od
+            FROM orders
+        )
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM l JOIN o ON l.ld >= o.od AND l.ld <= o.od + 6
+        GROUP BY o_orderpriority
+    """,
+    doc="E8+: band/range join — every (lineitem, order) pair where the "
+    "ship date falls in the order date's 7-day window, with NO key "
+    "equality to save the join (the shape Catalyst can only cartesian). "
+    "Grid-binned: cell width = band width, right intervals explode "
+    "into <=2 cells, one hash equi-join on the cell + exact residual "
+    "filter — shuffle is |L| + 2|R| rows, never |L|x|R|. Aggregated "
+    "per order priority (~2.6M matched pairs reduced map-side). "
+    "Hash-proven: DuckDB evaluates the same band predicate natively "
+    "(IEJoin) and must produce identical pair counts and quantity "
+    "sums.",
+    tags=("E8", "E7"),
+)
+def q_range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Aggregate pushdown BELOW the range join: the final aggregate only
+    # needs per-day lineitem (count, quantity-sum), so the fact side
+    # collapses to ~one row per distinct ship day BEFORE pairing —
+    # orders × matched-days (<= 7 per order) rows flow through the join
+    # instead of orders × matched-lineitems (~262M pairs at sf0.1,
+    # measured 46 s without the pushdown; the pairwise surface stays
+    # available through range_join_binned itself). The oracle keeps the
+    # pairwise formulation — same counts and sums by distributivity.
+    epoch = F.to_date(F.lit("1970-01-01"))
+    li_day = (
+        table(spark, sf_dir, "lineitem")
+        .select(
+            "l_quantity",
+            F.datediff(F.to_date("l_shipdate"), epoch).alias("ld"),
+        )
+        .groupBy("ld")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum("l_quantity").alias("__qty"),
+        )
+    )
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.datediff(F.to_date("o_orderdate"), epoch).alias("od"),
+    )
+    joined = range_join_binned(li_day, orders, "ld", "od", span_days=7)
+    return joined.groupBy("o_orderpriority").agg(
+        F.sum("__n").alias("n_pairs"),
+        F.round(F.sum("__qty"), 2).alias("sum_qty"),
+    )

@@ -695,3 +695,150 @@ def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace("survivor_path", "^file:", "").alias("survivor_path"),
         "n_copies",
     )
+
+
+def payload_dhash(df: DataFrame, cells: int = 65) -> DataFrame:
+    """(path, lo, hi): a difference-hash fingerprint of each opaque
+    payload — the dHash idea (average-pool, compare adjacent cells,
+    one bit per comparison) applied to the raw BYTE raster, giving a
+    near-dup signal that tolerates small payload edits where
+    sha2-exact dedup (media_dedup) sees a different blob. The real
+    image deployment applies the identical pooling to DECODED
+    luminance (decode kernels above); byte-raster mode is the
+    format-agnostic fallback that runs on any blob, any container.
+
+    All JVM-side, ZERO shuffle: hex the payload once, pool ``cells``
+    equal byte-slices with exact integer sums (slice boundaries
+    c*L DIV cells — identical arithmetic in the oracle), emit bit c =
+    avg(cell c) > avg(cell c+1) compared by cross-multiplication
+    (sum_a*n_b > sum_b*n_a — no float division anywhere), and pack 64
+    bits into two BIGINT halves. The (lo, hi) pair then rides the SAME
+    banding/Hamming machinery as SimHash text near-dup
+    (neardup.simhash_banded / hamming_packed). Blobs shorter than
+    ``cells`` bytes produce empty cells whose comparisons are 0-bits —
+    defined, not an error. At scale, chunk multi-GB payloads with
+    frame_sample first so per-row slice arrays stay bounded."""
+    n = int(cells)
+    hx = F.lower(F.hex(F.col("content")))
+    base = df.select("path", hx.alias("__hx"), F.length("content").alias("__len"))
+    cs = F.expr(
+        f"""transform(sequence(0, {n - 1}), c -> struct(
+            aggregate(
+                sequence(CAST((CAST(c AS BIGINT) * __len) DIV {n} AS INT) + 1,
+                         CAST(((CAST(c AS BIGINT) + 1) * __len) DIV {n} AS INT)),
+                CAST(0 AS BIGINT),
+                (acc, p) -> acc + CAST(conv(substring(__hx, 2 * p - 1, 2), 16, 10) AS BIGINT)
+            ) AS s,
+            ((CAST(c AS BIGINT) + 1) * __len) DIV {n}
+                - (CAST(c AS BIGINT) * __len) DIV {n} AS m))"""
+    )
+    bits = F.expr(
+        f"""transform(sequence(1, {n - 1}), c -> IF(
+            element_at(__cs, c).s * element_at(__cs, c + 1).m
+            > element_at(__cs, c + 1).s * element_at(__cs, c).m,
+            CAST(1 AS BIGINT), CAST(0 AS BIGINT)))"""
+    )
+    pack = (
+        "aggregate(sequence(1, 32), CAST(0 AS BIGINT), "
+        "(acc, i) -> acc + element_at(__bits, i {off}) * shiftleft(CAST(1 AS BIGINT), i - 1))"
+    )
+    return (
+        base.withColumn("__cs", cs)
+        .withColumn("__bits", bits)
+        .select(
+            "path",
+            F.expr(pack.format(off="")).alias("lo"),
+            F.expr(pack.format(off="+ 32")).alias("hi"),
+        )
+    )
+
+
+def dhash_pairs(hashed: DataFrame, max_hamming: int | None = None) -> DataFrame:
+    """(path_a, path_b, hamming): pairwise Hamming distances between
+    payload fingerprints (path_a < path_b, each pair once). At fixture
+    scale this is the exact all-pairs surface; at corpus scale feed the
+    (lo, hi) table through neardup.simhash_banded + bucket pairing
+    instead (identical downstream semantics — same packed-signature
+    Hamming arithmetic)."""
+    from udacity_data_engineering_spark.operators.neardup import hamming_packed
+
+    a = hashed.selectExpr("path AS path_a", "lo AS la", "hi AS ha")
+    b = hashed.selectExpr("path AS path_b", "lo AS lb", "hi AS hb")
+    out = (
+        a.join(b, F.col("path_a") < F.col("path_b"))
+        .select(
+            "path_a",
+            "path_b",
+            hamming_packed(
+                F.col("la"), F.col("ha"), F.col("lb"), F.col("hb")
+            ).alias("hamming"),
+        )
+    )
+    if max_hamming is not None:
+        out = out.filter(F.col("hamming") <= max_hamming)
+    return out
+
+
+_DHASH_SQL = """
+        WITH f AS (
+            SELECT filename AS path, lower(hex(content)) AS hx,
+                   octet_length(content) AS len
+            FROM read_blob('{media}/*')
+        ), cellsum AS (
+            SELECT path, c,
+                   (c + 1) * len // 65 - c * len // 65 AS m,
+                   coalesce(sum(
+                       (strpos('0123456789abcdef', substr(hx, 2 * p - 1, 1)) - 1) * 16
+                     + (strpos('0123456789abcdef', substr(hx, 2 * p, 1)) - 1)), 0) AS s
+            FROM f,
+                 LATERAL (SELECT unnest(range(0, 65)) AS c),
+                 LATERAL (SELECT unnest(range(c * len // 65 + 1,
+                                              (c + 1) * len // 65 + 1)) AS p)
+            GROUP BY path, c, len
+        ), bits AS (
+            SELECT path, c,
+                   CASE WHEN s * lead(m) OVER w > lead(s) OVER w * m
+                        THEN 1 ELSE 0 END AS bit
+            FROM cellsum
+            WINDOW w AS (PARTITION BY path ORDER BY c)
+            QUALIFY c < 64
+        ), h AS (
+            SELECT path,
+                   sum(CASE WHEN c < 32 THEN bit * (1::BIGINT << c) ELSE 0 END) AS lo,
+                   sum(CASE WHEN c >= 32 THEN bit * (1::BIGINT << (c - 32)) ELSE 0 END) AS hi
+            FROM bits GROUP BY path
+        )
+"""
+
+
+@register(
+    "q_multimodal_dhash_pairs",
+    oracle=_DHASH_SQL.format(media=MEDIA_DIR)
+    + """
+        SELECT parse_filename(a.path) AS path_a,
+               parse_filename(b.path) AS path_b,
+               CAST(bit_count(xor(a.lo, b.lo))
+                    + bit_count(xor(a.hi, b.hi)) AS INT) AS hamming
+        FROM h a JOIN h b ON a.path < b.path
+    """,
+    doc="E15+E12: perceptual-style near-dup fingerprints for opaque "
+    "media payloads — 64-bit byte-raster dHash (average-pool 65 equal "
+    "slices, adjacent-cell comparisons, exact integer arithmetic "
+    "throughout) + pairwise Hamming distances, the SimHash machinery "
+    "applied to binary columns. Zero shuffle up to the pair join; at "
+    "corpus scale the (lo, hi) table feeds simhash_banded instead of "
+    "all-pairs. Hash-proven: DuckDB recomputes identical slice sums "
+    "(hex recovery), identical cross-multiplied bits, identical "
+    "packing and xor/bit_count Hamming.",
+    tags=("E15", "E12", "dedup"),
+)
+def q_multimodal_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from udacity_data_engineering_spark.session import configure
+
+    configure(spark)
+    media = spark.read.format("binaryFile").load(f"{MEDIA_DIR}/*")
+    return dhash_pairs(payload_dhash(media)).select(
+        F.element_at(F.split("path_a", "/"), -1).alias("path_a"),
+        F.element_at(F.split("path_b", "/"), -1).alias("path_b"),
+        "hamming",
+    )
