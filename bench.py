@@ -234,11 +234,18 @@ def main() -> None:
         "q_dsir_mix",
         "q_range_join_binned",
         "q_multimodal_dhash_pairs",
+        "q_substring_scrub",
     ):
         best = float("inf")
         for _ in range(REPS):  # best-of-3, matching BASELINE.md methodology
             t0 = time.perf_counter()
-            manifest[name].fn(spark, SF_DIR).count()
+            # noop sink, not count(): count() lets Catalyst prune unused
+            # expression subtrees (measured: q_dsir_mix's whole log-ratio
+            # computation optimized away under count), so every extension
+            # pays for ALL its output columns — the honest number.
+            manifest[name].fn(spark, SF_DIR).write.format("noop").mode(
+                "overwrite"
+            ).save()
             best = min(best, time.perf_counter() - t0)
         extensions[name] = round(best, 3)
 

@@ -113,6 +113,55 @@ def main() -> None:
             .groupBy("c_mktsegment")
             .agg(F.sum("o_totalprice"))
             .collect(),
+            # round 9: grid-binned band join with the per-day aggregate
+            # pushdown — per-day rollup input is linear, the join itself
+            # is bounded by distinct days x 2, so the shape must scale
+            # with the rollup scan, never with matched-pair volume
+            "range_join_day_agg": lambda: t["lineitem"]
+            .select(
+                "l_quantity",
+                F.datediff(
+                    F.to_date("l_shipdate"), F.to_date(F.lit("1970-01-01"))
+                ).alias("ld"),
+            )
+            .groupBy("ld")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("q"))
+            .join(
+                t["orders"].select(
+                    "o_orderpriority",
+                    F.explode(
+                        F.array_distinct(
+                            F.array(
+                                F.floor(
+                                    F.datediff(
+                                        F.to_date("o_orderdate"),
+                                        F.to_date(F.lit("1970-01-01")),
+                                    )
+                                    / 7
+                                ),
+                                F.floor(
+                                    (
+                                        F.datediff(
+                                            F.to_date("o_orderdate"),
+                                            F.to_date(F.lit("1970-01-01")),
+                                        )
+                                        + 6
+                                    )
+                                    / 7
+                                ),
+                            )
+                        )
+                    ).alias("__cell"),
+                    F.datediff(
+                        F.to_date("o_orderdate"), F.to_date(F.lit("1970-01-01"))
+                    ).alias("od"),
+                ),
+                F.floor(F.col("ld") / 7) == F.col("__cell"),
+            )
+            .filter("ld >= od AND ld <= od + 6")
+            .groupBy("o_orderpriority")
+            .agg(F.sum("n"), F.sum("q"))
+            .collect(),
             "window_rank": lambda: t["orders"]
             .withColumn(
                 "rn",
@@ -279,8 +328,89 @@ def main() -> None:
                 nd_batch, spark.read.parquet(f"{nd_index_dir}/simbands")
             ).count()
 
+        def ws():
+            # round 9: weighted sample — scan-side priorities + top-k
+            # heaps; must stay scan-bound
+            from udacity_data_engineering_spark.operators.sampling import (
+                priority_sample,
+            )
+
+            return priority_sample(docs, "n_chars", 200).count()
+
+        def dsir():
+            # round 9: corpus-linear explode + 256-row broadcast model
+            from udacity_data_engineering_spark.operators.dsir import (
+                dsir_scores,
+            )
+
+            # sum(lr), not count(): count lets Catalyst prune the whole
+            # log-ratio computation out of the plan (measured: 0.19 s
+            # "processing" 40M words — it wasn't)
+            return (
+                dsir_scores(docs, F.col("lang") == "en")
+                .agg(F.sum("lr"))
+                .collect()
+            )
+
+        def ranges():
+            # round 9: duplicated-range coalescing — span digests +
+            # per-doc gaps-and-islands window
+            from udacity_data_engineering_spark.operators.substrings import (
+                duplicate_ranges,
+            )
+
+            return duplicate_ranges(docs).count()
+
+        def scrub():
+            # round 9: the removal step — on the all-duplicates replica
+            # ~99% of docs are non-keepers, so coverage expansion and
+            # reassembly touch nearly every word: the worst case for
+            # this shape, still corpus-linear by construction
+            from udacity_data_engineering_spark.operators.substrings import (
+                scrub_duplicate_spans,
+            )
+
+            # force the reassembly: count() would column-prune the
+            # collect_list/concat_ws aggregate away
+            return (
+                scrub_duplicate_spans(docs)
+                .agg(F.sum(F.length("scrubbed")), F.sum("n_removed"))
+                .collect()
+            )
+
+        def rrf():
+            # round 9: hybrid retrieval — both legs scan once, fusion is
+            # a bounded join of two <=100-row frames
+            from udacity_data_engineering_spark.operators.hybrid import (
+                rrf_fuse,
+            )
+            from udacity_data_engineering_spark.operators.similarity import (
+                cosine,
+            )
+            from udacity_data_engineering_spark.operators.text import bm25
+
+            lex = bm25(docs, ["spark", "join", "filter"])
+            embd = emb.withColumn(
+                "emb_d", F.col("embedding").cast("array<double>")
+            )
+            qv = embd.filter(F.col("vec_id") % 10_000_000 == 0).limit(1).select(
+                F.col("emb_d").alias("q_emb")
+            )
+            dense = embd.crossJoin(F.broadcast(qv)).select(
+                "vec_id",
+                F.round(cosine(F.col("emb_d"), F.col("q_emb")), 6).alias("cs"),
+            )
+            return rrf_fuse(
+                [(lex, "doc_id", "bm25"), (dense, "vec_id", "cs")]
+            ).count()
+
         return {
             "incremental_dedup": inc,
+            "weighted_sample": ws,
+            "dsir_scores": dsir,
+            "substring_ranges": ranges,
+            "substring_scrub": scrub,
+            "hybrid_rrf": rrf,
             "minhash_survivors": mh,
             "minhash_survivors_dedup_first": mh_ordered,
             "pq_train_encode": pq,

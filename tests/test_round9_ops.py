@@ -345,3 +345,37 @@ def test_media_fixtures_meet_dhash_cell_floor():
 
     for p in Path(MEDIA_DIR).iterdir():
         assert p.stat().st_size >= 65, p.name
+
+
+def test_scrub_keeps_one_occurrence_and_splices_others(spark):
+    from udacity_data_engineering_spark.operators.substrings import (
+        scrub_duplicate_spans,
+    )
+
+    block = [f"b{i}" for i in range(20)]
+    pre, post = [f"x{i}" for i in range(3)], [f"y{i}" for i in range(3)]
+    d1 = _mkdoc(pre + block + post)   # keeper (min doc_id)
+    d2 = _mkdoc([f"z{i}" for i in range(5)] + block)
+    d3 = _mkdoc(["solo"] * 25)        # no cross-doc dup, passes through
+    docs = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in scrub_duplicate_spans(docs).collect()}
+    assert got[1].scrubbed == d1                      # keeper untouched
+    assert got[1].n_removed == 0
+    assert got[2].scrubbed == " ".join([f"z{i}" for i in range(5)])
+    assert got[2].n_removed == 20 and got[2].n_kept == 5
+    assert got[3].scrubbed == d3 and got[3].n_removed == 0
+
+
+def test_scrub_short_docs_pass_through(spark):
+    from udacity_data_engineering_spark.operators.substrings import (
+        scrub_duplicate_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "too short to span"), (2, "too short to span")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.scrubbed for r in scrub_duplicate_spans(docs).collect()}
+    assert got == {1: "too short to span", 2: "too short to span"}

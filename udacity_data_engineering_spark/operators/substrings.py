@@ -352,3 +352,121 @@ _SPANS_POS_SQL = """
 )
 def q_substring_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_ranges(table(spark, sf_dir, "documents"))
+
+
+def scrub_duplicate_spans(
+    docs: DataFrame,
+    n: int = SPAN_WORDS,
+    min_docs: int = 2,
+) -> DataFrame:
+    """(doc_id, n_kept, n_removed, scrubbed): the REMOVAL step of
+    substring dedup — Lee et al. (arXiv:2107.06499) delete every
+    duplicated span occurrence except one; here the KEEPER of each
+    duplicated window is the minimum doc_id containing it (their
+    "remove all but one" with a deterministic, engine-portable choice),
+    and every other document loses the words covered by its flagged
+    windows. ``scrubbed`` is the surviving text (original word order);
+    docs shorter than ``n`` words pass through untouched.
+
+    Shape: the span table aggregates once on the digest (partial-agg
+    groupBy carrying (fp -> min doc)), joins back to non-keeper window
+    occurrences, expands each flagged window to its ``n`` covered word
+    positions (a bounded explode: flagged-windows x n rows, deduped to
+    covered positions), anti-joins the doc's word-position table, and
+    reassembles with one ordered per-doc aggregate. Nothing carries
+    text wider than a word past the first split; coverage expansion is
+    linear in flagged windows, not in corpus size."""
+    from pyspark.sql.window import Window  # noqa: F401 (parity with siblings)
+
+    spans = span_position_fingerprints(docs, n=n)
+    keepers = spans.groupBy("fp").agg(
+        F.min("doc_id").alias("__keeper"),
+        F.countDistinct("doc_id").alias("__nd"),
+    ).filter(F.col("__nd") >= min_docs)
+    flagged = (
+        spans.join(keepers, "fp")
+        .filter(F.col("doc_id") != F.col("__keeper"))
+        .select("doc_id", "pos")
+    )
+    covered = (
+        flagged.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+        .withColumn("__cut", F.lit(True))
+    )
+    words = spread(docs).select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos0", "w"),
+    ).withColumn("pos", F.col("pos0") + 1)
+    marked = words.join(covered, ["doc_id", "pos"], "left")
+    return marked.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("__cut").isNull(), 1).otherwise(0))
+        .cast("int")
+        .alias("n_kept"),
+        F.sum(F.when(F.col("__cut").isNotNull(), 1).otherwise(0))
+        .cast("int")
+        .alias("n_removed"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("__cut").isNull(),
+                            F.struct(F.col("pos"), F.col("w")),
+                        )
+                    )
+                ),
+                lambda s: s.w,
+            ),
+        ).alias("scrubbed"),
+    )
+
+
+@register(
+    "q_substring_scrub",
+    oracle=f"""
+        WITH spans AS ({_SPANS_POS_SQL}),
+        keepers AS (
+            SELECT fp, min(doc_id) AS keeper
+            FROM spans GROUP BY fp
+            HAVING count(DISTINCT doc_id) >= 2
+        ), covered AS (
+            SELECT DISTINCT s.doc_id, s.pos + d.off AS pos
+            FROM spans s JOIN keepers k USING (fp),
+                 LATERAL (SELECT unnest(range(0, {SPAN_WORDS})) AS off) d
+            WHERE s.doc_id <> k.keeper
+        ), words AS (
+            SELECT doc_id, w, CAST(po AS INT) AS pos FROM (
+                SELECT doc_id,
+                       unnest(string_split(text, ' ')) AS w,
+                       generate_subscripts(string_split(text, ' '), 1) AS po
+                FROM documents
+            )
+        ), marked AS (
+            SELECT wo.doc_id, wo.w, wo.pos, c.pos IS NOT NULL AS cut
+            FROM words wo LEFT JOIN covered c
+              ON wo.doc_id = c.doc_id AND wo.pos = c.pos
+        )
+        SELECT doc_id,
+               CAST(sum(CASE WHEN NOT cut THEN 1 ELSE 0 END) AS INT) AS n_kept,
+               CAST(sum(CASE WHEN cut THEN 1 ELSE 0 END) AS INT) AS n_removed,
+               coalesce(string_agg(CASE WHEN NOT cut THEN w END, ' '
+                                   ORDER BY pos), '') AS scrubbed
+        FROM marked GROUP BY doc_id
+    """,
+    doc="The REMOVAL step of substring dedup (Lee et al.): each "
+    "duplicated 20-word window survives only in its minimum-doc_id "
+    "keeper; every other document emits its text with the covered "
+    "words spliced out, plus kept/removed word counts. Hash-proven "
+    "end to end INCLUDING the reassembled text: DuckDB recomputes "
+    "the identical keeper choice, coverage expansion and ordered "
+    "reassembly.",
+    tags=("E11", "dedup", "llm-pipeline"),
+)
+def q_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return scrub_duplicate_spans(table(spark, sf_dir, "documents"))
