@@ -188,6 +188,28 @@ def main() -> int:
 
         run("replica_substring_dupes", lambda: duplicate_spans(docs_big).count())
         run("replica_charlm_score", lambda: charlm_score(docs_big).count())
+        # round-9 heavy shapes: the removal step's coverage explode +
+        # full text reassembly (collect_list buffers are spillable
+        # ObjectAggregation state — exactly what this probe tests) and
+        # DSIR's word-explode + per-doc aggregate. Forced evaluation
+        # (sum over computed columns) — count() would prune the work.
+        from udacity_data_engineering_spark.operators.dsir import dsir_scores
+        from udacity_data_engineering_spark.operators.substrings import (
+            scrub_duplicate_spans,
+        )
+
+        run(
+            "replica_substring_scrub",
+            lambda: scrub_duplicate_spans(docs_big)
+            .agg(F.sum(F.length("scrubbed")), F.sum("n_removed"))
+            .collect(),
+        )
+        run(
+            "replica_dsir_scores",
+            lambda: dsir_scores(docs_big, F.col("lang") == "en")
+            .agg(F.sum("lr"))
+            .collect(),
+        )
     else:
         print("NOTE: 10x replica missing; run scripts/scale_probe.py first", flush=True)
 

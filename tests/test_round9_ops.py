@@ -379,3 +379,21 @@ def test_scrub_short_docs_pass_through(spark):
     )
     got = {r.doc_id: r.scrubbed for r in scrub_duplicate_spans(docs).collect()}
     assert got == {1: "too short to span", 2: "too short to span"}
+
+
+def test_priority_sample_invariant_under_repartitioning(spark):
+    """The determinism claim with teeth: the selected set must be a
+    pure function of the rows — identical under any partitioning
+    (seeded RNG streams lose exactly this property on repartition)."""
+    rows = [(i, (i * 11) % 30 + 1) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    a = {r.doc_id for r in priority_sample(df, "w", 40).collect()}
+    b = {
+        r.doc_id
+        for r in priority_sample(df.repartition(13), "w", 40).collect()
+    }
+    c = {
+        r.doc_id
+        for r in priority_sample(df.coalesce(1), "w", 40).collect()
+    }
+    assert a == b == c
