@@ -235,6 +235,8 @@ def main() -> None:
         "q_range_join_binned",
         "q_multimodal_dhash_pairs",
         "q_substring_scrub",
+        "q_doc_chunks_bpe",
+        "q_source_caps",
     ):
         best = float("inf")
         for _ in range(REPS):  # best-of-3, matching BASELINE.md methodology

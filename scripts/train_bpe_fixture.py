@@ -75,6 +75,16 @@ def main() -> None:
         w.writerow(["word", "n_tokens"])
         for word in sorted(vocab):
             w.writerow([word, len(encode_word(word, ranks))])
+    # (word, tokens-joined-by-|): the oracle lookup for TOKEN-SEQUENCE
+    # queries (BPE-unit chunking) — "|" never occurs in tokens (the
+    # vocabulary is alphanumeric plus the </w> end-of-word marker)
+    with (OUT / "word_token_seqs.csv").open("w", newline="", encoding="utf-8") as f:
+        w = csv.writer(f)
+        w.writerow(["word", "seq"])
+        for word in sorted(vocab):
+            toks = encode_word(word, ranks)
+            assert all("|" not in t for t in toks), word
+            w.writerow([word, "|".join(toks)])
     print(f"wrote {len(merges)} merges, {len(vocab)} vocabulary words -> {OUT}")
 
 

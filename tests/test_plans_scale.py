@@ -95,6 +95,7 @@ PYTHON_PATH_QUERIES = {
     "q_bpe_token_counts",
     "q_token_budget_mix_bpe",
     "q_length_bucket_batches_bpe",
+    "q_doc_chunks_bpe",
     # Python DataSource API demo — a Python-eval plan by construction.
     "q_python_datasource",
     # Arrow-batched media kernels (numpy fancy-index / reshape per batch —

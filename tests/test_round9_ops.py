@@ -397,3 +397,45 @@ def test_priority_sample_invariant_under_repartitioning(spark):
         for r in priority_sample(df.coalesce(1), "w", 40).collect()
     }
     assert a == b == c
+
+
+def test_bpe_chunks_boundaries_and_content(spark):
+    from udacity_data_engineering_spark.operators.bpe import (
+        bpe_chunks,
+        encode_word,
+        load_merges,
+    )
+    import hashlib
+
+    merges = load_merges()
+    ranks = {p: i for i, p in enumerate(merges)}
+    text = " ".join(["batch", "spark", "join"] * 15)  # 45 words
+    docs = spark.createDataFrame([(1, text), (2, None), (3, "")],
+                                 "doc_id long, text string")
+    got = {
+        (r.doc_id, r.chunk_id): (r.n_tokens, r.chunk_sha)
+        for r in bpe_chunks(docs, merges, chunk_tokens=32).collect()
+    }
+    toks = []
+    for w in text.split(" "):
+        toks.extend(encode_word(w, ranks))
+    want_chunks = [toks[i:i + 32] for i in range(0, len(toks), 32)]
+    assert {k[0] for k in got} == {1}  # empty/NULL docs emit no chunks
+    assert len([k for k in got if k[0] == 1]) == len(want_chunks)
+    for cid, chunk in enumerate(want_chunks):
+        n, sha = got[(1, cid)]
+        assert n == len(chunk)
+        assert sha == hashlib.sha256(" ".join(chunk).encode()).hexdigest()
+
+
+def test_cap_per_group_keeps_best_k(spark):
+    from udacity_data_engineering_spark.operators.sampling import cap_per_group
+
+    rows = [(i, "s" + str(i % 2), i * 10) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    got = {
+        (r.source, r.doc_id)
+        for r in cap_per_group(df, "source", 2).collect()
+    }
+    # longest two per source: s0 -> ids 8, 6; s1 -> ids 9, 7
+    assert got == {("s0", 8), ("s0", 6), ("s1", 9), ("s1", 7)}

@@ -486,3 +486,84 @@ def q_length_bucket_batches_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     counts = bpe_token_counts(docs, load_merges()).select("doc_id", "n_tokens")
     return length_bucket_batches(docs, counts=counts)
+
+
+def bpe_chunks(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    chunk_tokens: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, chunk_id, n_tokens, chunk_sha): fixed-size context
+    windows measured in REAL tokenizer units — the chunking stage
+    (packing.doc_chunks) re-expressed over subword sequences, so a
+    "32-token chunk" is 32 tokens the model actually sees, not 32
+    whitespace words (2-4x off on real text). The last chunk per doc is
+    short (no padding here — padding accounting is
+    length_bucket_batches' job); ``chunk_sha`` digests the
+    space-joined token sequence, making chunk CONTENT (not just
+    counts) value-hash provable. Tokenization is the Arrow kernel;
+    chunk slicing is JVM array arithmetic on its output — one Python
+    hop total, no shuffle."""
+    tok = bpe_tokenize(docs, merges, id_col, text_col)
+    nch = F.ceil(F.col("n_tokens") / float(chunk_tokens)).cast("int")
+    chunk = F.expr(
+        f"""transform(sequence(1, __nch), c -> struct(
+            CAST(c - 1 AS INT) AS chunk_id,
+            slice(tokens, (c - 1) * {chunk_tokens} + 1, {chunk_tokens}) AS toks))"""
+    )
+    return (
+        tok.filter(F.col("n_tokens") > 0)
+        .withColumn("__nch", nch)
+        .select("doc_id", F.explode(chunk).alias("ch"))
+        .select(
+            "doc_id",
+            F.col("ch.chunk_id").alias("chunk_id"),
+            F.size("ch.toks").alias("n_tokens"),
+            F.sha2(F.concat_ws(" ", F.col("ch.toks")), 256).alias("chunk_sha"),
+        )
+    )
+
+
+@register(
+    "q_doc_chunks_bpe",
+    oracle=f"""
+        WITH lut AS (
+            SELECT word, string_split(seq, '|') AS toks
+            FROM read_csv('{BPE_DIR}/word_token_seqs.csv', header = true)
+        ), words AS (
+            SELECT doc_id, w, wp FROM (
+                SELECT doc_id,
+                       unnest(string_split(coalesce(text, ''), ' ')) AS w,
+                       generate_subscripts(string_split(coalesce(text, ''), ' '), 1) AS wp
+                FROM documents
+            ) WHERE w <> ''
+        ), tokens AS (
+            SELECT doc_id, t.tok,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY wp, t.ti) AS tp
+            FROM words JOIN lut ON lut.word = words.w,
+                 LATERAL (SELECT unnest(toks) AS tok,
+                                 generate_subscripts(toks, 1) AS ti) t
+        )
+        SELECT doc_id,
+               CAST((tp - 1) // 32 AS INT) AS chunk_id,
+               CAST(count(*) AS INT) AS n_tokens,
+               sha256(string_agg(tok, ' ' ORDER BY tp)) AS chunk_sha
+        FROM tokens
+        GROUP BY doc_id, (tp - 1) // 32
+    """,
+    doc="Chunking in REAL tokenizer units: 32-SUBWORD context windows "
+    "per document under the committed BPE fixture, with each chunk's "
+    "exact token-sequence digest — closing the last whitespace-unit "
+    "approximation in the chunking/packing family (q_doc_chunks "
+    "counts words; an accelerator pads tokens). Hash-proven INCLUDING "
+    "chunk content: DuckDB reconstructs every document's token "
+    "sequence from the fixture's per-word sequence lookup (written by "
+    "the independent reference encoder), chunks at the identical "
+    "boundaries and digests the identical space-joined sequences.",
+    tags=("E10", "llm-pipeline", "pandas"),
+)
+def q_doc_chunks_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_chunks(table(spark, sf_dir, "documents"), load_merges())

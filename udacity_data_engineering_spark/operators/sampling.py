@@ -505,3 +505,51 @@ def q_stratified_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return priority_sample_per_group(
         table(spark, sf_dir, "documents"), "lang", "n_chars", 30
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    order_cols: list | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group document cap with a deterministic priority — the
+    RefinedWeb-style "at most k documents per domain/source" quota that
+    stops any single origin from dominating a mixture, keeping the
+    best-ranked rows (default: longest first, id tiebreak — callers
+    pass e.g. a quality score). One windowed row_number per group; the
+    group shuffle is the whole cost, and at 100 TB the window streams
+    per group through WindowExec (no global sort, no collect)."""
+    from pyspark.sql.window import Window
+
+    order_cols = order_cols or [F.col("n_chars").desc(), F.col(id_col)]
+    w = Window.partitionBy(group_col).orderBy(*order_cols)
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
+@register(
+    "q_source_caps",
+    oracle="""
+        SELECT doc_id, source, n_chars FROM (
+            SELECT doc_id, source, n_chars,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY n_chars DESC, doc_id) AS rk
+            FROM documents
+        ) WHERE rk <= 15
+    """,
+    doc="Per-source document caps (the RefinedWeb-style domain quota): "
+    "at most 15 documents per source, keeping the longest (doc_id "
+    "tiebreak) — the mixture-shaping step that stops one origin from "
+    "dominating a corpus cut. One per-group window; hash-proven via "
+    "the identical ranking in DuckDB.",
+    tags=("E10", "llm-pipeline", "sampling"),
+)
+def q_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cap_per_group(
+        table(spark, sf_dir, "documents"), "source", 15
+    ).select("doc_id", "source", "n_chars")
