@@ -237,6 +237,8 @@ def main() -> None:
         "q_substring_scrub",
         "q_doc_chunks_bpe",
         "q_source_caps",
+        "q_streaming_static_join",
+        "q_charlm_lang_filter",
     ):
         best = float("inf")
         for _ in range(REPS):  # best-of-3, matching BASELINE.md methodology

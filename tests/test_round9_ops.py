@@ -439,3 +439,33 @@ def test_cap_per_group_keeps_best_k(spark):
     }
     # longest two per source: s0 -> ids 8, 6; s1 -> ids 9, 7
     assert got == {("s0", 8), ("s0", 6), ("s1", 9), ("s1", 7)}
+
+
+def test_charlm_lang_filter_per_language_cutoffs(spark):
+    from udacity_data_engineering_spark.operators.charlm import (
+        charlm_lang_filter,
+        charlm_score,
+    )
+
+    # two languages with different score distributions; per-language
+    # median keeps ~half of EACH, where a global cutoff would starve
+    # the higher-entropy language entirely
+    rows = [(i, "aa", "abcabcabc" * (1 + i % 3)) for i in range(8)] + [
+        (100 + i, "bb", "xyzw"[i % 4] * 9 + "qrstuv" * (1 + i % 4))
+        for i in range(8)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    kept = charlm_lang_filter(docs).collect()
+    langs = {r.lang for r in kept}
+    assert langs == {"aa", "bb"}  # both languages survive their own cutoff
+    scored = {
+        (r.doc_id): (r.lang, r.cross_entropy)
+        for r in charlm_score(docs, by="lang").collect()
+    }
+    for r in kept:  # every survivor is at or below its language's median
+        same_lang = sorted(
+            ce for (lang, ce) in scored.values() if lang == r.lang
+        )
+        import statistics
+
+        assert r.cross_entropy <= statistics.median(same_lang) + 1e-9

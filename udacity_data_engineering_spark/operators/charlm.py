@@ -193,3 +193,71 @@ def q_charlm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_charlm_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return charlm_score(table(spark, sf_dir, "documents"), by="lang")
+
+
+def charlm_lang_filter(
+    docs: DataFrame,
+    keep_quantile: float = 0.5,
+    by: str = "lang",
+) -> DataFrame:
+    """The complete CCNet selection: per-language perplexity scoring +
+    a PER-LANGUAGE cutoff — keep each language's lowest-cross-entropy
+    ``keep_quantile`` tail. A global cutoff would be the classic
+    monolingual bias (one language's typical score is another's
+    outlier); conditioning the threshold on the group is the published
+    CCNet design, and it costs one tiny per-group percentile aggregate
+    (|languages| rows, broadcast back) on top of the scoring pass —
+    no global sort, no second corpus scan. Cutoffs compare the ROUNDED
+    scores (the shared serialization contract), so the boundary is
+    engine-stable."""
+    scored = charlm_score(docs, by=by)
+    cuts = scored.groupBy(by).agg(
+        F.expr(f"percentile(cross_entropy, {keep_quantile})").alias("__cut")
+    )
+    return (
+        scored.join(F.broadcast(cuts), by)
+        .filter(F.col("cross_entropy") <= F.col("__cut"))
+        .select("doc_id", by, "n_trigrams", "cross_entropy")
+    )
+
+
+@register(
+    "q_charlm_lang_filter",
+    oracle="""
+        WITH tri AS (
+            SELECT doc_id, lang, substr(text, CAST(i AS BIGINT), 3) AS t
+            FROM documents,
+                 LATERAL (SELECT unnest(
+                     range(1, greatest(len(text) - 2, 0) + 1)) AS i)
+            WHERE len(text) >= 3
+        ), model AS (
+            SELECT lang, t, count(*) AS c FROM tri GROUP BY lang, t
+        ), tot AS (
+            SELECT lang, sum(c) AS n_total, count(*) AS v
+            FROM model GROUP BY lang
+        ), scored AS (
+            SELECT tri.doc_id, tri.lang,
+                   CAST(count(*) AS BIGINT) AS n_trigrams,
+                   round(ln(n_total + v) - avg(ln(c + 1)), 4) AS cross_entropy
+            FROM tri JOIN model USING (lang, t) JOIN tot USING (lang)
+            GROUP BY tri.doc_id, tri.lang, n_total, v
+        ), cuts AS (
+            SELECT lang, quantile_cont(cross_entropy, 0.5) AS cut
+            FROM scored GROUP BY lang
+        )
+        SELECT doc_id, lang, n_trigrams, cross_entropy
+        FROM scored JOIN cuts USING (lang)
+        WHERE cross_entropy <= cut
+    """,
+    doc="The complete CCNet per-language selection: per-language "
+    "char-trigram perplexity + a PER-LANGUAGE median cutoff (a global "
+    "threshold would impose one language's typical score on all — the "
+    "monolingual bias the per-group conditioning exists to remove). "
+    "One extra |languages|-row percentile aggregate, broadcast back. "
+    "Hash-proven: DuckDB recomputes the identical per-language scores "
+    "and the quantile_cont == percentile cutoffs over the rounded "
+    "values.",
+    tags=("E10", "llm-pipeline", "quality", "corpus"),
+)
+def q_charlm_lang_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return charlm_lang_filter(table(spark, sf_dir, "documents"))

@@ -195,3 +195,58 @@ def q_streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.catalog.dropTempView(sink)
     shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+def enrich_with_dim(stream: DataFrame, dim: DataFrame, keys) -> DataFrame:
+    """Stream-STATIC join: enrich a stream against a bounded dimension.
+    No watermark needed and no join state AT ALL — Spark re-plans the
+    static side per micro-batch and (for a dim-sized table) broadcasts
+    it, so this is the zero-state sibling of the watermarked
+    stream-stream joins in streaming/joins.py. The production
+    enrichment shape: events against a slowly-changing dim snapshot."""
+    return stream.join(F.broadcast(dim), keys)
+
+
+@register(
+    "q_streaming_static_join",
+    oracle="""
+        SELECT e.event_id, e.user_id, e.event_type, c.c_mktsegment,
+               round(e.value, 4) AS value
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+    doc="E14: stream-STATIC enrichment join executed as a real stream "
+    "(file source -> per-micro-batch broadcast join against the bounded "
+    "customer dim -> availableNow -> memory sink, append mode) — the "
+    "zero-state enrichment shape (no watermark, no join state: the "
+    "static side is re-planned and broadcast each micro-batch). "
+    "Hash-proven against the plain batch join in DuckDB: projection "
+    "joins are row-wise deterministic, so the streamed multiset must "
+    "equal the batch result exactly.",
+    tags=("E14", "E7", "streaming"),
+)
+def q_streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    run_id = uuid.uuid4().hex[:12]
+    tmp = tempfile.mkdtemp(prefix=f"stream_static_{run_id}_")
+    feed_dir = os.path.join(tmp, "feed")
+    table(spark, sf_dir, "events").coalesce(4).write.mode("overwrite").parquet(
+        feed_dir
+    )
+    dim = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    enriched = enrich_with_dim(
+        stream_events(spark, feed_dir).select(
+            "event_id", "user_id", "event_type", "value"
+        ),
+        dim,
+        F.col("user_id") == F.col("c_custkey"),
+    ).select(
+        "event_id", "user_id", "event_type", "c_mktsegment",
+        F.round("value", 4).alias("value"),
+    )
+    sink = f"stream_static_sink_{run_id}"
+    run_available_now(
+        enriched, sink, os.path.join(tmp, "ckpt"), output_mode="append"
+    )
+    out = spark.table(sink).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(sink)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
