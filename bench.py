@@ -239,6 +239,11 @@ def main() -> None:
         "q_source_caps",
         "q_streaming_static_join",
         "q_charlm_lang_filter",
+        "q_streaming_stream_join",
+        "q_scd2_apply",
+        "q_merge_upsert",
+        "q_merge_delete",
+        "q_heavy_hitters",
     ):
         best = float("inf")
         for _ in range(REPS):  # best-of-3, matching BASELINE.md methodology

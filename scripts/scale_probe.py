@@ -546,6 +546,89 @@ def main() -> None:
         "1x": session_detail["1x"]["sec"],
         f"{FACTOR}x": session_detail[f"{FACTOR}x"]["sec"],
     }
+    # round 9b: warehouse-maintenance shapes. SCD2 — the incremental
+    # apply (scan + broadcast-close + batch-only window; NO history-wide
+    # shuffle) vs the from-scratch rebuild (full window shuffle over
+    # history ∪ batch): both are corpus-linear, the law is the per-scale
+    # gap. MERGE upsert — the lake is partitioned by replica copy index
+    # (1x-sized partitions, MORE of them as the lake grows) and the
+    # fixed batch touches only partition 0, so the timed merge must stay
+    # ~FLAT as the lake grows 10x/100x: cost ∝ touched partitions +
+    # batch, never lake size. Setup (dim/lake construction) is untimed
+    # and _done-guarded like the nd indexes; the merge is idempotent
+    # (same keys re-patched), so re-runs see identical work.
+    from udacity_data_engineering_spark.operators.scd import (
+        scd2_apply,
+        scd2_build,
+    )
+    from udacity_data_engineering_spark.sources.lake import merge_upsert
+
+    ev_cols = ["user_id", "event_id", "ts"]
+    batch_ev = (
+        small["events"]
+        .select(*ev_cols)
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 2 YEARS"))
+        .localCheckpoint(eager=True)
+    )
+    upd_orders = (
+        small["orders"]
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .filter(F.col("o_orderkey") % 100 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1.0))
+        .withColumn("bucket", F.expr("o_orderkey DIV 10000000"))
+        .localCheckpoint(eager=True)
+    )
+    for label, t in (("1x", small), (f"{FACTOR}x", big)):
+        dim_dir = f"{BASE}/scd2_dim_{label}"
+        if not os.path.exists(f"{dim_dir}/_done"):
+            scd2_build(t["events"].select(*ev_cols)).write.mode(
+                "overwrite"
+            ).parquet(f"{dim_dir}/dim")
+            Path(f"{dim_dir}/_done").touch()
+        lake_dir = f"{BASE}/merge_lake_{label}"
+        if not os.path.exists(f"{lake_dir}/_done"):
+            (
+                t["orders"]
+                .select("o_orderkey", "o_custkey", "o_totalprice")
+                .withColumn("bucket", F.expr("o_orderkey DIV 10000000"))
+                .repartition("bucket")
+                .write.partitionBy("bucket")
+                .mode("overwrite")
+                .parquet(f"{lake_dir}/lake")
+            )
+            Path(f"{lake_dir}/_done").touch()
+
+        def scd2_incr():
+            scd2_apply(
+                spark.read.parquet(f"{dim_dir}/dim"), batch_ev
+            ).write.format("noop").mode("overwrite").save()
+
+        def scd2_full():
+            scd2_build(
+                t["events"].select(*ev_cols).unionByName(batch_ev)
+            ).write.format("noop").mode("overwrite").save()
+
+        def merge_shape():
+            merge_upsert(
+                spark,
+                f"{lake_dir}/lake",
+                upd_orders,
+                ["o_orderkey"],
+                "bucket",
+            )
+
+        for name, fn in (
+            ("scd2_apply_incr", scd2_incr),
+            ("scd2_build_full", scd2_full),
+            ("merge_upsert_1part", merge_shape),
+        ):
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn()
+                best = min(best, time.perf_counter() - t0)
+            results.setdefault(name, {})[label] = round(best, 3)
+
     for name, r in results.items():
         r["ratio"] = round(r[f"{FACTOR}x"] / max(r["1x"], 1e-9), 2)
     print(json.dumps({

@@ -96,6 +96,10 @@ PYTHON_PATH_QUERIES = {
     "q_token_budget_mix_bpe",
     "q_length_bucket_batches_bpe",
     "q_doc_chunks_bpe",
+    # heavy hitters: the pigeonhole candidate pass is an Arrow-batched
+    # value_counts by design (< k candidate rows per batch; the exact
+    # recount stays JVM-side — see operators/heavyhitters.py):
+    "q_heavy_hitters",
     # Python DataSource API demo — a Python-eval plan by construction.
     "q_python_datasource",
     # Arrow-batched media kernels (numpy fancy-index / reshape per batch —

@@ -1,65 +1,84 @@
+"""SCD Type-2 build + incremental apply (operators/scd.py).
+
+The load-bearing property: apply(build(history), batch) must equal
+build(history ∪ batch) for any batch strictly after history — that is
+what lets the daily dim job cost |dim|+|batch| instead of |history|.
+"""
+
 from __future__ import annotations
 
-from datetime import datetime
+import datetime as dt
 
-from udacity_data_engineering_spark.etl.scd2 import current_view, scd2_apply
+from pyspark.sql import functions as F
 
-T0 = datetime(2024, 1, 1)
-T1 = datetime(2024, 2, 1)
-T2 = datetime(2024, 3, 1)
+from udacity_data_engineering_spark.operators.scd import scd2_apply, scd2_build
+
+COLS = "user_id long, event_id long, ts timestamp_ntz"
 
 
-def test_scd2_versions_chain(spark):
-    dim = spark.createDataFrame(
-        [(1, "free", T0, None), (2, "free", T0, None)],
-        "user_id long, level string, valid_from timestamp_ntz, valid_to timestamp_ntz",
-    )
+def _t(day: int, hour: int = 0) -> dt.datetime:
+    return dt.datetime(2024, 1, day, hour)
+
+
+def _rows(df):
+    return {
+        (r.user_id, r.event_id, r.valid_from, r.valid_to, r.is_current)
+        for r in df.collect()
+    }
+
+
+def test_build_chains_versions_and_flags_current(spark):
     changes = spark.createDataFrame(
-        [(1, "paid", T1), (1, "free", T2), (3, "paid", T1)],
-        "user_id long, level string, ts timestamp_ntz",
+        [(1, 10, _t(1)), (1, 11, _t(3)), (2, 20, _t(2))], COLS
     )
-    out = scd2_apply(dim, changes, "user_id")
-    rows = {
-        (r.user_id, r.level, r.valid_from, r.valid_to) for r in out.collect()
+    got = _rows(scd2_build(changes))
+    assert got == {
+        (1, 10, _t(1), _t(3), False),
+        (1, 11, _t(3), None, True),
+        (2, 20, _t(2), None, True),
     }
-    assert rows == {
-        (1, "free", T0, T1),   # closed by first change
-        (1, "paid", T1, T2),   # intermediate version, closed by next
-        (1, "free", T2, None), # current
-        (2, "free", T0, None), # untouched key stays open
-        (3, "paid", T1, None), # brand-new key
-    }
-    current = {
-        (r.user_id, r.level) for r in current_view(out).collect()
-    }
-    assert current == {(1, "free"), (2, "free"), (3, "paid")}
 
 
-def test_scd2_asof_fact_join(spark):
-    """The point of SCD2: facts join to the version valid at event time."""
-    from udacity_data_engineering_spark.operators.asof import asof_join
+def test_build_tiebreak_makes_same_instant_changes_deterministic(spark):
+    changes = spark.createDataFrame(
+        [(1, 12, _t(5)), (1, 11, _t(5)), (1, 13, _t(6))], COLS
+    )
+    got = _rows(scd2_build(changes))
+    # same-ts versions order by event_id; valid_to of 11 is 12's ts
+    assert got == {
+        (1, 11, _t(5), _t(5), False),
+        (1, 12, _t(5), _t(6), False),
+        (1, 13, _t(6), None, True),
+    }
 
-    dim = scd2_apply(
-        spark.createDataFrame(
-            [(1, "free", T0, None)],
-            "user_id long, level string, valid_from timestamp_ntz, valid_to timestamp_ntz",
-        ),
-        spark.createDataFrame(
-            [(1, "paid", T1)], "user_id long, level string, ts timestamp_ntz"
-        ),
-        "user_id",
+
+def test_apply_equals_from_scratch_rebuild(spark):
+    # 3 keys x several versions straddling the cutoff; key 4 batch-only,
+    # key 2 history-only — the full shape matrix in one frame
+    rows = [
+        (1, 10, _t(1)),
+        (1, 11, _t(4)),
+        (2, 20, _t(2)),
+        (3, 30, _t(3)),
+        (1, 12, _t(10)),
+        (3, 31, _t(11)),
+        (3, 32, _t(12)),
+        (4, 40, _t(13)),
+    ]
+    changes = spark.createDataFrame(rows, COLS)
+    cutoff = F.lit("2024-01-08").cast("timestamp_ntz")
+    dim = scd2_build(changes.filter(F.col("ts") < cutoff))
+    incremental = scd2_apply(dim, changes.filter(F.col("ts") >= cutoff))
+    assert _rows(incremental) == _rows(scd2_build(changes))
+
+
+def test_apply_leaves_unchanged_keys_untouched_and_inserts_new(spark):
+    dim = scd2_build(
+        spark.createDataFrame([(2, 20, _t(2)), (2, 21, _t(3))], COLS)
     )
-    facts = spark.createDataFrame(
-        [(1, datetime(2024, 1, 15), 100), (1, datetime(2024, 2, 15), 101)],
-        "user_id long, ts timestamp_ntz, fact_id long",
-    )
-    joined = asof_join(
-        facts,
-        dim.select("user_id", "level", "valid_from"),
-        on="user_id",
-        left_ts="ts",
-        right_ts="valid_from",
-        right_cols=("level",),
-    )
-    got = {(r.fact_id, r.level_matched) for r in joined.collect()}
-    assert got == {(100, "free"), (101, "paid")}
+    batch = spark.createDataFrame([(9, 90, _t(9))], COLS)
+    got = _rows(scd2_apply(dim, batch))
+    assert (2, 20, _t(2), _t(3), False) in got  # closed stays closed
+    assert (2, 21, _t(3), None, True) in got  # untouched current stays open
+    assert (9, 90, _t(9), None, True) in got  # new key inserted current
+    assert len(got) == 3

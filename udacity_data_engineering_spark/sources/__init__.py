@@ -4,6 +4,7 @@ queries."""
 from udacity_data_engineering_spark.sources import (  # noqa: F401
     csv_source,
     json_source,
+    lake,
     orc_source,
     parquet_source,
     python_datasource,

@@ -250,3 +250,56 @@ def q_streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.catalog.dropTempView(sink)
     shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+@register(
+    "q_streaming_stream_join",
+    oracle="""
+        SELECT p.user_id, s.ts AS signup_ts, p.ts AS purchase_ts,
+               round(p.value, 4) AS value
+        FROM events p JOIN events s
+          ON p.user_id = s.user_id
+         AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 48 HOURS
+        WHERE p.event_type = 'purchase' AND s.event_type = 'signup'
+    """,
+    doc="E14: watermarked STREAM-STREAM interval join executed as a real "
+    "stream (streaming/joins.purchases_after_signup: purchases joined to "
+    "same-user signups at most 48h earlier, both sides watermarked so "
+    "join state is evicted once the other side's watermark passes — the "
+    "only way a stream-stream join runs with bounded state). The feed is "
+    "consumed in ONE availableNow micro-batch, so no candidate pair can "
+    "straddle an eviction boundary and the emitted multiset equals the "
+    "batch interval join exactly — which is what the DuckDB oracle "
+    "computes. Multi-batch eviction/late-data behavior is pinned "
+    "separately in tests/test_stream_join.py.",
+    tags=("E14", "E7", "streaming"),
+)
+def q_streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from udacity_data_engineering_spark.streaming.joins import (
+        purchases_after_signup,
+    )
+
+    run_id = uuid.uuid4().hex[:12]
+    tmp = tempfile.mkdtemp(prefix=f"stream_join_{run_id}_")
+    feed_dir = os.path.join(tmp, "feed")
+    table(spark, sf_dir, "events").coalesce(4).write.mode("overwrite").parquet(
+        feed_dir
+    )
+    joined = purchases_after_signup(
+        stream_events(spark, feed_dir), within="48 hours", watermark="96 hours"
+    ).select(
+        "user_id",
+        # outputs cast back to NTZ for exact batch/oracle parity (the
+        # stream casts ts to session-TZ timestamp for watermark support)
+        F.col("signup_ts").cast("timestamp_ntz").alias("signup_ts"),
+        F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+        F.round("value", 4).alias("value"),
+    )
+    sink = f"stream_join_sink_{run_id}"
+    run_available_now(
+        joined, sink, os.path.join(tmp, "ckpt"), output_mode="append"
+    )
+    out = spark.table(sink).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(sink)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
