@@ -303,3 +303,70 @@ def q_streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.catalog.dropTempView(sink)
     shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+@register(
+    "q_streaming_lake_upsert",
+    oracle="""
+        SELECT event_id, ts, user_id, event_type, round(value, 4) AS value
+        FROM events
+    """,
+    doc="E14: the streaming LAKEHOUSE WRITER — a real multi-batch stream "
+    "(maxFilesPerTrigger=1 -> 4 micro-batches) upserted into a "
+    "hive-partitioned parquet lake via foreachBatch + merge_upsert, "
+    "with at-least-once redelivery injected (every 7th event appears "
+    "twice, possibly in different micro-batches). Each batch dedups on "
+    "the key then MERGEs (replace-or-insert), so redelivered rows "
+    "overwrite their first copy instead of duplicating — the idempotent "
+    "sink that turns at-least-once transport into exactly-once lake "
+    "state. Hash-proven: the final lake equals the events table no "
+    "matter how rows fell into batches.",
+    tags=("E14", "streaming", "sources"),
+)
+def q_streaming_lake_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from udacity_data_engineering_spark.sources.lake import merge_upsert
+
+    ev = table(spark, sf_dir, "events")
+    feed = ev.unionAll(ev.where(F.col("event_id") % 7 == 0))
+
+    run_id = uuid.uuid4().hex[:12]
+    tmp = tempfile.mkdtemp(prefix=f"stream_lake_{run_id}_")
+    feed_dir = os.path.join(tmp, "feed")
+    lake_dir = os.path.join(tmp, "lake")
+    feed.coalesce(4).write.mode("overwrite").parquet(feed_dir)
+
+    def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.dropDuplicates(["event_id"])
+        if not os.path.isdir(lake_dir):
+            # bootstrap: first batch creates the lake layout
+            batch.repartition("event_type").write.partitionBy(
+                "event_type"
+            ).parquet(lake_dir)
+        else:
+            merge_upsert(
+                batch_df.sparkSession,
+                lake_dir,
+                batch,
+                ["event_id"],
+                "event_type",
+            )
+
+    q = (
+        stream_events(spark, feed_dir, max_files_per_trigger=1)
+        .writeStream.foreachBatch(upsert_batch)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    back = spark.read.parquet(lake_dir).select(
+        "event_id",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        "user_id",
+        "event_type",
+        F.round("value", 4).alias("value"),
+    )
+    out = back.localCheckpoint(eager=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
