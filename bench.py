@@ -244,6 +244,12 @@ def main() -> None:
         "q_merge_upsert",
         "q_merge_delete",
         "q_heavy_hitters",
+        "q_dq_checks",
+        "q_streaming_lake_upsert",
+        "q_lake_diff",
+        "q_incremental_substring",
+        "q_streaming_dq_monitor",
+        "q_retention_expire",
     ):
         best = float("inf")
         for _ in range(REPS):  # best-of-3, matching BASELINE.md methodology

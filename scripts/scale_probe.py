@@ -74,14 +74,25 @@ def build_nd_indexes(spark, label: str, docs) -> str:
         simhash_lake_index,
     )
 
+    from udacity_data_engineering_spark.operators.substrings import (
+        substring_lake_index,
+    )
+
     out = f"{BASE}/nd_index_{label}"
-    if os.path.exists(f"{out}/_done"):
-        return out
     lake = docs.filter(F.col("doc_id") % 2 == 0)
-    minhash_lake_index(lake).write.mode("overwrite").parquet(f"{out}/bands")
-    fingerprint_ids(lake).write.mode("overwrite").parquet(f"{out}/fps")
-    simhash_lake_index(lake).write.mode("overwrite").parquet(f"{out}/simbands")
-    Path(f"{out}/_done").touch()
+    if not os.path.exists(f"{out}/_done"):
+        minhash_lake_index(lake).write.mode("overwrite").parquet(f"{out}/bands")
+        fingerprint_ids(lake).write.mode("overwrite").parquet(f"{out}/fps")
+        simhash_lake_index(lake).write.mode("overwrite").parquet(
+            f"{out}/simbands"
+        )
+        Path(f"{out}/_done").touch()
+    # round 9c: substring span-digest state — guarded separately from
+    # _done so replicas built before this shape existed still get it
+    if not os.path.exists(f"{out}/spanfps/_SUCCESS"):
+        substring_lake_index(lake, keep_mod=4).write.mode(
+            "overwrite"
+        ).parquet(f"{out}/spanfps")
     return out
 
 
@@ -328,6 +339,21 @@ def main() -> None:
                 nd_batch, spark.read.parquet(f"{nd_index_dir}/simbands")
             ).count()
 
+        def inc_ss():
+            # round 9c: incremental substring dedup — the fixed batch
+            # fingerprints its own (winnowed) windows and semi-joins the
+            # persisted span-digest state; growth should track the
+            # columnar digest-index scan, never re-fingerprint the lake
+            from udacity_data_engineering_spark.operators.substrings import (
+                incremental_substring_flags,
+            )
+
+            return incremental_substring_flags(
+                nd_batch,
+                spark.read.parquet(f"{nd_index_dir}/spanfps"),
+                keep_mod=4,
+            ).count()
+
         def ws():
             # round 9: weighted sample — scan-side priorities + top-k
             # heaps; must stay scan-bound
@@ -424,6 +450,7 @@ def main() -> None:
             "ensemble_survivors": ens_surv,
             "incremental_neardup": inc_nd,
             "incremental_simhash": inc_sh,
+            "incremental_substring": inc_ss,
         }
 
     def stream_ingest(src_dir: str, mfpt: int = 4, agg: str = "tumbling") -> dict:
@@ -598,6 +625,64 @@ def main() -> None:
             )
             Path(f"{lake_dir}/_done").touch()
 
+        # round 9c: lake snapshot diff — its own _done-guarded snapshot
+        # pair (never mutated by the timed merge shape): old = a fresh
+        # copy of the orders lake, new = a metadata-preserving copy with
+        # ONE partition patched. prune='files' must stay ~flat as the
+        # lake grows (one listing + a 1x-sized-partition row join);
+        # prune='digest' is the honest full-scan alternative whose cost
+        # tracks the lake — the gap IS the growth law being proven.
+        diff_dir = f"{BASE}/diff_lake_{label}"
+        if not os.path.exists(f"{diff_dir}/_done"):
+            (
+                t["orders"]
+                .select("o_orderkey", "o_custkey", "o_totalprice")
+                .withColumn("bucket", F.expr("o_orderkey DIV 10000000"))
+                .repartition("bucket")
+                .write.partitionBy("bucket")
+                .mode("overwrite")
+                .parquet(f"{diff_dir}/old")
+            )
+            shutil.copytree(
+                f"{diff_dir}/old",
+                f"{diff_dir}/new",
+                copy_function=shutil.copy2,
+            )
+            merge_upsert(
+                spark,
+                f"{diff_dir}/new",
+                upd_orders.withColumn(
+                    "o_totalprice", F.col("o_totalprice") + F.lit(1.0)
+                ),
+                ["o_orderkey"],
+                "bucket",
+            )
+            Path(f"{diff_dir}/_done").touch()
+
+        def diff_files():
+            from udacity_data_engineering_spark.sources.lake import lake_diff
+
+            return lake_diff(
+                spark,
+                f"{diff_dir}/old",
+                f"{diff_dir}/new",
+                ["o_orderkey"],
+                "bucket",
+                prune="files",
+            ).count()
+
+        def diff_digest():
+            from udacity_data_engineering_spark.sources.lake import lake_diff
+
+            return lake_diff(
+                spark,
+                f"{diff_dir}/old",
+                f"{diff_dir}/new",
+                ["o_orderkey"],
+                "bucket",
+                prune="digest",
+            ).count()
+
         def scd2_incr():
             scd2_apply(
                 spark.read.parquet(f"{dim_dir}/dim"), batch_ev
@@ -621,6 +706,8 @@ def main() -> None:
             ("scd2_apply_incr", scd2_incr),
             ("scd2_build_full", scd2_full),
             ("merge_upsert_1part", merge_shape),
+            ("lake_diff_files", diff_files),
+            ("lake_diff_digest", diff_digest),
         ):
             best = float("inf")
             for _ in range(2):

@@ -32,6 +32,16 @@ PINNED = [
     "q_groupby_agg",
     "q_window_rank",
     "q_asof_join",
+    # round 9: the lake family's file-less-lake crashers (an empty
+    # partitioned write leaves no footer to infer a schema from) +
+    # the retention assert + the batch-less streaming upsert
+    "q_merge_upsert",
+    "q_merge_delete",
+    "q_lake_diff",
+    "q_retention_expire",
+    "q_streaming_lake_upsert",
+    "q_incremental_substring",
+    "q_streaming_dq_monitor",
 ]
 
 
@@ -51,12 +61,15 @@ def empty_dir(tmp_path_factory):
 @pytest.mark.parametrize("name", PINNED)
 def test_query_survives_empty_input(name, spark, empty_dir):
     rows = all_queries()[name].fn(spark, empty_dir).collect()
-    # drop accounting legitimately reports its all-zero audit rows;
-    # everything else must be empty-in, empty-out
-    if name != "q_neardup_drop_accounting":
-        assert rows == [], rows
-    else:
+    # drop accounting and the DQ monitor legitimately report their
+    # all-zero audit/report rows; everything else must be empty-in,
+    # empty-out
+    if name == "q_neardup_drop_accounting":
         assert all(r.n_capped == 0 and r.dropped_rows == 0 for r in rows)
+    elif name == "q_streaming_dq_monitor":
+        assert all(r.violations == 0 and r.passed for r in rows)
+    else:
+        assert rows == [], rows
 
 
 NULL_PINNED = [

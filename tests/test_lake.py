@@ -134,3 +134,275 @@ def test_merge_delete_noop_on_absent_keys(spark, tmp_path):
         "part",
     )
     assert _files(lake) == before  # nothing touched at the file level
+
+
+def _diff_map(df):
+    return {tuple(r[:-1]): r.change_type for r in df.collect()}
+
+
+def test_snapshot_diff_classifies_and_is_nullsafe(spark):
+    from udacity_data_engineering_spark.sources.lake import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", None), (3, None, 3.0), (4, "d", 4.0)],
+        "id long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "a", 1.0),     # unchanged -> not emitted
+            (2, "b", 2.0),     # NULL -> value: changed
+            (3, None, 3.0),    # NULL == NULL per column: unchanged
+            (5, "e", 5.0),     # added
+        ],
+        "id long, s string, v double",
+    )
+    d = _diff_map(snapshot_diff(old, new, ["id"]))
+    assert d == {(2,): "changed", (4,): "removed", (5,): "added"}
+
+
+def test_lake_diff_prune_skips_identical_partitions(spark, tmp_path):
+    """Only partition p1 differs between the snapshots: the digest pass
+    must shrink the row-level join to p1 via a literal isin that
+    statically prunes BOTH scans, and the pruned result must equal the
+    exact prune=False diff."""
+    from udacity_data_engineering_spark.sources.lake import lake_diff
+
+    old_dir, new_dir = str(tmp_path / "old"), str(tmp_path / "new")
+    base = spark.createDataFrame(
+        [(i, f"p{i % 4}", float(i)) for i in range(40)],
+        "id long, part string, val double",
+    )
+    base.repartition("part").write.partitionBy("part").parquet(old_dir)
+    new = base.withColumn(
+        "val",
+        F.when(
+            (F.col("part") == "p1") & (F.col("id") == 1), F.lit(-1.0)
+        ).otherwise(F.col("val")),
+    ).filter(~((F.col("part") == "p1") & (F.col("id") == 5)))
+    new.repartition("part").write.partitionBy("part").parquet(new_dir)
+
+    pruned = lake_diff(spark, old_dir, new_dir, ["id"], "part")
+    exact = lake_diff(spark, old_dir, new_dir, ["id"], "part", prune=False)
+    assert _diff_map(pruned) == _diff_map(exact) == {
+        (1,): "changed",
+        (5,): "removed",
+    }
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert len(pf) >= 2  # both snapshot scans carry the filter
+    for line in pf:
+        tail = line.split("PartitionFilters")[1]
+        assert "p1" in tail and "p2" not in tail
+
+
+def test_lake_diff_partition_only_on_one_side(spark, tmp_path):
+    """A partition present only in the new snapshot (or only in the old)
+    must surface as added/removed rows, not be skipped by the digest
+    full-outer comparison."""
+    from udacity_data_engineering_spark.sources.lake import lake_diff
+
+    old_dir, new_dir = str(tmp_path / "o2"), str(tmp_path / "n2")
+    old = spark.createDataFrame(
+        [(1, "pa", 1.0), (2, "pb", 2.0)], "id long, part string, val double"
+    )
+    new = spark.createDataFrame(
+        [(1, "pa", 1.0), (3, "pc", 3.0)], "id long, part string, val double"
+    )
+    old.write.partitionBy("part").parquet(old_dir)
+    new.write.partitionBy("part").parquet(new_dir)
+    d = _diff_map(lake_diff(spark, old_dir, new_dir, ["id"], "part"))
+    assert d == {(2,): "removed", (3,): "added"}
+
+
+def test_lake_diff_identical_snapshots_empty(spark, tmp_path):
+    from udacity_data_engineering_spark.sources.lake import lake_diff
+
+    old_dir, new_dir = str(tmp_path / "o3"), str(tmp_path / "n3")
+    base = spark.createDataFrame(
+        [(1, "pa", 1.0), (2, "pb", 2.0)], "id long, part string, val double"
+    )
+    base.write.partitionBy("part").parquet(old_dir)
+    base.write.partitionBy("part").parquet(new_dir)
+    out = lake_diff(spark, old_dir, new_dir, ["id"], "part")
+    assert out.count() == 0
+    assert out.columns == ["id", "change_type"]
+
+
+def test_lake_diff_file_prune_on_snapshot_copy(spark, tmp_path):
+    """The production snapshot flow: metadata-preserving copy of the
+    lake, then MERGE on the copy. Untouched partition directories keep
+    identical (path, size, mtime) file sets, so prune='files' must skip
+    them from one listing — and all three prune levels must agree."""
+    import shutil
+
+    from udacity_data_engineering_spark.sources.lake import (
+        lake_diff,
+        merge_upsert,
+    )
+
+    old_dir, new_dir = str(tmp_path / "snap_old"), str(tmp_path / "snap_new")
+    base = spark.createDataFrame(
+        [(i, f"p{i % 4}", float(i)) for i in range(40)],
+        "id long, part string, val double",
+    )
+    base.repartition("part").write.partitionBy("part").parquet(old_dir)
+    shutil.copytree(old_dir, new_dir, copy_function=shutil.copy2)
+    updates = spark.createDataFrame(
+        [(1, "p1", -1.0), (101, "p1", 101.0)],
+        "id long, part string, val double",
+    )
+    merge_upsert(spark, new_dir, updates, ["id"], "part")
+
+    expected = {(1,): "changed", (101,): "added"}
+    for prune in ("files", "digest", "none"):
+        d = _diff_map(
+            lake_diff(spark, old_dir, new_dir, ["id"], "part", prune=prune)
+        )
+        assert d == expected, prune
+
+
+def test_lake_diff_file_prune_identical_copies_empty(spark, tmp_path):
+    import shutil
+
+    from udacity_data_engineering_spark.sources.lake import lake_diff
+
+    old_dir, new_dir = str(tmp_path / "c_old"), str(tmp_path / "c_new")
+    base = spark.createDataFrame(
+        [(1, "pa", 1.0), (2, "pb", 2.0)], "id long, part string, val double"
+    )
+    base.write.partitionBy("part").parquet(old_dir)
+    shutil.copytree(old_dir, new_dir, copy_function=shutil.copy2)
+    out = lake_diff(spark, old_dir, new_dir, ["id"], "part", prune="files")
+    assert out.count() == 0
+
+
+def test_lake_diff_file_prune_rewritten_equal_partition_digest_skipped(
+    spark, tmp_path
+):
+    """A partition rewritten with the SAME rows (fresh mtimes) fails the
+    file-level triple but must be caught by the digest refinement —
+    never reach the row join as spurious changes."""
+    import shutil
+
+    from udacity_data_engineering_spark.sources.lake import lake_diff
+
+    old_dir, new_dir = str(tmp_path / "r_old"), str(tmp_path / "r_new")
+    base = spark.createDataFrame(
+        [(1, "pa", 1.0), (2, "pb", 2.0)], "id long, part string, val double"
+    )
+    base.write.partitionBy("part").parquet(old_dir)
+    shutil.copytree(old_dir, new_dir, copy_function=shutil.copy2)
+    # rewrite pa with identical rows via dynamic overwrite
+    (
+        spark.createDataFrame([(1, "pa", 1.0)], "id long, part string, val double")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("part")
+        .parquet(new_dir)
+    )
+    out = lake_diff(spark, old_dir, new_dir, ["id"], "part", prune="files")
+    assert out.count() == 0
+
+
+def test_lake_diff_file_prune_numeric_partition_values(spark, tmp_path):
+    """Directory names are strings; a LONG partition column must still
+    filter correctly after the listing-derived values are cast back."""
+    import shutil
+
+    from udacity_data_engineering_spark.sources.lake import (
+        lake_diff,
+        merge_upsert,
+    )
+
+    old_dir, new_dir = str(tmp_path / "n_old"), str(tmp_path / "n_new")
+    base = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(30)],
+        "id long, bucket long, val double",
+    )
+    base.repartition("bucket").write.partitionBy("bucket").parquet(old_dir)
+    shutil.copytree(old_dir, new_dir, copy_function=shutil.copy2)
+    updates = spark.createDataFrame(
+        [(3, 0, -3.0)], "id long, bucket long, val double"
+    )
+    merge_upsert(spark, new_dir, updates, ["id"], "bucket")
+    d = _diff_map(
+        lake_diff(spark, old_dir, new_dir, ["id"], "bucket", prune="files")
+    )
+    assert d == {(3,): "changed"}
+
+
+def test_retention_expire_drops_dirs_listing_only(spark, tmp_path):
+    import os
+
+    from udacity_data_engineering_spark.sources.lake import retention_expire
+
+    lake = str(tmp_path / "ttl")
+    base = spark.createDataFrame(
+        [(i, f"2024-01-{(i % 4) + 1:02d}", float(i)) for i in range(40)],
+        "id long, d string, val double",
+    )
+    base.repartition("d").write.partitionBy("d").parquet(lake)
+    dropped = retention_expire(spark, lake, "d", lambda v: v < "2024-01-03")
+    assert dropped == ["2024-01-01", "2024-01-02"]
+    left = sorted(
+        e for e in os.listdir(lake) if e.startswith("d=")
+    )
+    assert left == ["d=2024-01-03", "d=2024-01-04"]
+    back = spark.read.parquet(lake)
+    assert back.count() == 20
+    # partition-value inference types the read-back column as DATE
+    assert {str(r.d) for r in back.select("d").distinct().collect()} == {
+        "2024-01-03",
+        "2024-01-04",
+    }
+    # noop pass: nothing left to expire, nothing touched
+    assert retention_expire(spark, lake, "d", lambda v: v < "2024-01-03") == []
+    assert back.count() == 20
+
+
+def test_lake_ops_handle_null_partition_values(spark, tmp_path):
+    """A NULL partition value is routine when upstream extractors emit
+    nulls: merge_delete must locate and rewrite the hive default
+    partition (isin alone never matches NULL), remove it when emptied,
+    and lake_diff must surface changes inside it at every prune level."""
+    import shutil
+
+    from udacity_data_engineering_spark.sources.lake import (
+        lake_diff,
+        merge_delete,
+        merge_upsert,
+    )
+
+    old_dir, new_dir = str(tmp_path / "np_old"), str(tmp_path / "np_new")
+    base = spark.createDataFrame(
+        [(1, "pa", 1.0), (2, None, 2.0), (3, None, 3.0), (4, "pb", 4.0)],
+        "id long, part string, val double",
+    )
+    base.repartition(2).write.partitionBy("part").parquet(old_dir)
+    shutil.copytree(old_dir, new_dir, copy_function=shutil.copy2)
+    # change one row INSIDE the null partition
+    merge_upsert(
+        spark,
+        new_dir,
+        spark.createDataFrame(
+            [(2, None, -2.0)], "id long, part string, val double"
+        ),
+        ["id"],
+        "part",
+    )
+    for prune in ("files", "digest", "none"):
+        d = _diff_map(
+            lake_diff(spark, old_dir, new_dir, ["id"], "part", prune=prune)
+        )
+        assert d == {(2,): "changed"}, prune
+
+    # delete every null-partition row: the directory must be emptied away
+    keys = spark.createDataFrame([(2,), (3,)], "id long")
+    merge_delete(spark, new_dir, keys, ["id"], "part")
+    back = spark.read.parquet(new_dir)
+    assert sorted(r.id for r in back.collect()) == [1, 4]
+    import os
+
+    assert not os.path.isdir(
+        os.path.join(new_dir, "part=__HIVE_DEFAULT_PARTITION__")
+    )

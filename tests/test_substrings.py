@@ -141,3 +141,83 @@ def test_winnowing_is_content_defined(spark):
     )
     kept_shifted = {r.fp for r in duplicate_spans(shifted, keep_mod=4).collect()}
     assert kept_shifted == kept
+
+
+def test_incremental_equals_from_scratch_on_batch_docs(spark):
+    """incremental_substring_flags(batch, lake_index) must equal
+    doc_dup_span_counts(batch ∪ lake) restricted to batch doc ids, with
+    every duplication case exercised: intra-batch dup, batch↔lake dup,
+    lake-only dup (must NOT leak into the output), and unique spans."""
+    from udacity_data_engineering_spark.operators.substrings import (
+        incremental_substring_flags,
+        substring_lake_index,
+    )
+
+    shared_bl = _words("bl", 20)   # batch <-> lake duplicated span
+    shared_bb = _words("bb", 20)   # intra-batch duplicated span
+    shared_ll = _words("ll", 20)   # lake-only duplicated span
+    lake = spark.createDataFrame(
+        [
+            (0, shared_bl + " lake tail words"),
+            (2, shared_ll + " more lake words"),
+            (4, shared_ll + " other lake ending"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, "x y " + shared_bl + " batch one"),
+            (3, shared_bb + " batch two tail"),
+            (5, "p q r " + shared_bb + " batch three"),
+            (7, _words("u", 30)),  # unique: no flagged span
+        ],
+        "doc_id long, text string",
+    )
+    inc = {
+        r.doc_id: r.n_dup_spans
+        for r in incremental_substring_flags(
+            batch, substring_lake_index(lake)
+        ).collect()
+    }
+    scratch = {
+        r.doc_id: r.n_dup_spans
+        for r in doc_dup_span_counts(batch.unionByName(lake)).collect()
+        if r.doc_id % 2 == 1
+    }
+    assert inc == scratch
+    assert set(inc) == {1, 3, 5}  # doc 7 unique; lake-only dup not emitted
+
+
+def test_incremental_winnowed_probes_sampled_state(spark):
+    """With keep_mod > 1 the lake state holds only content-selected
+    fingerprints; the batch samples with the SAME selector, so a
+    duplicated span long enough to contain a selected window is still
+    caught — and the incremental result equals from-scratch winnowed."""
+    from udacity_data_engineering_spark.operators.substrings import (
+        incremental_substring_flags,
+        substring_lake_index,
+    )
+
+    shared = _words("s", 40)  # 21 windows: ~5 survive keep_mod=4
+    lake = spark.createDataFrame(
+        [(0, shared + " lake suffix goes here")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(1, "pre amble " + shared + " batch suffix")],
+        "doc_id long, text string",
+    )
+    inc = {
+        r.doc_id: r.n_dup_spans
+        for r in incremental_substring_flags(
+            batch, substring_lake_index(lake, keep_mod=4), keep_mod=4
+        ).collect()
+    }
+    scratch = {
+        r.doc_id: r.n_dup_spans
+        for r in doc_dup_span_counts(
+            batch.unionByName(lake), keep_mod=4
+        ).collect()
+        if r.doc_id == 1
+    }
+    assert inc == scratch and 1 in inc

@@ -37,8 +37,12 @@ def check_suite(
     (count - count_distinct, exact). Returns (check, violations,
     passed) with one row per constraint.
     """
+    # coalesce: sum() over an EMPTY frame is NULL, but a gate over zero
+    # rows has zero violations (and must report passed, not unknown)
     aggs = [
-        F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(name)
+        F.coalesce(F.sum(F.when(cond, 1).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias(name)
         for name, cond in predicates
     ]
     for name, keys in unique_keys or ():

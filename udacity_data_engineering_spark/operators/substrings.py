@@ -220,6 +220,104 @@ def q_substring_doc_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_dup_span_counts(table(spark, sf_dir, "documents"))
 
 
+def substring_lake_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = SPAN_WORDS,
+    keep_mod: int = 1,
+) -> DataFrame:
+    """(fp): the persistable substring-dedup lake state — the DISTINCT
+    span fingerprints of the accumulated corpus. Deterministic (pure
+    content hash), so appending each admitted batch's new fingerprints
+    keeps the table equal to a from-scratch rebuild — the same
+    write-once-state posture as minhash_lake_index /
+    simhash_lake_index (incremental.py). Size is O(corpus words) 32-byte
+    digests at keep_mod=1 — the Spark analogue of Lee et al.'s
+    suffix-array being corpus-sized — and ~keep_mod× smaller winnowed;
+    at 100 TB persist it bucketed by ``fp`` so batch probes are
+    co-located, shuffle-free semi-joins."""
+    return (
+        span_fingerprints(docs, id_col, text_col, n, keep_mod)
+        .select("fp")
+        .distinct()
+    )
+
+
+def incremental_substring_flags(
+    batch: DataFrame,
+    lake_spans: DataFrame,
+    n: int = SPAN_WORDS,
+    keep_mod: int = 1,
+) -> DataFrame:
+    """(doc_id, n_dup_spans) per BATCH document: how many of its spans
+    are duplicated — against the accumulated lake (via the persisted
+    fingerprint state, ``lake_spans`` exposing one ``fp`` column) or
+    within the batch itself (>= 2 distinct batch docs) — without ever
+    re-fingerprinting lake text. The daily-crawl cadence for
+    substring-level dedup, completing the incremental family
+    (exact: incremental.py:36, MinHash: :147, SimHash: :322).
+
+    Cost scales with the BATCH: the batch fingerprints itself once
+    (linear), aggregates its own digests, and probes the lake state
+    with ONE left-semi join on 32-byte keys restricted to the batch's
+    fingerprints — lake documents contribute nothing but their
+    persisted digests.
+
+    Equivalence contract (pinned in tests/test_substrings.py): equal to
+    doc_dup_span_counts(batch ∪ lake) restricted to batch doc ids,
+    because a batch span is cross-corpus-duplicated iff it appears in
+    >= 2 distinct batch docs or in any lake doc (batch and lake id
+    spaces are distinct ingest generations)."""
+    spans = span_fingerprints(batch, n=n, keep_mod=keep_mod)
+    intra = (
+        spans.groupBy("fp")
+        .agg(F.countDistinct("doc_id").alias("__nd"))
+        .filter(F.col("__nd") >= 2)
+        .select("fp")
+    )
+    cross = (
+        spans.select("fp")
+        .distinct()
+        .join(lake_spans.select("fp"), "fp", "left_semi")
+    )
+    dup = intra.unionByName(cross).distinct()
+    return (
+        spans.join(dup, "fp")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup_spans"))
+    )
+
+
+@register(
+    "q_incremental_substring",
+    oracle=f"""
+        WITH spans AS ({_SPANS_SQL}),
+        dup AS (
+            SELECT fp FROM spans GROUP BY fp
+            HAVING count(DISTINCT doc_id) >= 2
+        )
+        SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans
+        FROM spans s JOIN dup USING (fp)
+        WHERE s.doc_id % 2 = 1
+        GROUP BY s.doc_id
+    """,
+    doc="Incremental substring dedup: the incoming batch (odd doc_ids) "
+    "fingerprints its 20-word windows ONCE and probes the lake's (even "
+    "doc_ids) persisted span-digest table with one semi-join — "
+    "duplicated-span counts per batch doc against lake ∪ batch, with "
+    "lake text never re-fingerprinted. Hash-proven: equals the "
+    "from-scratch q_substring_doc_flags restricted to batch docs, which "
+    "DuckDB recomputes over the identical sha256 windows.",
+    tags=("E11", "dedup", "llm-pipeline"),
+)
+def q_incremental_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    lake = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    return incremental_substring_flags(batch, substring_lake_index(lake))
+
+
 def span_position_fingerprints(
     docs: DataFrame,
     id_col: str = "doc_id",

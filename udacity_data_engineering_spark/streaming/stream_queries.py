@@ -360,7 +360,14 @@ def q_streaming_lake_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
 
-    back = spark.read.parquet(lake_dir).select(
+    # an empty feed never runs a batch, so no lake exists to re-scan —
+    # declare the schema from the batch projection instead of inferring
+    lake_src = (
+        spark.read.schema(feed.schema).parquet(lake_dir)
+        if os.path.isdir(lake_dir)
+        else feed.filter(F.lit(False))
+    )
+    back = lake_src.select(
         "event_id",
         F.col("ts").cast("timestamp_ntz").alias("ts"),
         "user_id",
@@ -368,5 +375,105 @@ def q_streaming_lake_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 4).alias("value"),
     )
     out = back.localCheckpoint(eager=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+@register(
+    "q_streaming_dq_monitor",
+    oracle="""
+        SELECT 'user_id_complete' AS check,
+               sum(CASE WHEN event_id % 13 = 0 THEN 1 ELSE 0 END) AS violations,
+               sum(CASE WHEN event_id % 13 = 0 THEN 1 ELSE 0 END) = 0 AS passed
+        FROM events
+        UNION ALL
+        SELECT 'value_complete',
+               sum(CASE WHEN event_id % 11 = 0 THEN 1 ELSE 0 END),
+               sum(CASE WHEN event_id % 11 = 0 THEN 1 ELSE 0 END) = 0
+        FROM events
+        UNION ALL
+        SELECT 'event_type_domain',
+               sum(CASE WHEN event_id % 17 = 0 THEN 1 ELSE 0 END),
+               sum(CASE WHEN event_id % 17 = 0 THEN 1 ELSE 0 END) = 0
+        FROM events
+    """,
+    doc="E14: CONTINUOUS data quality — the dq.check_suite constraint "
+    "gate run per micro-batch inside foreachBatch (a real multi-batch "
+    "stream, maxFilesPerTrigger=1), each batch appending its (batch_id, "
+    "check, violations, passed) report to a parquet DQ log — the "
+    "monitor a 100 TB/day streaming ingest alerts from, at one "
+    "conditional aggregate per batch. The feed carries deterministically "
+    "injected dirt (every 13th event's user_id nulled, every 11th "
+    "value nulled, every 17th event_type out-of-domain). The emitted "
+    "corpus totals aggregate the log per check; the monitored checks "
+    "are row-decomposable (sums over any batch split), so the result "
+    "is micro-batch-split-invariant and hash-proves against DuckDB's "
+    "whole-table recomputation. Cross-batch constraints (uniqueness) "
+    "belong to the lake MERGE sink, not the per-batch gate — "
+    "q_streaming_lake_upsert is that operator.",
+    tags=("E14", "streaming", "llm-pipeline"),
+)
+def q_streaming_dq_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from udacity_data_engineering_spark.operators.dq import check_suite
+
+    ev = table(spark, sf_dir, "events")
+    feed = ev.select(
+        "event_id",
+        "ts",
+        F.when(F.col("event_id") % 13 == 0, F.lit(None)).otherwise(
+            F.col("user_id")
+        ).alias("user_id"),
+        "event_type",
+        F.when(F.col("event_id") % 11 == 0, F.lit(None)).otherwise(
+            F.col("value")
+        ).alias("value"),
+        "props",
+    ).withColumn(
+        "event_type",
+        F.when(F.col("event_id") % 17 == 0, F.lit("__bad")).otherwise(
+            F.col("event_type")
+        ),
+    )
+
+    run_id = uuid.uuid4().hex[:12]
+    tmp = tempfile.mkdtemp(prefix=f"stream_dq_{run_id}_")
+    feed_dir = os.path.join(tmp, "feed")
+    log_dir = os.path.join(tmp, "dq_log")
+    feed.coalesce(4).write.mode("overwrite").parquet(feed_dir)
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        report = check_suite(
+            batch_df,
+            predicates=[
+                ("user_id_complete", F.col("user_id").isNull()),
+                ("value_complete", F.col("value").isNull()),
+                (
+                    "event_type_domain",
+                    F.col("event_type").startswith("__"),
+                ),
+            ],
+        ).withColumn("batch_id", F.lit(batch_id))
+        report.write.mode("append").parquet(log_dir)
+
+    q = (
+        stream_events(spark, feed_dir, max_files_per_trigger=1)
+        .writeStream.foreachBatch(gate)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    log = spark.read.parquet(log_dir)
+    out = (
+        log.groupBy("check")
+        .agg(F.sum("violations").alias("violations"))
+        .select(
+            "check",
+            "violations",
+            (F.col("violations") == 0).alias("passed"),
+        )
+        .localCheckpoint(eager=True)
+    )
     shutil.rmtree(tmp, ignore_errors=True)
     return out
