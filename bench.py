@@ -71,6 +71,19 @@ def measure_stock() -> dict | None:
         return None
 
 
+def slim_output(out: dict) -> dict:
+    """The stdout line, guaranteed to fit the driver's capture window:
+    everything except the per-extension map (full detail is written to
+    BENCH_DETAIL.json), with the extension total kept inline so
+    extension regressions still move a driver-visible number."""
+    slim = {k: v for k, v in out.items() if k != "extensions"}
+    ext = out.get("extensions", {})
+    slim["extensions_total"] = round(sum(ext.values()), 3)
+    slim["n_extensions"] = len(ext)
+    slim["extensions_file"] = "BENCH_DETAIL.json"
+    return slim
+
+
 def main() -> None:
     stock = measure_stock()
     spark = build_session(app_name="bench", cpus=CPUS, shuffle_partitions=max(CPUS, 16))
@@ -279,7 +292,17 @@ def main() -> None:
         out["stock_queries"] = stock["queries"]
         out["stock_total"] = stock["total"]
         out["vs_stock"] = round(total / stock["total"], 3) if stock["total"] else None
-    print(json.dumps(out))
+    # The driver captures only the last ~2000 chars of output; the
+    # extension map has grown past that, which truncated the head of
+    # the one-line JSON and made it unparseable (BENCH_r07/r08 record
+    # "parsed": null). Full detail goes to BENCH_DETAIL.json in the
+    # repo; stdout gets a lean line that always fits the capture
+    # window, with the extension TOTAL kept inline so regressions in
+    # the extension set still move a driver-visible number.
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    print(json.dumps(slim_output(out)))
 
 
 if __name__ == "__main__":
