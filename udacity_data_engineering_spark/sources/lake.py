@@ -331,12 +331,48 @@ def _partition_file_index(
     read. Values are the raw directory-name strings after
     ``{partition_col}=`` (consistent between the two snapshots being
     compared, which is all the file-level prune needs)."""
+    import os
+
+    index: dict = {}
+    local_root = root[7:] if root.startswith("file://") else root
+    if "://" not in local_root and os.path.isdir(local_root):
+        # local-FS fast path: one os.scandir walk — the py4j per-file
+        # round trips of the generic path cost ~40µs × ~6 calls per
+        # file, which DOMINATED the probe at 6,400 files (measured:
+        # the "listing-scale" prune was slower than the digest scan)
+        base = os.path.abspath(local_root)
+        for entry in os.scandir(base):
+            if not (
+                entry.is_dir()
+                and entry.name.startswith(f"{partition_col}=")
+            ):
+                continue
+            part = entry.name.split("=", 1)[1]
+            files = set()
+            stack = [entry.path]
+            while stack:
+                d = stack.pop()
+                for e in os.scandir(d):
+                    if e.name.startswith(("_", ".")):
+                        continue  # _SUCCESS / hidden metadata
+                    if e.is_dir():
+                        stack.append(e.path)
+                    else:
+                        st = e.stat()
+                        files.add(
+                            (
+                                os.path.relpath(e.path, base),
+                                st.st_size,
+                                int(st.st_mtime * 1000),
+                            )
+                        )
+            index[part] = frozenset(files)
+        return index
     jvm = spark._jvm
     jroot = jvm.org.apache.hadoop.fs.Path(root)
     fs = jroot.getFileSystem(spark._jsc.hadoopConfiguration())
     root_uri = fs.makeQualified(jroot).toString().rstrip("/")
     marker = f"/{partition_col}="
-    index: dict = {}
     it = fs.listFiles(jroot, True)
     while it.hasNext():
         st = it.next()
