@@ -263,6 +263,8 @@ def main() -> None:
         "q_incremental_substring",
         "q_streaming_dq_monitor",
         "q_retention_expire",
+        "q_sketch_rollup",
+        "q_skew_report",
     ):
         best = float("inf")
         for _ in range(REPS):  # best-of-3, matching BASELINE.md methodology

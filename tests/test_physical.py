@@ -281,3 +281,27 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_skew_report_counts_shares_and_plan_shape(spark):
+    from udacity_data_engineering_spark.operators.physical import skew_report
+
+    rows = (
+        [("hot",)] * 70 + [("warm",)] * 20 + [("a",)] * 5 + [("b",)] * 5
+    )
+    df = spark.createDataFrame(rows, "k string")
+    rep = skew_report(df, "k", top_k=3).collect()
+    assert [(r.key, r.cnt, r.rank) for r in rep] == [
+        ("hot", 70, 1),
+        ("warm", 20, 2),
+        ("a", 5, 3),  # tie with 'b' broken on key ASC
+    ]
+    assert rep[0].share == 0.7
+    # 4 keys, 100 rows -> mean 25; hot = 70/25 = 2.8x the mean
+    assert rep[0].over_mean == 2.8
+
+    # the unpartitioned ranking window must run AFTER the top-k limit:
+    # the plan's top-k is a TakeOrderedAndProject (per-partition heaps),
+    # never a global Sort over the full key-count frame
+    plan = skew_report(df, "k", top_k=3)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan

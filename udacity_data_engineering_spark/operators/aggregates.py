@@ -122,3 +122,57 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(F.approx_count_distinct("o_custkey", rsd=0.02).alias("n_cust_approx"))
     )
+
+
+def sketch_rollup(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    lg_k: int = 12,
+) -> DataFrame:
+    """(group_cols..., sketch): per-group HyperLogLog sketch state — the
+    PERSISTABLE form of a distinct count. At 100 TB the warehouse
+    pattern is a sketch rollup table: compute per-day (or per-partition)
+    sketches once, store the ~2^lg_k-byte binaries, and answer every
+    coarser-grain distinct question by MERGING stored sketches — no
+    rescan of the fact data, and (unlike stored exact counts) distinct
+    counts compose across groups without double-counting."""
+    return df.groupBy(*group_cols).agg(
+        F.hll_sketch_agg(value_col, F.lit(lg_k)).alias("sketch")
+    )
+
+
+def sketch_merge_estimate(
+    sketches: DataFrame,
+    group_cols: list[str],
+    out_col: str = "approx_distinct",
+) -> DataFrame:
+    """Merge persisted sketches up to a coarser grain and estimate:
+    HLL union takes per-register maxima, so merging per-day sketches is
+    EXACTLY the sketch of the concatenated data (deterministic — pinned
+    in tests), and the estimate inherits the single-sketch error bound
+    (~1.04/sqrt(2^lg_k), ~1.6% at lg_k=12)."""
+    return sketches.groupBy(*group_cols).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias(out_col)
+    )
+
+
+@register(
+    "q_sketch_rollup",
+    doc="E2 at warehouse scale: per-(day, event_type) HLL sketches of "
+    "user_id rolled up ONCE, then merged per event_type for the "
+    "whole-corpus distinct-user estimate — the sketch rollup table "
+    "pattern that answers coarser-grain distinct questions from stored "
+    "state instead of rescanning 100 TB of facts. Sketch binaries are "
+    "engine-specific -> rows-only; exactness is pinned in pytest: "
+    "merged-sketch estimate == direct whole-corpus sketch estimate "
+    "(HLL union is exact per-register maxima), and both within the "
+    "published error bound of the exact distinct count.",
+    tags=("E2", "llm-pipeline"),
+)
+def q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "event_type", "user_id"
+    )
+    daily = sketch_rollup(ev, ["day", "event_type"], "user_id")
+    return sketch_merge_estimate(daily, ["event_type"]).orderBy("event_type")

@@ -370,3 +370,79 @@ def runtime_bloom_filters(
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def skew_report(
+    df: DataFrame, key_col: str, top_k: int = 10
+) -> DataFrame:
+    """(key, cnt, share, over_mean, rank): the top-``top_k`` heaviest
+    values of ``key_col`` with their corpus share and multiple of the
+    mean per-key count — the DIAGNOSIS that decides whether a join or
+    aggregate on this key needs salting (salted_join/salted_agg above)
+    or an AQE skew split, and how many salts. One hash aggregate over
+    the key (partial-agg, one shuffle of one row per key per task) +
+    a single tiny global-stats row broadcast into the top-k frame;
+    ties break deterministically on the key value."""
+    from pyspark.sql.window import Window
+
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    stats = counts.agg(
+        F.sum("cnt").alias("__total"), F.count(F.lit(1)).alias("__nkeys")
+    )
+    # top-k FIRST (TakeOrderedAndProject — per-partition heaps, no
+    # global sort), THEN rank: the unpartitioned window only ever sees
+    # top_k rows, never the full key-count frame (which is corpus-
+    # cardinality for a high-cardinality key)
+    top = counts.orderBy(F.col("cnt").desc(), F.col("key").asc()).limit(
+        top_k
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("key").asc())
+    top = top.withColumn("rank", F.row_number().over(w))
+    return (
+        top.crossJoin(F.broadcast(stats))
+        .select(
+            "key",
+            "cnt",
+            F.round(F.col("cnt") / F.col("__total"), 6).alias("share"),
+            F.round(
+                F.col("cnt") * F.col("__nkeys") / F.col("__total"), 4
+            ).alias("over_mean"),
+            "rank",
+        )
+        .orderBy("rank")
+    )
+
+
+@register(
+    "q_skew_report",
+    oracle="""
+        WITH counts AS (
+            SELECT lang AS key, count(*) AS cnt
+            FROM documents GROUP BY lang
+        ), stats AS (
+            SELECT sum(cnt) AS total, count(*) AS nkeys FROM counts
+        ), ranked AS (
+            SELECT key, cnt,
+                   row_number() OVER (ORDER BY cnt DESC, key ASC) AS rank
+            FROM counts
+        )
+        SELECT key, cnt,
+               round(cnt / total, 6) AS share,
+               round(cnt * nkeys / total, 4) AS over_mean,
+               CAST(rank AS INT) AS rank
+        FROM ranked, stats
+        WHERE rank <= 10
+    """,
+    doc="Skew diagnosis: the top-10 heaviest documents.lang values with "
+    "corpus share and multiple-of-mean — the report that decides "
+    "whether a key needs salting (and how many salts) before a join or "
+    "aggregate. One partial-agg key count + a broadcast stats row; "
+    "deterministic tie-break on the key. Hash-proven: DuckDB recomputes "
+    "identical counts, shares and ranks. The remedy operators are "
+    "q_salted_join / q_salted_agg.",
+    tags=("E1", "E7", "llm-pipeline"),
+)
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return skew_report(table(spark, sf_dir, "documents"), "lang")
