@@ -265,6 +265,7 @@ def main() -> None:
         "q_retention_expire",
         "q_sketch_rollup",
         "q_skew_report",
+        "q_fuzzy_match",
     ):
         best = float("inf")
         for _ in range(REPS):  # best-of-3, matching BASELINE.md methodology
