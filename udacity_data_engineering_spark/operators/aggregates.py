@@ -130,8 +130,9 @@ def sketch_rollup(
     value_col: str,
     lg_k: int = 12,
 ) -> DataFrame:
-    """(group_cols..., sketch): per-group HyperLogLog sketch state — the
-    PERSISTABLE form of a distinct count. At 100 TB the warehouse
+    """(group_cols..., sketch): per-group HyperLogLog sketch state
+    (Flajolet et al. 2007; Spark's builtin is the Apache DataSketches
+    HLL) — the PERSISTABLE form of a distinct count. At 100 TB the warehouse
     pattern is a sketch rollup table: compute per-day (or per-partition)
     sketches once, store the ~2^lg_k-byte binaries, and answer every
     coarser-grain distinct question by MERGING stored sketches — no
