@@ -158,6 +158,10 @@ def test_snapshot_diff_classifies_and_is_nullsafe(spark):
     )
     d = _diff_map(snapshot_diff(old, new, ["id"]))
     assert d == {(2,): "changed", (4,): "removed", (5,): "added"}
+    # direction symmetry: swapping the snapshots maps added <-> removed
+    # and keeps changed — the invariant an audit log relies on
+    rev = _diff_map(snapshot_diff(new, old, ["id"]))
+    assert rev == {(2,): "changed", (4,): "added", (5,): "removed"}
 
 
 def test_lake_diff_prune_skips_identical_partitions(spark, tmp_path):
@@ -406,3 +410,23 @@ def test_lake_ops_handle_null_partition_values(spark, tmp_path):
     assert not os.path.isdir(
         os.path.join(new_dir, "part=__HIVE_DEFAULT_PARTITION__")
     )
+
+
+def test_partition_file_index_branches_agree(spark, tmp_path):
+    """The local os.scandir fast path and the generic Hadoop-FS path
+    must build the IDENTICAL index (same relpaths, sizes, exact-ms
+    mtimes) — the Hadoop branch is otherwise untested locally, and a
+    ±1ms float-rounding drift between branches would make equal
+    snapshots look changed."""
+    from udacity_data_engineering_spark.sources.lake import (
+        _partition_file_index,
+    )
+
+    lake = str(tmp_path / "ix")
+    spark.createDataFrame(
+        [(1, "pa", 1.0), (2, "pb", 2.0)], "id long, part string, val double"
+    ).write.partitionBy("part").parquet(lake)
+    fast = _partition_file_index(spark, lake, "part")
+    # 'file:/...' (no '://') skips the local fast path -> Hadoop branch
+    hadoop = _partition_file_index(spark, "file:" + lake, "part")
+    assert fast == hadoop and set(fast) == {"pa", "pb"}

@@ -363,7 +363,11 @@ def _partition_file_index(
                             (
                                 os.path.relpath(e.path, base),
                                 st.st_size,
-                                int(st.st_mtime * 1000),
+                                # ns // 1e6, not float-seconds * 1000:
+                                # exact ms truncation, matching what the
+                                # Hadoop branch's getModificationTime
+                                # returns for the same file
+                                st.st_mtime_ns // 1_000_000,
                             )
                         )
             index[part] = frozenset(files)
