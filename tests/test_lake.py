@@ -430,3 +430,61 @@ def test_partition_file_index_branches_agree(spark, tmp_path):
     # 'file:/...' (no '://') skips the local fast path -> Hadoop branch
     hadoop = _partition_file_index(spark, "file:" + lake, "part")
     assert fast == hadoop and set(fast) == {"pa", "pb"}
+
+
+def test_lake_ops_handle_escaped_partition_values(spark, tmp_path):
+    """Writers hive-escape special characters in partition directory
+    names (':' -> %3A, '%' -> %25 — measured): the files-prune isin,
+    merge_delete's emptied-dir removal, and retention's predicate must
+    all operate on the UNESCAPED value, never the %XX directory name."""
+    import os
+    import shutil
+
+    from udacity_data_engineering_spark.sources.lake import (
+        lake_diff,
+        merge_delete,
+        merge_upsert,
+        retention_expire,
+    )
+
+    old_dir, new_dir = str(tmp_path / "e_old"), str(tmp_path / "e_new")
+    base = spark.createDataFrame(
+        [(1, "a:b", 1.0), (2, "a:b", 2.0), (3, "c%d", 3.0), (4, "plain", 4.0)],
+        "id long, part string, val double",
+    )
+    base.repartition(2).write.partitionBy("part").parquet(old_dir)
+    assert "part=a%3Ab" in os.listdir(old_dir)  # escaping is real
+    shutil.copytree(old_dir, new_dir, copy_function=shutil.copy2)
+    merge_upsert(
+        spark,
+        new_dir,
+        spark.createDataFrame(
+            [(1, "a:b", -1.0)], "id long, part string, val double"
+        ),
+        ["id"],
+        "part",
+    )
+    for prune in ("files", "digest", "none"):
+        d = _diff_map(
+            lake_diff(spark, old_dir, new_dir, ["id"], "part", prune=prune)
+        )
+        assert d == {(1,): "changed"}, prune
+
+    # delete every row of the ':' partition: its escaped dir must go
+    merge_delete(
+        spark,
+        new_dir,
+        spark.createDataFrame([(1,), (2,)], "id long"),
+        ["id"],
+        "part",
+    )
+    assert "part=a%3Ab" not in os.listdir(new_dir)
+    assert sorted(r.id for r in spark.read.parquet(new_dir).collect()) == [3, 4]
+
+    # retention predicate must see 'c%d', not 'c%25d'
+    seen = []
+    retention_expire(
+        spark, new_dir, "part", lambda v: seen.append(v) or v == "c%d"
+    )
+    assert "c%d" in seen and "c%25d" not in seen
+    assert "part=c%25d" not in os.listdir(new_dir)

@@ -173,18 +173,28 @@ def merge_delete(
     )
     emptied = [p for p in touched if p not in surviving]
     if emptied:
+        # locate directories by LISTING + hive-unescape rather than by
+        # constructing names: writers %XX-escape special characters
+        # (':' -> %3A, '=' -> %3D, '%' -> %25 — measured), so a built
+        # name would miss any partition value containing them. A NULL
+        # partition lives under the hive default-partition dir.
+        from urllib.parse import unquote
+
+        want = {
+            _HIVE_NULL if p is None else str(p) for p in emptied
+        }
         jvm = spark._jvm
         jroot = jvm.org.apache.hadoop.fs.Path(lake_dir)
         fs = jroot.getFileSystem(spark._jsc.hadoopConfiguration())
-        for p in emptied:
-            # a NULL partition lives under the hive default-partition dir
-            dirname = _HIVE_NULL if p is None else str(p)
-            fs.delete(
-                jvm.org.apache.hadoop.fs.Path(
-                    lake_dir, f"{partition_col}={dirname}"
-                ),
-                True,
-            )
+        for st in fs.listStatus(jroot):
+            name = st.getPath().getName()
+            if not (
+                st.isDirectory()
+                and name.startswith(f"{partition_col}=")
+            ):
+                continue
+            if unquote(name.split("=", 1)[1]) in want:
+                fs.delete(st.getPath(), True)
 
 
 @register(
@@ -328,9 +338,11 @@ def _partition_file_index(
     """{partition_value_string: frozenset((relative_path, size,
     mtime_ms))} from one recursive Hadoop FS listing of a
     hive-partitioned lake — listing-scale (file count), zero data
-    read. Values are the raw directory-name strings after
-    ``{partition_col}=`` (consistent between the two snapshots being
-    compared, which is all the file-level prune needs)."""
+    read. Keys are the hive-UNESCAPED partition values (writers
+    %XX-encode special characters in directory names; the unescaped
+    form is what the scanned column actually contains, which the
+    files-prune isin literal must match)."""
+    from urllib.parse import unquote
     import os
 
     index: dict = {}
@@ -347,7 +359,7 @@ def _partition_file_index(
                 and entry.name.startswith(f"{partition_col}=")
             ):
                 continue
-            part = entry.name.split("=", 1)[1]
+            part = unquote(entry.name.split("=", 1)[1])
             files = set()
             stack = [entry.path]
             while stack:
@@ -387,7 +399,7 @@ def _partition_file_index(
             continue  # _SUCCESS / hidden metadata never carries rows
         if marker not in path:
             continue
-        part = path.split(marker, 1)[1].split("/", 1)[0]
+        part = unquote(path.split(marker, 1)[1].split("/", 1)[0])
         index.setdefault(part, set()).add(
             (rel, st.getLen(), st.getModificationTime())
         )
@@ -595,12 +607,15 @@ def retention_expire(
     jvm = spark._jvm
     jroot = jvm.org.apache.hadoop.fs.Path(lake_dir)
     fs = jroot.getFileSystem(spark._jsc.hadoopConfiguration())
+    from urllib.parse import unquote
+
     dropped = []
     for st in fs.listStatus(jroot):
         name = st.getPath().getName()
         if not (st.isDirectory() and name.startswith(f"{partition_col}=")):
             continue
-        val = name.split("=", 1)[1]
+        # hive-unescape so the predicate sees the real value, not %XX
+        val = unquote(name.split("=", 1)[1])
         if expired(val):
             fs.delete(st.getPath(), True)
             dropped.append(val)
