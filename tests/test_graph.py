@@ -1,0 +1,124 @@
+"""Graph operators: click-edge extraction, Markov transitions, PageRank.
+
+PageRank exactness is pinned against a pure-Python power iteration on a
+handcrafted graph that exercises the two structural edge cases the
+events-derived graph may never hit: a DANGLING node (out-degree 0, its
+mass must be redistributed uniformly) and an ISOLATED node (no edges at
+all — it still earns teleport + dangling share)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from udacity_data_engineering_spark.operators.graph import (
+    PAGERANK_ITERS,
+    click_edges,
+    pagerank,
+)
+
+
+def _py_pagerank(edges, nodes, iters=PAGERANK_ITERS, d=0.85):
+    """Reference implementation: edges = {(src, dst): w}."""
+    outw = {}
+    for (s, _), w in edges.items():
+        outw[s] = outw.get(s, 0.0) + w
+    n = len(nodes)
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        dangling = sum(pr for v, pr in r.items() if v not in outw)
+        contrib = {v: 0.0 for v in nodes}
+        for (s, t), w in edges.items():
+            contrib[t] += r[s] * (w / outw[s])
+        r = {
+            v: 0.15 / n + 0.85 * (contrib[v] + dangling / n)
+            for v in nodes
+        }
+    return r
+
+
+def _edges_df(spark, edges):
+    return spark.createDataFrame(
+        [(s, t, int(w)) for (s, t), w in edges.items()],
+        "src long, dst long, n_transitions long",
+    )
+
+
+def _nodes_df(spark, nodes):
+    return spark.createDataFrame([(v,) for v in nodes], "page long")
+
+
+def test_pagerank_matches_reference_with_dangling_and_isolated(spark):
+    # 1→2 (×2), 1→3, 2→3, 3 dangles, 4 isolated
+    edges = {(1, 2): 2.0, (1, 3): 1.0, (2, 3): 1.0}
+    nodes = [1, 2, 3, 4]
+    want = _py_pagerank(edges, nodes)
+    got = {
+        r.page: r.pr
+        for r in pagerank(_edges_df(spark, edges), _nodes_df(spark, nodes)).collect()
+    }
+    assert set(got) == set(want)
+    for v in nodes:
+        assert abs(got[v] - want[v]) < 1e-12, (v, got[v], want[v])
+
+
+def test_pagerank_conserves_mass_and_ranks_sink_highest(spark):
+    edges = {(1, 2): 1.0, (2, 3): 1.0, (1, 3): 1.0, (3, 1): 1.0}
+    nodes = [1, 2, 3]
+    got = {
+        r.page: r.pr
+        for r in pagerank(_edges_df(spark, edges), _nodes_df(spark, nodes)).collect()
+    }
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    # node 3 receives from both 1 and 2 — must outrank 2 (single source)
+    assert got[3] > got[2]
+
+
+def test_pagerank_checkpoint_cadence_invariant(spark):
+    edges = {(1, 2): 3.0, (2, 1): 1.0, (2, 3): 2.0, (3, 3): 1.0}
+    nodes = [1, 2, 3]
+    e, n = _edges_df(spark, edges), _nodes_df(spark, nodes)
+    a = {r.page: r.pr for r in pagerank(e, n, checkpoint_every=1).collect()}
+    b = {r.page: r.pr for r in pagerank(e, n, checkpoint_every=4).collect()}
+    assert a == b  # lineage cuts are a physical choice, never semantic
+
+
+def test_click_edges_sessionized_per_user(spark):
+    t = datetime(2024, 1, 1)
+    rows = [
+        # user 7 visits pages 10 → 20 → 10; user 8 visits 20 → 30
+        (1, t, 7, '{"k": 10}'),
+        (2, t, 7, '{"k": 20}'),  # ts tie → event_id breaks it
+        (3, t, 7, '{"k": 10}'),
+        (4, t, 8, '{"k": 20}'),
+        (5, t, 8, '{"k": 30}'),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, props string"
+    )
+    got = {
+        (r.src, r.dst): r.n_transitions for r in click_edges(ev).collect()
+    }
+    assert got == {(10, 20): 1, (20, 10): 1, (20, 30): 1}
+
+
+def test_click_edges_never_crosses_users(spark):
+    t = datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [(1, t, 1, '{"k": 1}'), (2, t, 2, '{"k": 2}')],
+        "event_id long, ts timestamp, user_id long, props string",
+    )
+    assert click_edges(ev).count() == 0
+
+
+def test_pagerank_uniform_on_symmetric_cycle(spark):
+    # a 4-cycle is vertex-transitive: every node must score exactly 1/4
+    edges = {(i, (i + 1) % 4): 1.0 for i in range(4)}
+    nodes = list(range(4))
+    got = {
+        r.page: r.pr
+        for r in pagerank(_edges_df(spark, edges), _nodes_df(spark, nodes)).collect()
+    }
+    for v in nodes:
+        assert abs(got[v] - 0.25) < 1e-12

@@ -1,0 +1,299 @@
+"""Link-graph analytics: session click-graph construction, Markov
+transition matrices, and PageRank (Brin & Page, "The anatomy of a
+large-scale hypertextual Web search engine", WWW 1998).
+
+Why this belongs in a training-data engine: crawl prioritization and
+document-quality weighting by link centrality are standard corpus-
+curation signals (e.g. the Common Crawl harmonic-centrality ranks).
+The graph here is the sessionized click graph — an edge for every
+consecutive event pair within a user's stream — the same construction
+web analytics uses for navigation analysis.
+
+Scale shape:
+- Edge extraction is ONE window (lag over user_id) + one groupBy —
+  both shuffle on user/edge keys, corpus-linear, no self-join.
+- PageRank iterations keep the EDGE table static (weights + out-degree
+  are joined once, before the loop) and iterate only the node-sized
+  rank vector: per round one edges⋈ranks shuffle-join aggregated by
+  dst (map-side partial sums), one node-sized left join, and a 1-row
+  dangling-mass aggregate broadcast back in. Lineage is cut per
+  iteration with localCheckpoint (the pointer-jumping discipline from
+  components.py) so the plan never deepens with the iteration count.
+- The iteration count is FIXED (power iteration with damping 0.85
+  converges geometrically; 8 rounds ≈ 0.85^8 < 0.28 residual on the
+  worst case, far below the 6dp serialization). Fixed rounds are what
+  make the operator hash-provable: the DuckDB oracle replays the same
+  8 rounds as unrolled chained CTEs — the first ITERATIVE operator in
+  the registry with a full value-hash oracle, not a rows-only floor.
+
+Parity discipline: every per-round expression is written identically
+on both sides (0.15 / n + 0.85 * (contrib + dangling / n), doubles
+throughout); only the FINAL ranks are rounded (6dp). Within-group sum
+order differs between engines by ~1e-15/round, ~1e-13 after 8 rounds —
+invisible at 6dp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from udacity_data_engineering_spark.plans.registry import register
+from udacity_data_engineering_spark.session import table
+
+#: damping factor and round count shared by the Spark path and the
+#: generated oracle — change in one place only.
+DAMPING_NUM = "0.85"
+TELEPORT_NUM = "0.15"
+PAGERANK_ITERS = 8
+
+
+def click_edges(events: DataFrame, page: F.Column | None = None) -> DataFrame:
+    """Sessionized click-graph edges: for each user's event stream in
+    (ts, event_id) order, one directed edge from the previous page to
+    the current one. Returns (src, dst, n_transitions).
+
+    One lag window partitioned by user (shuffle on user_id — session
+    streams are bounded, no skew hazard) + one groupBy on the edge key.
+    """
+    if page is None:
+        page = F.get_json_object("props", "$.k").cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = events.select(
+        F.lag(page).over(w).alias("src"), page.alias("dst")
+    ).filter(F.col("src").isNotNull())
+    return steps.groupBy("src", "dst").agg(F.count("*").alias("n_transitions"))
+
+
+@register(
+    "q_click_edges",
+    oracle="""
+        WITH ev AS (
+            SELECT user_id, ts, event_id,
+                   CAST(props ->> 'k' AS BIGINT) AS page
+            FROM events
+        ), raw AS (
+            SELECT lag(page) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS src,
+                   page AS dst
+            FROM ev
+        )
+        SELECT src, dst, count(*) AS n_transitions
+        FROM raw WHERE src IS NOT NULL
+        GROUP BY src, dst
+        ORDER BY src, dst
+    """,
+    doc="Session click-graph edge extraction: consecutive event pairs "
+    "per user in (ts, event_id) order become directed page→page edges "
+    "with transition counts. One lag window + one groupBy.",
+    tags=("E5", "analytics", "graph"),
+)
+def q_click_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = click_edges(table(spark, sf_dir, "events"))
+    return edges.orderBy("src", "dst")
+
+
+@register(
+    "q_markov_transitions",
+    oracle="""
+        WITH ev AS (
+            SELECT user_id, ts, event_id,
+                   CAST(props ->> 'k' AS BIGINT) AS page
+            FROM events
+        ), raw AS (
+            SELECT lag(page) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS src,
+                   page AS dst
+            FROM ev
+        ), edges AS (
+            SELECT src, dst, count(*) AS n FROM raw
+            WHERE src IS NOT NULL GROUP BY src, dst
+        )
+        SELECT src, dst,
+               round(CAST(n AS DOUBLE)
+                     / sum(CAST(n AS DOUBLE)) OVER (PARTITION BY src),
+                     6) AS p
+        FROM edges
+        ORDER BY src, dst
+    """,
+    doc="Row-normalized Markov transition matrix over the session "
+    "click graph: P(dst | src) = edge count / out-count. The window "
+    "normalization reuses the groupBy shuffle's partitioning (src is "
+    "a prefix of the edge key) — no second shuffle.",
+    tags=("E5", "analytics", "graph"),
+)
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = click_edges(table(spark, sf_dir, "events"))
+    w = Window.partitionBy("src")
+    n = F.col("n_transitions").cast("double")
+    return edges.select(
+        "src",
+        "dst",
+        F.round(n / F.sum(n).over(w), 6).alias("p"),
+    ).orderBy("src", "dst")
+
+
+def pagerank(
+    edges: DataFrame,
+    nodes: DataFrame,
+    iters: int = PAGERANK_ITERS,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "n_transitions",
+    node: str = "page",
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """Weighted PageRank with damping 0.85 over a fixed node set.
+
+    ``edges``: (src, dst, weight) multigraph counts; ``nodes``: one
+    column naming every vertex (isolated vertices allowed — they earn
+    teleport + dangling mass only). Dangling mass (rank sitting on
+    vertices with no out-edges) is redistributed uniformly each round,
+    so total rank is conserved at 1 and the result is a proper
+    distribution.
+
+    Returns (node, pr) UNROUNDED — query wrappers round to their
+    serialization precision. Per-round cost: one edges⋈ranks hash join
+    aggregated by dst, one node-sized left join, one 1-row aggregate;
+    the edge-side join input (weight / out-weight) is precomputed once
+    and localCheckpointed, as is each round's rank vector (lineage cut,
+    components.py:88 discipline).
+    """
+    nodes = nodes.select(F.col(node).alias("page"))
+    e = edges.select(
+        F.col(src).alias("src"),
+        F.col(dst).alias("dst"),
+        F.col(weight).cast("double").alias("w"),
+    )
+    outw = e.groupBy("src").agg(F.sum("w").alias("ow"))
+    # static across rounds: per-edge share of its source's rank
+    e_share = (
+        e.join(outw, "src")
+        .select("src", "dst", (F.col("w") / F.col("ow")).alias("share"))
+        .localCheckpoint()
+    )
+    n_df = nodes.agg(F.count("*").cast("double").alias("n"))
+    damping = F.lit(float(DAMPING_NUM))
+    teleport = F.lit(float(TELEPORT_NUM))
+
+    ranks = nodes.crossJoin(F.broadcast(n_df)).select(
+        "page", (F.lit(1.0) / F.col("n")).alias("pr")
+    ).localCheckpoint()
+
+    sources = outw.select(F.col("src").alias("page"))
+    for it in range(iters):
+        dangling = (
+            ranks.join(sources, "page", "left_anti")
+            .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dm"))
+        )
+        contribs = (
+            e_share.join(ranks, e_share.src == ranks.page)
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") * F.col("share")).alias("contrib"))
+        )
+        scalars = F.broadcast(dangling.crossJoin(n_df))
+        ranks = (
+            nodes.join(contribs, nodes.page == contribs.dst, "left")
+            .crossJoin(scalars)
+            .select(
+                "page",
+                (
+                    teleport / F.col("n")
+                    + damping
+                    * (
+                        F.coalesce(F.col("contrib"), F.lit(0.0))
+                        + F.col("dm") / F.col("n")
+                    )
+                ).alias("pr"),
+            )
+        )
+        # cut lineage every checkpoint_every rounds (and on the last):
+        # the plan between cuts stays shallow, and each eager cut is a
+        # scheduled job — fewer cuts is faster at toy scale, same
+        # asymptotics at cluster scale.
+        if (it + 1) % checkpoint_every == 0 or it + 1 == iters:
+            ranks = ranks.localCheckpoint()
+    return ranks
+
+
+def _pagerank_oracle(iters: int = PAGERANK_ITERS) -> str:
+    """The oracle replays the EXACT iteration as unrolled chained CTEs
+    (r0 → r1 → … → r{iters}), generated from the same constants the
+    Spark path uses — an iterative algorithm under a full value-hash
+    oracle, not a rows-only floor."""
+    head = """
+        WITH ev AS (
+            SELECT user_id, ts, event_id,
+                   CAST(props ->> 'k' AS BIGINT) AS page
+            FROM events
+        ), pages AS (
+            SELECT DISTINCT page FROM ev
+        ), raw AS (
+            SELECT lag(page) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS src,
+                   page AS dst
+            FROM ev
+        ), edges AS (
+            SELECT src, dst, CAST(count(*) AS DOUBLE) AS w
+            FROM raw WHERE src IS NOT NULL GROUP BY src, dst
+        ), outw AS (
+            SELECT src, sum(w) AS ow FROM edges GROUP BY src
+        ), e_share AS (
+            SELECT e.src, e.dst, e.w / o.ow AS share
+            FROM edges e JOIN outw o ON e.src = o.src
+        ), nn AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n FROM pages
+        ), r0 AS (
+            SELECT page, 1.0 / n AS pr FROM pages CROSS JOIN nn
+        )"""
+    rounds = []
+    for i in range(1, iters + 1):
+        p = i - 1
+        rounds.append(
+            f""", d{i} AS (
+            SELECT coalesce(sum(pr), 0.0) AS dm
+            FROM r{p} LEFT JOIN outw ON r{p}.page = outw.src
+            WHERE outw.src IS NULL
+        ), c{i} AS (
+            SELECT s.dst, sum(r.pr * s.share) AS contrib
+            FROM e_share s JOIN r{p} r ON s.src = r.page
+            GROUP BY s.dst
+        ), r{i} AS (
+            SELECT p.page,
+                   {TELEPORT_NUM} / nn.n
+                   + {DAMPING_NUM} * (coalesce(c.contrib, 0.0)
+                                      + d{i}.dm / nn.n) AS pr
+            FROM pages p CROSS JOIN nn CROSS JOIN d{i}
+            LEFT JOIN c{i} c ON p.page = c.dst
+        )"""
+        )
+    tail = f"""
+        SELECT page, round(pr, 6) AS pr
+        FROM r{iters} ORDER BY page"""
+    return head + "".join(rounds) + tail
+
+
+@register(
+    "q_pagerank",
+    oracle=_pagerank_oracle(),
+    doc="PageRank (damping 0.85, 8 power-iteration rounds, dangling "
+    "mass redistributed uniformly) over the sessionized click graph — "
+    "the crawl-prioritization / document-centrality signal. Per round: "
+    "one edge⋈rank join aggregated by dst + one node-sized left join + "
+    "a 1-row broadcast; edge shares precomputed once; lineage cut per "
+    "round. Hash-proven end-to-end: the DuckDB oracle replays the same "
+    "8 rounds as unrolled chained CTEs (final ranks rounded 6dp; rank "
+    "mass conserved at 1 by construction).",
+    tags=("E5", "analytics", "graph", "llm-pipeline"),
+)
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    page = F.get_json_object("props", "$.k").cast("long")
+    nodes = ev.select(page.alias("page")).distinct()
+    edges = click_edges(ev)
+    ranks = pagerank(edges, nodes)
+    return ranks.select("page", F.round("pr", 6).alias("pr")).orderBy("page")
