@@ -1,0 +1,82 @@
+"""Lloyd's k-means trainer: exactness against a pure-numpy reference,
+empty-cluster carry-over, sub-k corpora, and empty input."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from udacity_data_engineering_spark.operators.kmeans import kmeans_train
+
+
+def _py_lloyd(X, k, iters):
+    """Reference: deterministic lowest-id init, argmin-first ties,
+    empty clusters keep their centroid."""
+    C = X[:k].astype(np.float64).copy()
+    assign = None
+    for _ in range(iters):
+        d = np.sqrt(((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2))
+        assign = d.argmin(axis=1)
+        for c in range(len(C)):
+            pts = X[assign == c]
+            if len(pts):
+                C[c] = pts.mean(axis=0)
+    return assign, C
+
+
+def _emb_df(spark, X):
+    return spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(X)],
+        "vec_id long, embedding array<double>",
+    )
+
+
+def test_kmeans_matches_numpy_reference(spark):
+    rng = np.random.RandomState(7)
+    X = rng.randn(120, 6)
+    want_assign, want_C = _py_lloyd(X, k=5, iters=3)
+    got, centers = kmeans_train(_emb_df(spark, X), k=5, iters=3)
+    got_map = {r.vec_id: r.cluster for r in got.collect()}
+    assert got_map == {i: int(c) for i, c in enumerate(want_assign)}
+    np.testing.assert_allclose(np.asarray(centers), want_C, rtol=0, atol=1e-12)
+
+
+def test_kmeans_separated_blobs_recover_clusters(spark):
+    rng = np.random.RandomState(0)
+    # interleaved ids (id % 3 = blob) so the lowest-id init spans all
+    # three blobs — with 90 ids from one blob first, Lloyd's provably
+    # never escapes it (deterministic init is honest about that)
+    X = np.vstack(
+        [rng.randn(4) * 0.05 + 10 * (i % 3) for i in range(90)]
+    )
+    got, _ = kmeans_train(_emb_df(spark, X), k=3, iters=4)
+    rows = got.collect()
+    # each blob lands in exactly one cluster, and blobs don't mix
+    labels = {}
+    for r in rows:
+        labels.setdefault(r.vec_id % 3, set()).add(r.cluster)
+    assert all(len(s) == 1 for s in labels.values())
+    assert len(set().union(*labels.values())) == 3
+
+
+def test_kmeans_empty_cluster_keeps_centroid(spark):
+    # 3 identical points, k=2: init centroids equal, every point ties to
+    # cluster 0 (argmin-first), cluster 1 goes empty and must keep its
+    # (identical) centroid rather than crash or NaN
+    X = np.ones((3, 2))
+    got, centers = kmeans_train(_emb_df(spark, X), k=2, iters=2)
+    assert {r.cluster for r in got.collect()} == {0}
+    assert centers[1] == [1.0, 1.0]
+
+
+def test_kmeans_fewer_vectors_than_k(spark):
+    X = np.arange(6, dtype=float).reshape(3, 2)
+    got, centers = kmeans_train(_emb_df(spark, X), k=8, iters=2)
+    assert len(centers) == 3
+    assert got.count() == 3
+
+
+def test_kmeans_empty_input(spark):
+    df = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    got, centers = kmeans_train(df, k=4, iters=2)
+    assert got.count() == 0 and centers == []
+    assert [f.name for f in got.schema.fields] == ["vec_id", "cluster"]

@@ -88,6 +88,10 @@ PYTHON_PATH_QUERIES = {
     # perm-min kernel as q_minhash_candidates (SimHash's incremental twin
     # stays JVM-side and is deliberately NOT listed here):
     "q_incremental_neardup",
+    # k-means assignment is an Arrow-batched broadcast-centroid distance
+    # kernel by design (k x dim model state, pq.py codebook posture);
+    # the centroid update stays JVM-side (posexplode + partial agg):
+    "q_kmeans_train",
     # BPE application is an Arrow-batched mapInPandas kernel by design
     # (broadcast merge ranks + per-task word cache, operators/bpe.py);
     # the two *_bpe budget/packing variants consume its counts frame:

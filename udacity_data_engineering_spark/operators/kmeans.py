@@ -1,0 +1,175 @@
+"""Lloyd's k-means training as a first-class distributed operator
+(Lloyd, "Least squares quantization in PCM", IEEE Trans. IT 1982).
+
+IVF (ann.py) and SemDeDup (semdedup.py) both cluster internally; this
+module promotes the trainer itself to the public surface — the
+embedding-curation primitive behind cluster-balanced sampling, SemDeDup
+bucketing, and IVF index builds.
+
+Scale shape (the PQ-codebook posture, pq.py): the MODEL (k × dim
+centroid matrix) is bounded driver-side state, collected once per
+round; the DATA only ever streams through Arrow-batched assignment —
+one broadcast-centroid GEMM-style pass per round, no shuffle — and the
+centroid update is one JVM-side posexplode + partial-agg groupBy on
+(cluster, dim): k·dim cells regardless of corpus size. Rounds are
+FIXED (deterministic init = the k lowest-id vectors), which makes the
+whole training run hash-provable: the DuckDB oracle replays every
+assign→update round as unrolled chained CTEs.
+
+Parity discipline: all arithmetic in float64 after one explicit cast
+from the stored float32; the assignment distance is the same
+sqrt-of-squared-differences formula DuckDB's list_distance computes
+(NOT the |x|²−2xc+|c|² expansion, whose fp error profile differs);
+argmin tie-breaks to the lowest centroid id on both sides (numpy
+argmin-first == row_number ORDER BY dist, cid). The returned
+assignment is integer-only — no float crosses the serialization
+boundary. Empty clusters keep their previous centroid on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from udacity_data_engineering_spark.plans.registry import register
+from udacity_data_engineering_spark.session import table
+
+KMEANS_K = 8
+KMEANS_ITERS = 4
+
+
+def _assign_fn(centers, id_col: str, vec_col: str):
+    """Arrow-batched nearest-centroid assignment: per batch one
+    (rows × k × dim) difference + reduce in float64. Ties take the
+    lowest centroid id (numpy argmin returns the first minimum)."""
+    import numpy as np
+
+    C = np.asarray(centers, dtype=np.float64)
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({id_col: [], "cluster": []})
+                continue
+            X = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            d = np.sqrt(((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2))
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "cluster": d.argmin(axis=1).astype("int32")}
+            )
+
+    return fn
+
+
+def kmeans_train(
+    emb: DataFrame,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[list[float]]]:
+    """Train k-means for a fixed number of Lloyd rounds and return
+    (assignments, final_centroids). Assignments: (id_col, cluster int).
+
+    Deterministic init: the k lowest-id vectors. Per round, the k × dim
+    centroid model is collected to the driver (bounded model state, the
+    pq.py codebook posture) and broadcast into an Arrow-batched
+    assignment pass; the update is a JVM-side posexplode + groupBy
+    (cluster, dim) partial aggregate — k·dim result cells, corpus-sized
+    scan, no corpus shuffle beyond the k·dim aggregation."""
+    e = emb.select(
+        F.col(id_col).alias(id_col),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).localCheckpoint()
+
+    init_rows = e.orderBy(id_col).limit(k).collect()
+    centers = [list(r.v) for r in init_rows]
+
+    schema = f"{id_col} long, cluster int"
+    if not centers:  # empty corpus: typed empty assignment, no rounds
+        return e.sparkSession.createDataFrame([], schema), centers
+    assigned = None
+    for _ in range(iters):
+        assigned = e.mapInPandas(_assign_fn(centers, id_col, "v"), schema)
+        means = (
+            assigned.join(e, id_col)
+            .select("cluster", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("val").alias("mval"))
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cluster.setdefault(r.cluster, {})[r.pos] = r.mval
+        centers = [
+            [vals[p] for p in sorted(vals)] if (vals := by_cluster.get(c)) else centers[c]
+            for c in range(len(centers))  # < k when the corpus has < k vectors
+        ]
+    return assigned, centers
+
+
+def _kmeans_oracle(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
+    """Unrolled Lloyd rounds as chained CTEs — assign (row_number over
+    list_distance, tie-break cid) then update (elementwise avg via
+    unnest + generate_subscripts, list(ORDER BY idx)); empty clusters
+    carry the previous centroid via the left-join coalesce."""
+    head = f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), c0 AS (
+            SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v
+            FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {k})
+        )"""
+    rounds = []
+    for i in range(1, iters + 1):
+        p = i - 1
+        rounds.append(
+            f""", a{i} AS (
+            SELECT vec_id, cid FROM (
+                SELECT e.vec_id, c.cid,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY list_distance(e.v, c.v), c.cid
+                       ) AS rn
+                FROM e CROSS JOIN c{p} c
+            ) WHERE rn = 1
+        ), m{i} AS (
+            SELECT cid, list(mval ORDER BY idx) AS v FROM (
+                SELECT cid, idx, avg(val) AS mval FROM (
+                    SELECT a.cid, generate_subscripts(e.v, 1) AS idx,
+                           unnest(e.v) AS val
+                    FROM a{i} a JOIN e USING (vec_id)
+                ) GROUP BY cid, idx
+            ) GROUP BY cid
+        ), c{i} AS (
+            SELECT p.cid, coalesce(m.v, p.v) AS v
+            FROM c{p} p LEFT JOIN m{i} m USING (cid)
+        )"""
+        )
+    tail = f"""
+        SELECT vec_id, cluster FROM (
+            SELECT vec_id, cid AS cluster FROM a{iters}
+        ) ORDER BY vec_id"""
+    return head + "".join(rounds) + tail
+
+
+@register(
+    "q_kmeans_train",
+    oracle=_kmeans_oracle(),
+    doc=f"Lloyd's k-means training (k={KMEANS_K}, {KMEANS_ITERS} fixed "
+    "rounds, deterministic lowest-id init) over the embeddings table; "
+    "returns the final integer assignment (vec_id, cluster). Per round: "
+    "broadcast k×dim centroids into an Arrow-batched float64 assignment "
+    "pass (no shuffle), update via posexplode + (cluster, dim) partial "
+    "agg — k·dim cells. Hash-proven: the DuckDB oracle replays every "
+    "round as unrolled CTEs (list_distance + row_number tie-break = "
+    "numpy argmin-first; empty clusters keep their centroid).",
+    tags=("E12", "embeddings", "llm-pipeline"),
+)
+def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    assigned, _ = kmeans_train(emb)
+    return assigned.orderBy("vec_id")
