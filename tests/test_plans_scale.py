@@ -88,6 +88,9 @@ PYTHON_PATH_QUERIES = {
     # perm-min kernel as q_minhash_candidates (SimHash's incremental twin
     # stays JVM-side and is deliberately NOT listed here):
     "q_incremental_neardup",
+    # MMR greedy runs per-query-group over the bounded retriever top-n
+    # (candidate-set-sized pair matrix) — inherently a numpy kernel:
+    "q_mmr_rerank",
     # k-means assignment is an Arrow-batched broadcast-centroid distance
     # kernel by design (k x dim model state, pq.py codebook posture);
     # the centroid update stays JVM-side (posexplode + partial agg):
