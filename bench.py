@@ -87,6 +87,9 @@ def slim_output(out: dict) -> dict:
 def main() -> None:
     stock = measure_stock()
     spark = build_session(app_name="bench", cpus=CPUS, shuffle_partitions=max(CPUS, 16))
+    # keep stdout/stderr clean for the driver's tail capture: the JSON
+    # line must never share the window with WARN chatter
+    spark.sparkContext.setLogLevel("ERROR")
     t = {name: table(spark, SF_DIR, name) for name in
          ("lineitem", "orders", "customer", "events")}
     for name, df in t.items():

@@ -175,6 +175,110 @@ def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return train_val_split(docs, "doc_id").select("doc_id", "split")
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    edges: DataFrame,
+    key: str = "doc_id",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    train_pct: int = 90,
+    val_pct: int = 5,
+) -> DataFrame:
+    """Train/val/test split that NEAR-DUPLICATES cannot straddle.
+
+    A plain per-row hash split leaks: a training document's near-copy
+    lands in val/test and inflates eval (the contamination failure mode
+    the dedup family exists to prevent). Here the split key is the
+    near-dup CONNECTED COMPONENT label (min doc id of the group;
+    singletons use their own id), so an entire duplicate cluster always
+    falls on one side. ``edges`` is any pair graph — the production
+    feed is the MinHash/ensemble candidates (linear star edges); the
+    registered query uses the exact Jaccard graph, the oracle shape.
+
+    Same determinism contract as train_val_split: assignment is pure
+    integer arithmetic on the group label, reproducible on any engine
+    and partitioning. Cost = connected_components (shuffle bounded by
+    the edge count) + one left join; the hash itself is scan-side.
+    """
+    from udacity_data_engineering_spark.operators.components import (
+        connected_components,
+    )
+
+    comp = connected_components(edges, src, dst)
+    grp = F.coalesce(F.col("comp"), F.col(key)).alias("split_group")
+    h = hash_pct(F.coalesce(F.col("comp"), F.col(key)))
+    return (
+        df.join(comp.withColumnRenamed("id", key), key, "left")
+        .withColumn("split_group", grp)
+        .withColumn(
+            "split",
+            F.when(h < train_pct, "train")
+            .when(h < train_pct + val_pct, "val")
+            .otherwise("test"),
+        )
+        .drop("comp")
+    )
+
+
+@register(
+    "q_leakage_safe_split",
+    oracle="""
+        WITH RECURSIVE tok AS (
+            SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS w
+            FROM (SELECT doc_id, string_split(text, ' ') AS words
+                  FROM documents),
+                 LATERAL (SELECT unnest(
+                     range(1, greatest(len(words) - 2, 0) + 1)) AS i)
+        ), cnt AS (
+            SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id
+        ), pair AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+            FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ), edge AS (
+            SELECT doc_a AS a, doc_b AS b FROM pair
+            JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
+            WHERE i / (ca.n + cb.n - i) >= 0.7
+        ), sym AS (
+            SELECT a, b FROM edge UNION SELECT b, a FROM edge
+        ), walk(id, comp) AS (
+            SELECT a, a FROM sym
+            UNION
+            SELECT s.a, w.comp FROM sym s JOIN walk w ON s.b = w.id
+        ), comps AS (
+            SELECT id, min(comp) AS comp FROM walk GROUP BY id
+        )
+        SELECT doc_id, split_group,
+               CASE WHEN h < 90 THEN 'train'
+                    WHEN h < 95 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT doc_id, grp AS split_group,
+                     ((grp % 2147483648) * 2654435761) % 4294967296 % 100 AS h
+              FROM (SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS grp
+                    FROM documents d
+                    LEFT JOIN comps c ON c.id = d.doc_id))
+    """,
+    doc="Leakage-safe 90/5/5 split: the Knuth-hash assignment is keyed "
+    "by the near-dup connected-component label, so a duplicate cluster "
+    "can never straddle train and eval. Components via distributed "
+    "min-label propagation; oracle recomputes them with a recursive-CTE "
+    "transitive closure over the exact Jaccard graph and applies the "
+    "identical hash arithmetic.",
+    tags=("E11", "llm-pipeline", "sampling", "corpus", "oracle_only"),
+)
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from udacity_data_engineering_spark.operators.components import (
+        NEARDUP_JACCARD,
+        _exact_pairs,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    edges = _exact_pairs(spark, sf_dir, NEARDUP_JACCARD)
+    return leakage_safe_split(docs, edges).select(
+        "doc_id", "split_group", "split"
+    )
+
+
 def shuffle_key(key, buckets: int = 1024):
     """Deterministic 32-bit shuffle key + bucket for a training-order
     shuffle: ``skey`` totally orders rows pseudo-randomly, ``bucket`` is
@@ -270,15 +374,21 @@ def length_trim(
 
     Exact integer-rank semantics (rank > n*lo/100 and rank <= n*hi/100
     over a (col, doc_id) total order) so any engine agrees row-for-row —
-    the oracle shape. At 100 TB the same trim uses approxQuantile
-    bounds as scan-side predicates instead of the global row_number
-    window (documented trade: exactness vs a single-partition sort)."""
-    from pyspark.sql import Window
+    the oracle shape. Round 10 removed the former global-window
+    implementation: the rank now comes from ranking.exact_global_rank
+    (frozen quantile boundaries -> scan-side bucket -> exact offsets ->
+    PARTITIONED local row_number) and the total count from a broadcast
+    1-row cross join — row-identical results, no single-partition
+    WindowExec anywhere in the plan, so the exact trim itself is now the
+    100 TB shape (approxQuantile scan predicates remain the cheaper
+    inexact alternative)."""
+    from udacity_data_engineering_spark.operators.ranking import (
+        exact_global_rank,
+        with_total_count,
+    )
 
-    w = Window.orderBy(col, "doc_id")
-    n = F.count(F.lit(1)).over(Window.partitionBy())
-    ranked = docs.withColumn("__rk", F.row_number().over(w)).withColumn(
-        "__n", n
+    ranked = with_total_count(
+        exact_global_rank(docs, col, "doc_id", out="__rk")
     )
     return (
         ranked.filter(

@@ -1,0 +1,179 @@
+"""Exact global ranking WITHOUT a single-partition window.
+
+``row_number() OVER (ORDER BY ...)`` with no PARTITION BY is the classic
+100 TB cliff: Spark's WindowExec moves EVERY row to one partition (the
+"No Partition Defined for Window operation" warning), so the operator
+that looked fine at sf0.1 serializes the corpus through a single task at
+scale. Several curation primitives genuinely need exact global ranks —
+percentile-band trims, SQL ``ntile`` curriculum buckets, stable global
+ordinals for training-data writes — so this module implements the
+distributed two-phase rank every MPP engine uses internally:
+
+1. **Freeze bucket boundaries driver-side.** One tiny job computes
+   ``B-1`` approximate quantiles of the key (``percentile_approx``;
+   any valid quantile sketch works — boundary quality affects only
+   partition BALANCE, never rank correctness). The boundaries become
+   plain Python floats, so every downstream job sees the identical
+   split points — no re-sampled range partitioner between passes, no
+   cache dependency.
+2. **Bucket assignment is scan-side codegen.** ``bucket = sum_b
+   (key > bound_b)`` — a chain of integer comparisons, no shuffle.
+   Equal keys always land in the same bucket, so a tiebreak column can
+   never straddle a boundary.
+3. **Exact per-bucket counts -> offsets.** A ``groupBy(bucket).count()``
+   (partial-aggregating, ~B rows total) is collected; the running sum
+   over bucket ids gives each bucket its global offset — broadcast back
+   as a literal CASE chain.
+4. **Local rank inside each bucket.** ``row_number() OVER (PARTITION BY
+   bucket ORDER BY key, tiebreak)`` — a PARTITIONED window: B-way
+   parallel, each window sees ~1/B of the rows. Global rank = offset +
+   local rank.
+
+Exactness does not depend on the quantile sketch: ranks are derived
+from exact counts plus an exact within-bucket sort, so the result is
+row-identical to the single-partition ``row_number`` on any engine —
+the oracle can be plain SQL ``row_number()``/``ntile()``.
+
+The reference repo (etl.py:1-208) has no ranking surface; this is §2B
+charter infrastructure used by ``corpus.length_trim`` (percentile-band
+trim) and the curriculum-decile query below.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from udacity_data_engineering_spark.plans.registry import register
+from udacity_data_engineering_spark.session import table
+
+#: Default bucket count for the two-phase rank. More buckets = more
+#: parallelism and smaller per-window state; the per-bucket offset CASE
+#: chain and the counts collect are O(buckets) driver-side (trivial up
+#: to ~10k buckets — at 100 TB pick ~2-4x the executor-core count).
+DEFAULT_BUCKETS = 64
+
+
+def exact_global_rank(
+    df: DataFrame,
+    key: str,
+    tiebreak: str,
+    out: str = "rn",
+    buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Append exact global ``row_number() OVER (ORDER BY key, tiebreak)``
+    as column ``out`` — distributed, never a single-partition window.
+
+    ``key`` must be numeric/orderable (quantile-sketchable); ``tiebreak``
+    must make (key, tiebreak) unique for a deterministic total order.
+    """
+    from pyspark.sql import Window
+
+    n_bounds = max(buckets - 1, 1)
+    probs = [i / buckets for i in range(1, buckets)]
+    row = df.select(
+        F.percentile_approx(F.col(key), probs, 10_000).alias("b")
+    ).first()
+    bounds = sorted(set(row["b"] or []))  # frozen driver-side floats
+
+    bucket_expr = F.lit(0)
+    for b in bounds:
+        bucket_expr = bucket_expr + F.when(F.col(key) > F.lit(b), 1).otherwise(0)
+    bucketed = df.withColumn("__bkt", bucket_expr.cast("int"))
+
+    counts = {
+        r["__bkt"]: r["cnt"]
+        for r in bucketed.groupBy("__bkt").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for bkt in sorted(counts):
+        offsets[bkt] = acc
+        acc += counts[bkt]
+
+    off_expr = F.lit(0)
+    for bkt, off in offsets.items():
+        if off:
+            off_expr = F.when(F.col("__bkt") == bkt, F.lit(off)).otherwise(off_expr)
+
+    w = Window.partitionBy("__bkt").orderBy(F.col(key).asc(), F.col(tiebreak).asc())
+    return (
+        bucketed.withColumn(
+            out, (off_expr + F.row_number().over(w)).cast("long")
+        ).drop("__bkt")
+    )
+
+
+def with_total_count(df: DataFrame, out: str = "__n") -> DataFrame:
+    """Append the total row count as a column via a broadcast 1-row
+    cross join — the scale-safe spelling of ``count(*) OVER ()`` (an
+    empty-partition window also centralizes all rows)."""
+    total = df.agg(F.count(F.lit(1)).alias(out))
+    return df.crossJoin(F.broadcast(total))
+
+
+def sql_ntile(
+    df: DataFrame,
+    key: str,
+    tiebreak: str,
+    k: int,
+    out: str = "bucket_k",
+    buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Exact SQL ``ntile(k) OVER (ORDER BY key, tiebreak)`` without a
+    global window: distributed rank + the standard ntile formula (the
+    first ``n mod k`` buckets take ``ceil(n/k)`` rows, the rest take
+    ``floor(n/k)`` — identical to DuckDB/Spark/ANSI ntile)."""
+    ranked = with_total_count(
+        exact_global_rank(df, key, tiebreak, out="__rn", buckets=buckets)
+    )
+    q = F.floor(F.col("__n") / k).cast("long")
+    r = F.col("__n") % k
+    cutoff = r * (q + 1)
+    rn0 = F.col("__rn") - 1
+    tile = F.when(F.col("__rn") <= cutoff, rn0 / (q + 1)).otherwise(
+        r + (rn0 - cutoff) / q
+    )
+    return ranked.withColumn(out, (F.floor(tile) + 1).cast("int")).drop(
+        "__rn", "__n"
+    )
+
+
+@register(
+    "q_quality_deciles",
+    oracle="""
+        SELECT doc_id,
+               ntile(10) OVER (ORDER BY n_chars, doc_id) AS decile
+        FROM documents
+    """,
+    doc="Curriculum deciles: exact SQL ntile(10) over (n_chars, doc_id) "
+    "computed WITHOUT a global window — frozen quantile boundaries -> "
+    "scan-side bucket -> exact per-bucket counts -> partitioned local "
+    "row_number + offset. Row-identical to the single-partition ntile "
+    "(the oracle) while staying B-way parallel at 100 TB.",
+    tags=("llm-pipeline", "corpus", "ranking"),
+)
+def q_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return sql_ntile(docs, "n_chars", "doc_id", 10, out="decile").select(
+        "doc_id", "decile"
+    )
+
+
+@register(
+    "q_global_rank",
+    oracle="""
+        SELECT event_id,
+               row_number() OVER (ORDER BY value, event_id) AS rn
+        FROM events
+    """,
+    doc="Exact global row_number over (value, event_id) via the "
+    "two-phase distributed rank — hash-identical to the ORDER BY "
+    "window, no single-partition WindowExec in the plan.",
+    tags=("ranking",),
+)
+def q_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    return exact_global_rank(events, "value", "event_id", out="rn").select(
+        "event_id", "rn"
+    )
