@@ -41,24 +41,18 @@ def test_window_covers_core_parity_and_extension_families():
 
 
 def test_window_oracle_coverage_never_regresses():
-    """43 of the 50 driver-window slots are hash-proven as of round 9;
-    the 7 rows-only residents are all genuinely non-SQL-expressible
-    (seeded LSH/IVF banding — including the round-8 incremental
-    batch-vs-lake paths and the group-granular simhash decision, whose
-    exactness is pinned by from-scratch-equivalence pytest contracts
-    instead). Adding a window query without an oracle, or dropping an
-    oracle from a window query, must be a deliberate decision — not
-    drift."""
+    """48 of the 50 driver-window slots are hash-proven as of round 10
+    (the r10 rotation moved five driver-seen rows-only residents out);
+    the 2 remaining rows-only residents are genuinely
+    non-SQL-expressible (seeded LSH/IVF banding, exactness pinned by
+    pytest contracts instead). Adding a window query without an oracle,
+    or dropping an oracle from a window query, must be a deliberate
+    decision — not drift."""
     qs = all_queries()
     no_oracle = {n for n in DRIVER_PRIORITY if not qs[n].oracle}
     assert no_oracle == {
-        "q_minhash_dedup_survivors",
         "q_embedding_neardup_lsh",
-        "q_simhash_candidates",
         "q_ivf_topk",
-        "q_incremental_neardup",
-        "q_incremental_neardup_simhash",
-        "q_simhash_survivors",
     }, f"driver-window oracle coverage changed: rows-only = {sorted(no_oracle)}"
 
 

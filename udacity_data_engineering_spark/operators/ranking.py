@@ -170,7 +170,7 @@ def q_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Exact global row_number over (value, event_id) via the "
     "two-phase distributed rank — hash-identical to the ORDER BY "
     "window, no single-partition WindowExec in the plan.",
-    tags=("ranking",),
+    tags=("ranking", "physical"),
 )
 def q_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = table(spark, sf_dir, "events")

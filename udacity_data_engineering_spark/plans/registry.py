@@ -58,168 +58,113 @@ def register(
 # after these. A name listed here but not registered is a hard error (catches
 # renames going stale).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # Round-9 rotation (continuing r6-r8's): eleven never-driver-checked
-    # queries rotate in — the five round-8 operators (BPE counting +
-    # the two BPE-unit budget/packing variants, both incremental
-    # near-dup paths, per-language charlm, group-granular simhash
-    # survivors) and the four round-9 operators (weighted sample,
-    # DSIR, substring ranges, hybrid RRF) — and eleven driver-green
-    # slots whose family keeps an in-window representative rotate out
-    # (r9 out: q_charlm_score, q_length_bucket_batches,
-    # q_token_budget_mix — superseded by their by-lang/BPE variants;
-    # q_dedup_best_survivors, q_curation_pipeline,
-    # q_substring_dupes_winnowed, q_substring_doc_flags, q_knn_join,
-    # q_streaming_session, q_stratified_mix, q_cluster_centroids —
-    # every family keeps at least one slot, see inline notes).
+    # Round-10 rotation (continuing r6-r9's): SEVENTEEN never-driver-
+    # checked queries rotate in — the twelve post-r9-snapshot operators
+    # (pagerank + markov transitions, k-means training, MMR re-ranking,
+    # blocked fuzzy match, exact heavy hitters, SCD2 apply, lake MERGE
+    # upsert, lake snapshot diff, incremental substring dedup, streaming
+    # DQ monitor, dHash media near-dup pairs) and the five round-10
+    # operators (quality deciles + global rank on the distributed
+    # two-phase ranker, PMI pairs, per-source KL divergence, leakage-
+    # safe split). Seventeen driver-green slots whose family keeps an
+    # in-window representative rotate out (r10 out: q_date_format,
+    # q_case_when, q_salted_join, q_bm25, q_quality_classifier,
+    # q_length_bucket_batches_bpe, q_token_budget_mix_bpe,
+    # q_weighted_sample, q_minhash_dedup_survivors, q_incremental_neardup,
+    # q_incremental_neardup_simhash, q_simhash_candidates,
+    # q_simhash_survivors, q_substring_dupes, q_multimodal_resize,
+    # q_streaming_tumbling, q_hybrid_rrf — five of them rows-only, so
+    # the window's hash-proven share rises to 48/50; every rotated-out
+    # name stays sweep-verified at three scales, see SWEEP.json).
     # --- §2A reference-parity core (relational / datetime / SQL entry) ---
     "q_scan_count",          # 2A.6 parquet scan + 2A.22 count
-    "q_project_rename",      # 2A.7+8 projection (+rename) — the bare
-                             # q_project was driver-green r1-r6, rotated
-                             # out r7; rename subsumes the projection row
+    "q_project_rename",      # 2A.7+8 projection (+rename)
     "q_filter_eq",           # 2A.9
     "q_dedup_key",           # 2A.10 deterministic key-subset dedup
-                             # (q_dedup_fullrow: driver-green r4-r5,
-                             # rotated out r6; q_dedup_any rows-only
-                             # past the window)
     "q_dateparts",           # 2A.14 + 2A.11 derived columns
-    "q_synthetic_id_props",  # 2A.12 monotonically_increasing_id — hash-
-                             # proven uniqueness properties (round 4
-                             # rotation; the raw-ids q_synthetic_id stays
-                             # registered rows-only just past the window)
+                             # (q_date_format driver-green r1-r9,
+                             # rotated out r10 — dead-import parity
+                             # stays exercised via the sweep)
+    "q_synthetic_id_props",  # 2A.12 monotonically_increasing_id
     "q_join_multikey",       # 2A.17 3-key composite equi-join
     "q_sql_entry",           # 2A.15/16/18 temp view + SQL + aliasing
-    "q_epoch_to_ts",         # 2A.13 builtin (the parity-UDF variant
-                             # q_epoch_to_ts_udf: driver-green r1-r5,
-                             # rotated out r6)
-    "q_date_format",         # 2A dead-import parity (etl.py date_format)
-                             # (q_limit driver-green r1-r6, rotated out
-                             # r7 — 2A.21 row fetch stays exercised by
-                             # q_topn's sort+limit below)
+    "q_epoch_to_ts",         # 2A.13 builtin epoch->timestamp
     # --- §2A sources / sinks ---
-    "q_json_schema_scan",    # 2A.4 + 2A.3 (declared-schema scan over the
-                             # same multi-file glob; the bare q_scan_glob
-                             # was driver-green r1-r6, rotated out r7)
+    "q_json_schema_scan",    # 2A.4 + 2A.3 declared-schema multi-file glob
     "q_json_infer_scan",     # 2A.5
-    "q_parquet_partitioned", # 2A.20 hive-partitioned sink + pruned
-                             # re-read (subsumes 2A.19's plain
-                             # write+re-read — q_parquet_roundtrip
-                             # driver-green r1-r6, rotated out r7)
+    "q_parquet_partitioned", # 2A.20 hive-partitioned sink + pruned re-read
     # --- Sparkify 5-table ETL (the reference's whole program) ---
-    "q_sparkify_songs",          # (q_sparkify_users / q_sparkify_time:
-                                 # driver-green r2-r5, rotated out r6)
-    "q_sparkify_songplays_nat",  # hash-proven 3-key join (surrogate-id
-                                 # variant q_sparkify_songplays is
-                                 # rows-only and sits just past the window)
-    # --- SQL scalar surface (rotated in r7; string/math/null rotated
-    # out r8 after going driver-green — case_when + pivot keep it) ---
-    "q_case_when",             # conditional expressions
-    "q_pivot",                 # pivot aggregation
+    "q_sparkify_songs",
+    "q_sparkify_songplays_nat",  # hash-proven 3-key join
+    # --- SQL scalar surface ---
+    "q_pivot",                 # pivot aggregation (q_case_when
+                               # driver-green r8-r9, rotated out r10)
     # --- §2B: one-two per extension family ---
     "q_groupby_agg",           # E1
     "q_count_distinct",        # E2
-    "q_cube",                  # E3 (rotated in r6; q_rollup driver-green
-                               # r2-r5, rotated out — cube subsumes the
-                               # rollup grouping-set shape)
+    "q_cube",                  # E3
     "q_topn",                  # E4 (+ 2A.21 limit)
-    "q_window_running",        # E5 running-frame windows (rotated in r7;
-                               # q_window_rank driver-green r1-r6,
-                               # rotated out — same family, never-checked
-                               # frame shape in)
+    "q_window_running",        # E5 running-frame windows
     "q_setops",                # E6
-    "q_join_broadcast_agg",    # E7 (q_join_semi driver-green r1-r5,
-                               # rotated out r6)
-    "q_salted_join",           # E7/physical skew join (r6; q_salted_agg
-                               # driver-green r5-r6, rotated out r7 —
-                               # physical family keeps this slot)
-    "q_asof_join",             # E8 (q_asof_forward driver-green r6,
-                               # rotated out r7 — backward direction
-                               # keeps the family)
+    "q_join_broadcast_agg",    # E7 (q_salted_join driver-green r6-r9,
+                               # rotated out r10 — the physical family
+                               # slot moves to q_global_rank below)
+    "q_asof_join",             # E8
     "q_json_extract",          # E9
-    "q_bm25",                  # E10 ranking (rotated in r6;
-                               # q_text_tokens driver-green r1-r6,
-                               # rotated out r7 — tokenization stays
-                               # exercised inside bm25/vocab/ngrams)
-    "q_quality_classifier",    # E10/quality model-based filter (r6)
     "q_charlm_by_lang",        # E10/quality per-language LM scoring
-                               # (rotated in r9, never driver-checked;
-                               # q_charlm_score driver-green r8, rotated
-                               # out — the by-group variant subsumes the
-                               # global formula)
-    "q_bpe_token_counts",      # E10/llm-pipeline subword counting under
-                               # the committed fixture (rotated in r9,
-                               # never driver-checked — pins the Arrow
-                               # kernel against the reference LUT)
-    "q_length_bucket_batches_bpe",  # E10/llm-pipeline padded-batch
-                               # packing in BPE units (rotated in r9;
-                               # whitespace q_length_bucket_batches
-                               # driver-green r8, rotated out)
-    "q_token_budget_mix_bpe",  # E10/sampling token-budget mixing in BPE
-                               # units (rotated in r9; whitespace
-                               # q_token_budget_mix driver-green r8,
-                               # rotated out)
-    "q_weighted_sample",       # sampling: deterministic weighted
-                               # sampling w/o replacement (round 9 op,
-                               # priority sampling — hash-proven;
-                               # q_stratified_mix driver-green r1-r8,
-                               # rotated out — hash-cut sampling stays
-                               # exercised through the budget mixes)
-    "q_dsir_mix",              # quality/sampling: DSIR importance
-                               # resampling (round 9 op, hash-proven;
-                               # q_curation_pipeline driver-green r8,
-                               # rotated out — percentile-cutoff
-                               # composition stays exercised here)
-    "q_minhash_dedup_survivors",  # E11/E12 end-to-end dedup pipeline
-                               # (q_doc_fingerprint / q_doc_dedup_survivors
-                               # driver-green r2-r5, rotated out r6)
-    "q_dedup_components",      # E11 connected-components labeling (r6)
-    "q_incremental_neardup",   # E11/E12 batch-vs-lake MinHash (rotated
-                               # in r9, never driver-checked; rows-only
-                               # by design — seed-specific banding;
-                               # q_dedup_best_survivors driver-green r8,
-                               # rotated out)
-    "q_incremental_neardup_simhash",  # E12 batch-vs-lake SimHash
-                               # (rotated in r9, never driver-checked;
-                               # rows-only — hash-specific banding)
-    "q_substring_dupes",       # E11+ substring-level dedup (rotated in
-                               # r8; driver-green r8)
-    "q_substring_ranges",      # E11+ maximal duplicated-range
-                               # coalescing (round 9 op, hash-proven;
-                               # q_substring_dupes_winnowed +
-                               # q_substring_doc_flags driver-green r8,
-                               # rotated out — the family keeps dupes +
-                               # ranges)
-    "q_embedding_neardup_lsh", # E12 scale path
-    "q_simhash_candidates",    # E12/dedup
-    "q_simhash_survivors",     # E11/E12 SimHash dedup decision (rotated
-                               # in r9, never driver-checked; rows-only
-                               # — group-granular graph; q_knn_join
-                               # driver-green r8, rotated out)
-    "q_hybrid_rrf",            # E10/E12 hybrid BM25+cosine retrieval
-                               # via RRF (round 9 op, hash-proven;
-                               # q_cluster_centroids driver-green
-                               # r2-r8, rotated out — embedding
-                               # housekeeping stays exercised in the
-                               # dense leg here)
+                               # (q_bm25 driver-green r6-r9 +
+                               # q_quality_classifier r6-r9, rotated out
+                               # r10 — E10 keeps charlm + the two new
+                               # corpus-diagnostic slots below)
+    "q_bpe_token_counts",      # E10/llm-pipeline subword counting
+                               # (the _bpe budget/packing variants
+                               # driver-green r9, rotated out r10)
+    "q_dsir_mix",              # quality/sampling DSIR (q_weighted_sample
+                               # driver-green r9, rotated out r10)
+    "q_dedup_components",      # E11 connected-components labeling
+                               # (q_minhash_dedup_survivors +
+                               # both q_incremental_neardup paths
+                               # driver-seen r9 rows-only, rotated out
+                               # r10 — exactness pinned in pytest)
+    "q_substring_ranges",      # E11+ duplicated-range coalescing
+                               # (q_substring_dupes driver-green r8-r9,
+                               # rotated out r10)
+    "q_embedding_neardup_lsh", # E12 scale path (q_simhash_candidates +
+                               # q_simhash_survivors driver-seen r9
+                               # rows-only, rotated out r10)
     "q_ivf_topk",              # ANN scale path
-    "q_session_window",        # E13 (q_tumbling_agg driver-green r1-r5,
-                               # rotated out r6 — the same aggregate is
-                               # hash-proven through the STREAM path by
-                               # q_streaming_tumbling below; the
-                               # overlapping-window variant
-                               # q_sliding_window driver-green r7,
-                               # rotated out r8)
-    "q_multimodal_resize",     # E15 resize plumbing (r6;
-                               # q_multimodal_decode driver-green r2-r6,
-                               # rotated out r7 — E15 keeps this slot +
-                               # decode stays pytest/oracle-covered)
-    "q_streaming_dedup_watermark",  # E14 — real availableNow stream run,
-                                    # hash-proven via exact-redelivery
-                                    # injection (round 5)
-    "q_streaming_tumbling",    # E14/E13 stream-batch parity as a
-                               # driver-checked fact (rotated in r6;
-                               # q_streaming_session driver-green r8,
-                               # rotated out r9 — merging-interval state
-                               # stays pytest- and probe-covered)
+    "q_session_window",        # E13
+    "q_streaming_dedup_watermark",  # E14 real availableNow stream run
+                                    # (q_streaming_tumbling driver-green
+                                    # r6-r9, rotated out r10 — stream-
+                                    # batch parity keeps the DQ monitor
+                                    # slot below; q_hybrid_rrf
+                                    # driver-green r9, rotated out —
+                                    # retrieval stays via q_ivf_topk)
+    # --- round-10 operators (never driver-checked) ---
+    "q_quality_deciles",       # corpus/ranking: exact ntile curriculum
+                               # buckets via the distributed two-phase
+                               # rank (no single-partition window)
+    "q_global_rank",           # ranking/physical: exact global
+                               # row_number, plan-asserted free of
+                               # Exchange SinglePartition
+    "q_pmi_pairs",             # E10 corpus diagnostics: PMI collocations
+    "q_source_divergence",     # E10 corpus diagnostics: per-source KL
+    "q_leakage_safe_split",    # E11/sampling: near-dup clusters never
+                               # straddle train/eval
+    # --- post-r9-snapshot operators (never driver-checked) ---
+    "q_pagerank",              # graph: hash-proven PageRank
+    "q_markov_transitions",    # graph: click-edge Markov transitions
+    "q_kmeans_train",          # embeddings: Lloyd's k-means training
+    "q_mmr_rerank",            # embeddings: MMR diversified re-ranking
+    "q_fuzzy_match",           # entity resolution: blocked edit-distance
+    "q_heavy_hitters",         # exact heavy hitters (two-pass)
+    "q_scd2_apply",            # warehouse: SCD2 incremental apply
+    "q_merge_upsert",          # lake MERGE upsert
+    "q_lake_diff",             # lake snapshot diff
+    "q_incremental_substring", # E11+ batch-vs-lake substring dedup
+    "q_streaming_dq_monitor",  # E14 streaming data-quality monitor
+    "q_multimodal_dhash_pairs",  # E15 byte-raster dHash media near-dup
 )
 
 
