@@ -25,6 +25,8 @@ from udacity_data_engineering_spark.session import build_session, table
 
 SF_DIR = "/root/testdata/sf0.1"
 FACTOR = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+#: optional comma-separated shape-name filter: scale_probe.py 100 name1,name2
+ONLY = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
 BASE = f"/tmp/scale_probe_x{FACTOR}"
 
 
@@ -108,7 +110,24 @@ def main() -> None:
     }
 
     def shapes(t):
+        def pagerank_8r():
+            # round 10: iterative graph op — fixed ~100-page node set
+            # (props.k), so per-round cost is the edges⋈ranks join whose
+            # edge side is bounded by pages², and the EXTRACTION (lag
+            # window + groupBy over the corpus) is the corpus-linear leg
+            from udacity_data_engineering_spark.operators.graph import (
+                click_edges,
+                pagerank,
+            )
+
+            ev = t["events"]
+            page = F.get_json_object("props", "$.k").cast("long")
+            nodes = ev.select(page.alias("page")).distinct()
+            ranks = pagerank(click_edges(ev), nodes)
+            return ranks.agg(F.sum("pr")).collect()
+
         return {
+            "pagerank_8r": pagerank_8r,
             "scan_count": lambda: t["lineitem"].count(),
             "filter_project": lambda: t["lineitem"]
             .filter(F.col("l_shipdate") < "1996-01-01")
@@ -404,6 +423,98 @@ def main() -> None:
                 .collect()
             )
 
+        def kmeans_4r():
+            # round 10: Lloyd training — per round one Arrow assignment
+            # scan + a k·dim partial aggregate; model stays driver-sized
+            from udacity_data_engineering_spark.operators.kmeans import (
+                kmeans_train,
+            )
+
+            assigned, centers = kmeans_train(emb, k=8, iters=4)
+            return assigned.groupBy("cluster").count().collect()
+
+        def mmr():
+            # round 10: relevance leg scans the corpus (broadcast query
+            # vector), top-N candidate cut is per-partition heaps, the
+            # greedy itself touches only MMR_TOP_N rows
+            from udacity_data_engineering_spark.operators.mmr import (
+                MMR_TOP_N,
+                mmr_rerank,
+            )
+            from udacity_data_engineering_spark.operators.similarity import (
+                cosine,
+            )
+
+            embd = emb.select(
+                "vec_id", F.col("embedding").cast("array<double>").alias("v")
+            )
+            q = embd.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+            cands = (
+                embd.filter(F.col("vec_id") != 0)
+                .crossJoin(F.broadcast(q))
+                .select(
+                    F.lit(0).cast("long").alias("query_id"),
+                    F.col("vec_id").alias("doc_id"),
+                    F.round(cosine(F.col("v"), F.col("qv")), 6).alias("rel"),
+                    "v",
+                )
+                .orderBy(F.col("rel").desc(), "doc_id")
+                .limit(MMR_TOP_N)
+            )
+            return mmr_rerank(cands).agg(F.sum("mmr")).collect()
+
+        def hh():
+            # round 10: exact heavy hitters — local pigeonhole pass
+            # (map-only Arrow) + candidate-semi-join recount
+            from udacity_data_engineering_spark.operators.heavyhitters import (
+                heavy_hitters,
+            )
+
+            return heavy_hitters(docs, k=200).agg(F.sum("cnt")).collect()
+
+        def grank():
+            # round 10: distributed two-phase exact global rank — the
+            # WindowExec-free replacement; must scale as two scans + a
+            # B-way partitioned window
+            from udacity_data_engineering_spark.operators.ranking import (
+                exact_global_rank,
+            )
+
+            return (
+                exact_global_rank(docs, "n_chars", "doc_id", out="rn")
+                .agg(F.sum("rn"))
+                .collect()
+            )
+
+        def deciles():
+            from udacity_data_engineering_spark.operators.ranking import (
+                sql_ntile,
+            )
+
+            return (
+                sql_ntile(docs, "n_chars", "doc_id", 10, out="d")
+                .groupBy("d")
+                .count()
+                .collect()
+            )
+
+        def pmi():
+            # round 10: per-doc pair generation bounded by min(|doc|,V)²
+            from udacity_data_engineering_spark.operators.cooccur import (
+                pmi_pairs,
+            )
+
+            return pmi_pairs(docs, vocab_k=1000, min_pair_docs=5).agg(
+                F.sum("pmi")
+            ).collect()
+
+        def srcdiv():
+            from udacity_data_engineering_spark.operators.cooccur import (
+                source_divergence,
+            )
+
+            return source_divergence(docs).agg(F.sum("kl_div")).collect()
+
         def rrf():
             # round 9: hybrid retrieval — both legs scan once, fusion is
             # a bounded join of two <=100-row frames
@@ -431,6 +542,13 @@ def main() -> None:
             ).count()
 
         return {
+            "kmeans_train_4r": kmeans_4r,
+            "mmr_rerank": mmr,
+            "heavy_hitters": hh,
+            "global_rank": grank,
+            "quality_deciles": deciles,
+            "pmi_pairs": pmi,
+            "source_divergence": srcdiv,
             "incremental_dedup": inc,
             "weighted_sample": ws,
             "dsir_scores": dsir,
@@ -523,6 +641,11 @@ def main() -> None:
         allshapes.update(
             pipeline_shapes(d["documents"], d["embeddings"], kc, nd_dir, nd_batch)
         )
+        if ONLY is not None:
+            unknown = ONLY - set(allshapes)
+            if unknown:
+                raise SystemExit(f"unknown probe shapes: {sorted(unknown)}")
+            allshapes = {n: f for n, f in allshapes.items() if n in ONLY}
         for name, fn in allshapes.items():
             best = float("inf")
             for _ in range(2):
@@ -530,6 +653,11 @@ def main() -> None:
                 fn()
                 best = min(best, time.perf_counter() - t0)
             results.setdefault(name, {})[label] = round(best, 3)
+    if ONLY is not None:
+        # subset run: the post-loop streaming/warehouse sections are
+        # separately-published shapes — print and stop here
+        print(json.dumps({"factor": FACTOR, "results": results}, indent=2))
+        return
     # streaming ingest shape (round 7 — the probe had never run a
     # streaming query): 1x source = the sf0.1 events file staged as a
     # stream dir; Nx = the replica's multi-file events dir, ingested as

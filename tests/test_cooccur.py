@@ -115,3 +115,49 @@ def test_leakage_split_all_sides_populated(spark):
         for r in leakage_safe_split(docs, edges).select("split").distinct().collect()
     }
     assert splits == {"train", "val", "test"}
+
+
+# ---------------------------------------------------------------------------
+# robust (median/MAD) outliers — lives in stats.py, tested here with the
+# other corpus-quality diagnostics
+
+
+def test_robust_outliers_known_values(spark):
+    from udacity_data_engineering_spark.operators.stats import (
+        robust_outliers,
+    )
+
+    rows = [(i, "en", v) for i, v in enumerate([10, 10, 10, 10, 10, 1000])]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+    out = {
+        r["doc_id"]: (r["robust_z"], r["is_outlier"])
+        for r in robust_outliers(docs, "n_chars", group="lang").collect()
+    }
+    # median 10, MAD 0 -> degenerate group: no flags, NULL z
+    assert all(z is None and not flag for z, flag in out.values())
+
+    rows = [(i, "en", v) for i, v in enumerate([1, 2, 3, 4, 5, 6, 7, 8, 9, 500])]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+    out = {
+        r["doc_id"]: r["is_outlier"]
+        for r in robust_outliers(docs, "n_chars", group="lang").collect()
+    }
+    assert out[9] is True                      # the 500 is flagged
+    assert sum(out.values()) == 1              # and only the 500
+
+
+def test_robust_outliers_grouped_independently(spark):
+    from udacity_data_engineering_spark.operators.stats import (
+        robust_outliers,
+    )
+
+    # 500 is normal for "de" (all large) but an outlier for "en"
+    rows = [(i, "en", v) for i, v in enumerate([1, 2, 3, 4, 5, 6, 7, 8, 500])]
+    rows += [(100 + i, "de", 490 + i) for i in range(9)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+    out = {
+        r["doc_id"]: r["is_outlier"]
+        for r in robust_outliers(docs, "n_chars", group="lang").collect()
+    }
+    assert out[8] is True
+    assert not any(out[100 + i] for i in range(9))

@@ -108,3 +108,37 @@ def test_with_total_count_broadcasts(docs):
     assert out.select(F.min("__n"), F.max("__n")).first() == (500, 500)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+# ---------------------------------------------------------------------------
+# negative sampling (built on the dense rank)
+
+
+def test_negative_samples_properties(docs):
+    from udacity_data_engineering_spark.operators.ranking import (
+        negative_samples,
+    )
+
+    out = negative_samples(docs, "doc_id", m=4)
+    rows = out.collect()
+    n_docs = docs.count()
+    assert len(rows) == 4 * n_docs                      # exactly m per row
+    assert all(r["neg_id"] != r["doc_id"] for r in rows)  # never self
+    # deterministic: a second run is row-identical
+    again = {(r["doc_id"], r["draw"]): r["neg_id"] for r in rows}
+    for r in negative_samples(docs, "doc_id", m=4).collect():
+        assert again[(r["doc_id"], r["draw"])] == r["neg_id"]
+
+
+def test_negative_samples_survive_repartition(docs):
+    from udacity_data_engineering_spark.operators.ranking import (
+        negative_samples,
+    )
+
+    base = {
+        (r["doc_id"], r["draw"]): r["neg_id"]
+        for r in negative_samples(docs, "doc_id", m=2).collect()
+    }
+    shuffled = docs.repartition(13)
+    for r in negative_samples(shuffled, "doc_id", m=2).collect():
+        assert base[(r["doc_id"], r["draw"])] == r["neg_id"]

@@ -69,7 +69,6 @@ def exact_global_rank(
     """
     from pyspark.sql import Window
 
-    n_bounds = max(buckets - 1, 1)
     probs = [i / buckets for i in range(1, buckets)]
     row = df.select(
         F.percentile_approx(F.col(key), probs, 10_000).alias("b")
@@ -177,3 +176,93 @@ def q_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_global_rank(events, "value", "event_id", out="rn").select(
         "event_id", "rn"
     )
+
+
+#: Knuth multiplicative constant (same as sampling.KNUTH) + a small odd
+#: per-draw stride — the deterministic pseudo-random pairing arithmetic.
+_KNUTH = 2_654_435_761
+_STRIDE = 40_503
+
+
+def negative_samples(
+    df: DataFrame,
+    key: str,
+    m: int = 4,
+    out_key: str = "neg_id",
+) -> DataFrame:
+    """Deterministic in-batch negative sampling for contrastive
+    training: for every row, ``m`` pseudo-random OTHER rows' keys.
+
+    Returns (key, draw 1..m, out_key). The standard need — contrastive
+    embedding training, hard-negative mining baselines, ranking-model
+    data prep — with the reproducibility contract of the Knuth-hash
+    family: the pairing is pure integer arithmetic on DENSE row indices
+    (from the distributed two-phase rank, so ids need not be dense or
+    even numeric-contiguous), identical on any engine/partitioning.
+
+    Draws are with replacement ACROSS draws (collisions between the m
+    draws of one row are possible and fine for training); the
+    self-pairing is excluded by a +1 shift. Cost: one exact_global_rank
+    (two scans + partitioned window), an m-way explode (output is m·n
+    rows by definition), and one int-key shuffle join to fetch the
+    negative's key — no RNG state, no driver collect of the corpus.
+    """
+    dense = exact_global_rank(df.select(key), key, key, out="__rn")
+    dense = with_total_count(dense, out="__n").select(
+        F.col(key),
+        (F.col("__rn") - 1).alias("__idx"),
+        F.col("__n"),
+    )
+    draws = dense.select(
+        key,
+        "__idx",
+        "__n",
+        F.explode(F.sequence(F.lit(1), F.lit(m))).alias("draw"),
+    )
+    raw = (
+        (F.col("__idx") % F.lit(2_147_483_648)) * F.lit(_KNUTH)
+        + F.col("draw") * F.lit(_STRIDE)
+    ) % F.col("__n")
+    neg_idx = F.when(raw == F.col("__idx"), (raw + 1) % F.col("__n")).otherwise(raw)
+    pairs = draws.select(key, "draw", neg_idx.alias("__neg_idx"))
+    lookup = dense.select(
+        F.col("__idx").alias("__neg_idx"), F.col(key).alias(out_key)
+    )
+    return pairs.join(lookup, "__neg_idx").select(key, "draw", out_key)
+
+
+@register(
+    "q_negative_samples",
+    oracle="""
+        WITH dense AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY doc_id) - 1 AS idx,
+                   count(*) OVER () AS n
+            FROM documents
+        ), draws AS (
+            SELECT doc_id, idx, n, unnest(range(1, 5)) AS draw
+            FROM dense
+        ), pairs AS (
+            SELECT doc_id, CAST(draw AS BIGINT) AS draw,
+                   CASE WHEN ((idx % 2147483648) * 2654435761
+                              + draw * 40503) % n = idx
+                        THEN (((idx % 2147483648) * 2654435761
+                               + draw * 40503) % n + 1) % n
+                        ELSE ((idx % 2147483648) * 2654435761
+                              + draw * 40503) % n
+                   END AS neg_idx
+            FROM draws
+        )
+        SELECT p.doc_id, p.draw, d.doc_id AS neg_id
+        FROM pairs p JOIN dense d ON d.idx = p.neg_idx
+    """,
+    doc="Deterministic contrastive negative sampling: 4 pseudo-random "
+    "other-document ids per document via Knuth-hash arithmetic over "
+    "DENSE indices from the distributed two-phase rank — reproducible "
+    "on any engine/partitioning, no RNG state, self-pairs excluded. "
+    "Explode + one int-key shuffle join; never a corpus cross join.",
+    tags=("llm-pipeline", "sampling", "ranking"),
+)
+def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return negative_samples(docs, "doc_id", m=4)

@@ -156,3 +156,84 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("bucket")
     ).agg(F.count(F.lit(1)).alias("n"))
+
+
+def robust_outliers(
+    df: DataFrame,
+    value: str,
+    group: str | None = None,
+    cutoff: float = 3.5,
+) -> DataFrame:
+    """Modified z-score outlier flagging (Iglewicz & Hoaglin 1993):
+    z = 0.6745 * (x - median) / MAD, flag |z| > cutoff.
+
+    Median/MAD instead of mean/stddev because corpus length and score
+    distributions are heavy-tailed — a single 100 MB document drags a
+    mean-based filter's threshold, not a median-based one. Optionally
+    grouped (e.g. per language, the CCNet posture: length norms differ
+    per language).
+
+    Scale shape: two EXACT percentile aggregates (one for the median,
+    one for the MAD over |x - median|), each a per-group sort-based agg
+    whose output is |groups| rows, broadcast back — never a global
+    window. MAD == 0 (a majority-constant group) yields NULL z and
+    is_outlier = false: a degenerate group has no robust scale, and
+    flagging everything off a zero denominator is the bug this guard
+    prevents.
+    """
+    g = [group] if group else []
+    med = F.broadcast(
+        df.groupBy(*g).agg(F.expr(f"percentile({value}, 0.5)").alias("__med"))
+    )
+    with_med = df.join(med, g) if group else df.crossJoin(med)
+    mad = with_med.groupBy(*g).agg(
+        F.expr(f"percentile(abs({value} - __med), 0.5)").alias("__mad")
+    )
+    joined = (
+        with_med.join(F.broadcast(mad), g)
+        if group
+        else with_med.crossJoin(F.broadcast(mad))
+    )
+    z = F.lit(0.6745) * (F.col(value) - F.col("__med")) / F.nullif(
+        F.col("__mad"), F.lit(0.0)
+    )
+    return (
+        joined.withColumn("robust_z", F.round(z, 6))
+        .withColumn(
+            "is_outlier",
+            F.coalesce(F.abs(F.col("robust_z")) > cutoff, F.lit(False)),
+        )
+        .drop("__med", "__mad")
+    )
+
+
+@register(
+    "q_robust_outliers",
+    oracle="""
+        WITH med AS (
+            SELECT lang, quantile_cont(n_chars, 0.5) AS m
+            FROM documents GROUP BY lang
+        ), mad AS (
+            SELECT d.lang, quantile_cont(abs(d.n_chars - med.m), 0.5) AS s
+            FROM documents d JOIN med USING (lang)
+            GROUP BY d.lang
+        )
+        SELECT doc_id, d.lang,
+               round(0.6745 * (n_chars - m) / nullif(s, 0.0), 6) AS robust_z,
+               coalesce(abs(0.6745 * (n_chars - m) / nullif(s, 0.0)) > 3.5,
+                        false) AS is_outlier
+        FROM documents d
+        JOIN med USING (lang) JOIN mad ON mad.lang = d.lang
+    """,
+    doc="Per-language modified z-score (median/MAD) length outliers — "
+    "the heavy-tail-safe alternative to mean/stddev filters. Two exact "
+    "per-group percentile aggregates broadcast back; no global window. "
+    "Spark percentile() == DuckDB quantile_cont (both linear "
+    "interpolation).",
+    tags=("E10", "stats", "quality", "llm-pipeline"),
+)
+def q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return robust_outliers(docs, "n_chars", group="lang").select(
+        "doc_id", "lang", "robust_z", "is_outlier"
+    )
