@@ -266,3 +266,80 @@ def negative_samples(
 def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return negative_samples(docs, "doc_id", m=4)
+
+
+@register(
+    "q_quality_ensemble",
+    oracle="""
+        WITH tri AS (
+            SELECT doc_id, substr(text, CAST(i AS BIGINT), 3) AS t
+            FROM documents,
+                 LATERAL (SELECT unnest(
+                     range(1, greatest(len(text) - 2, 0) + 1)) AS i)
+            WHERE len(text) >= 3
+        ), model AS (
+            SELECT t, count(*) AS c FROM tri GROUP BY t
+        ), tot AS (
+            SELECT sum(c) AS n_total, count(*) AS v FROM model
+        ), ce AS (
+            SELECT tri.doc_id,
+                   round(ln(n_total + v) - avg(ln(c + 1)), 4) AS cross_entropy
+            FROM tri JOIN model USING (t), tot
+            GROUP BY tri.doc_id, n_total, v
+        ), med AS (
+            SELECT lang, quantile_cont(n_chars, 0.5) AS m
+            FROM documents GROUP BY lang
+        ), mad AS (
+            SELECT d.lang, quantile_cont(abs(d.n_chars - med.m), 0.5) AS s
+            FROM documents d JOIN med USING (lang) GROUP BY d.lang
+        ), rz AS (
+            SELECT doc_id,
+                   coalesce(abs(round(0.6745 * (n_chars - m)
+                                      / nullif(s, 0.0), 6)), 0.0) AS az
+            FROM documents d
+            JOIN med USING (lang) JOIN mad ON mad.lang = d.lang
+        ), sig AS (
+            SELECT ce.doc_id, cross_entropy, az FROM ce JOIN rz USING (doc_id)
+        ), til AS (
+            SELECT doc_id,
+                   ntile(100) OVER (ORDER BY cross_entropy, doc_id) AS c_ce,
+                   ntile(100) OVER (ORDER BY az, doc_id) AS c_len
+            FROM sig
+        )
+        SELECT doc_id,
+               round((c_ce + c_len) / 2.0, 1) AS blend,
+               (c_ce + c_len) / 2.0 <= 50 AS keep
+        FROM til
+    """,
+    doc="Quality-signal ensemble: percentile-rank-normalize two "
+    "heterogeneous signals (trigram-LM cross-entropy; per-language "
+    "robust length z) via the DISTRIBUTED ntile, then blend centiles "
+    "and keep the better half. Rank normalization is how incompatible "
+    "score scales combine without magic thresholds; both ntiles run "
+    "B-way parallel (no global window anywhere in a corpus-sized "
+    "plan).",
+    tags=("E10", "llm-pipeline", "quality", "ranking", "corpus"),
+)
+def q_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from udacity_data_engineering_spark.operators.charlm import charlm_score
+    from udacity_data_engineering_spark.operators.stats import robust_outliers
+
+    docs = table(spark, sf_dir, "documents")
+    ce = charlm_score(docs).select("doc_id", "cross_entropy")
+    rz = robust_outliers(docs, "n_chars", group="lang").select(
+        "doc_id", F.coalesce(F.abs(F.col("robust_z")), F.lit(0.0)).alias("az")
+    )
+    sig = ce.join(rz, "doc_id")
+    tiled = sql_ntile(
+        sql_ntile(sig, "cross_entropy", "doc_id", 100, out="c_ce"),
+        "az",
+        "doc_id",
+        100,
+        out="c_len",
+    )
+    half = (F.col("c_ce") + F.col("c_len")) / 2.0
+    return tiled.select(
+        "doc_id",
+        F.round(half, 1).alias("blend"),
+        (half <= 50).alias("keep"),
+    )
