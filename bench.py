@@ -269,6 +269,20 @@ def main() -> None:
         "q_sketch_rollup",
         "q_skew_report",
         "q_fuzzy_match",
+        # round-9c graph/ML + round-10 additions
+        "q_click_edges",
+        "q_markov_transitions",
+        "q_pagerank",
+        "q_kmeans_train",
+        "q_mmr_rerank",
+        "q_global_rank",
+        "q_quality_deciles",
+        "q_pmi_pairs",
+        "q_source_divergence",
+        "q_leakage_safe_split",
+        "q_robust_outliers",
+        "q_negative_samples",
+        "q_quality_ensemble",
     ):
         best = float("inf")
         for _ in range(REPS):  # best-of-3, matching BASELINE.md methodology

@@ -294,8 +294,9 @@ def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM documents d JOIN med USING (lang) GROUP BY d.lang
         ), rz AS (
             SELECT doc_id,
-                   coalesce(abs(round(0.6745 * (n_chars - m)
-                                      / nullif(s, 0.0), 6)), 0.0) AS az
+                   coalesce(abs(round(round((n_chars - m)
+                                            / nullif(s, 0.0), 6)
+                                      * 0.6745, 10)), 0.0) AS az
             FROM documents d
             JOIN med USING (lang) JOIN mad ON mad.lang = d.lang
         ), sig AS (

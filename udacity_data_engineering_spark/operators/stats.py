@@ -194,11 +194,24 @@ def robust_outliers(
         if group
         else with_med.crossJoin(F.broadcast(mad))
     )
-    z = F.lit(0.6745) * (F.col(value) - F.col("__med")) / F.nullif(
-        F.col("__mad"), F.lit(0.0)
+    # Rounding contract (round 10): round the PURE ratio first, THEN
+    # scale by 0.6745. Rounding 0.6745*ratio directly hits cross-engine
+    # half-up-vs-binary-round divergence systematically, because the
+    # 4-decimal constant times a short exact ratio lands EXACTLY on
+    # 6dp boundaries (sf0.1 zh: 1.0286125 -> Spark 1.028613 / DuckDB
+    # 1.028612). The ratio's own boundary cases have power-of-two
+    # denominators (quantile interpolation halves) = exact doubles,
+    # where both engines agree; the final 10dp round is an identity on
+    # the <=10-decimal product, pinning both engines to the nearest
+    # double of the same decimal.
+    ratio = F.round(
+        (F.col(value) - F.col("__med"))
+        / F.nullif(F.col("__mad"), F.lit(0.0)),
+        6,
     )
+    z = F.round(ratio * F.lit(0.6745), 10)
     return (
-        joined.withColumn("robust_z", F.round(z, 6))
+        joined.withColumn("robust_z", z)
         .withColumn(
             "is_outlier",
             F.coalesce(F.abs(F.col("robust_z")) > cutoff, F.lit(False)),
@@ -219,8 +232,10 @@ def robust_outliers(
             GROUP BY d.lang
         )
         SELECT doc_id, d.lang,
-               round(0.6745 * (n_chars - m) / nullif(s, 0.0), 6) AS robust_z,
-               coalesce(abs(0.6745 * (n_chars - m) / nullif(s, 0.0)) > 3.5,
+               round(round((n_chars - m) / nullif(s, 0.0), 6)
+                     * 0.6745, 10) AS robust_z,
+               coalesce(abs(round(round((n_chars - m) / nullif(s, 0.0), 6)
+                                  * 0.6745, 10)) > 3.5,
                         false) AS is_outlier
         FROM documents d
         JOIN med USING (lang) JOIN mad ON mad.lang = d.lang
