@@ -142,3 +142,15 @@ def test_negative_samples_survive_repartition(docs):
     shuffled = docs.repartition(13)
     for r in negative_samples(shuffled, "doc_id", m=2).collect():
         assert base[(r["doc_id"], r["draw"])] == r["neg_id"]
+
+
+def test_rank_null_keys_match_window_nulls_first(spark):
+    # Spark ORDER BY ASC is NULLS FIRST; null keys fail every `> bound`
+    # comparison so they all land in bucket 0, where the local
+    # ASC order again puts them first — global semantics preserved
+    rows = [(i, None if i % 5 == 0 else float(i)) for i in range(100)]
+    df = spark.createDataFrame(rows, "id int, v double")
+    got = exact_global_rank(df, "v", "id", out="rn")
+    ref = _window_rank(df, "v", "id")
+    merged = got.join(ref.select("id", "rn_ref"), "id")
+    assert merged.filter(F.col("rn") != F.col("rn_ref")).count() == 0
