@@ -210,6 +210,25 @@ def main() -> int:
             .agg(F.sum("lr"))
             .collect(),
         )
+        # round-10: the two-phase exact global rank on the 6M-row
+        # replica — per-bucket sort state must spill like any other
+        # partitioned sort; the rank's correctness was proven elsewhere,
+        # this is purely the degrade-gracefully claim
+        from udacity_data_engineering_spark.operators.ranking import (
+            exact_global_rank,
+        )
+
+        run(
+            "replica_global_rank",
+            lambda: exact_global_rank(
+                od.select("o_orderkey", "o_totalprice"),
+                "o_totalprice",
+                "o_orderkey",  # unique -> deterministic total order
+                out="rn",
+            )
+            .agg(F.sum("rn"))
+            .collect(),
+        )
     else:
         print("NOTE: 10x replica missing; run scripts/scale_probe.py first", flush=True)
 
