@@ -305,3 +305,28 @@ def test_skew_report_counts_shares_and_plan_shape(spark):
     # never a global Sort over the full key-count frame
     plan = skew_report(df, "k", top_k=3)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_dynamic_partition_pruning_fires(spark, sf_dir, tmp_path):
+    """DPP: a selective dim-side filter must prune the partitioned fact
+    SCAN at runtime (the star-schema month/tenant access path at 100 TB
+    — without DPP the fact side reads every partition). The plan's fact
+    scan must carry a dynamicpruningexpression partition filter."""
+    orders = table(spark, sf_dir, "orders").withColumn(
+        "om", F.month("o_orderdate")
+    )
+    path = str(tmp_path / "orders_by_month")
+    orders.write.partitionBy("om").mode("overwrite").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [(m, "keep" if m <= 2 else "drop") for m in range(1, 13)],
+        "om int, tag string",
+    )
+    joined = fact.join(
+        F.broadcast(dim.filter(F.col("tag") == "keep")), "om"
+    ).select("o_orderkey", "om")
+    plan = _final_plan(joined)
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    # and the pruning is real: only the 2 kept months' rows survive
+    got_months = {r["om"] for r in joined.select("om").distinct().collect()}
+    assert got_months == {1, 2}
