@@ -283,6 +283,8 @@ def main() -> None:
         "q_robust_outliers",
         "q_negative_samples",
         "q_quality_ensemble",
+        "q_kmeans_assign_new",
+        "q_ivfpq_topk",
     ):
         best = float("inf")
         for _ in range(REPS):  # best-of-3, matching BASELINE.md methodology

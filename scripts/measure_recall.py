@@ -74,6 +74,7 @@ def topk_recall(spark, sf_dir, n_queries, k=10, nprobes=(4,), reranks=(50,)):
     qids = sorted(by_id)[:n_queries]
     ivf_hits = {p: 0 for p in nprobes}
     pq_hits = {r: 0 for r in reranks}
+    ivfpq_hits = 0
     for qid in qids:
         qi = by_id[qid]
         sims = unit @ unit[qi]
@@ -99,11 +100,24 @@ def topk_recall(spark, sf_dir, n_queries, k=10, nprobes=(4,), reranks=(50,)):
                 ).collect()
             }
             pq_hits[rr] += len(exact & pqr)
+        # round 10: the IVF-PQ composite at its production operating
+        # point (nprobe=8, rerank=200)
+        from udacity_data_engineering_spark.operators.pq import ivfpq_topk
+
+        comp = {
+            r.vec_id
+            for r in ivfpq_topk(
+                encoded, emb, index[0], index[1], qvec, codebooks=books,
+                k_neighbors=k, nprobe=8, rerank=200, exclude_vec_id=qid,
+            ).collect()
+        }
+        ivfpq_hits += len(exact & comp)
     n = len(qids) * k
     return (
         {p: h / n for p, h in ivf_hits.items()},
         {r: h / n for r, h in pq_hits.items()},
         len(qids),
+        ivfpq_hits / n,
     )
 
 
@@ -154,7 +168,7 @@ def main() -> int:
 
     # -- top-k ANN paths (with the accuracy/cost knob sweeps) ----------
     NPROBES, RERANKS = (2, 4, 8, 16), (25, 50, 100, 200)
-    ivf_curve, pq_curve, nq = topk_recall(
+    ivf_curve, pq_curve, nq, r_ivfpq = topk_recall(
         spark, sf, args.queries, nprobes=NPROBES, reranks=RERANKS
     )
     r_ivf, r_pq = ivf_curve[8], pq_curve[200]  # production defaults
@@ -174,6 +188,7 @@ def main() -> int:
         "ensemble_lexical_pair_recall": round(r_ens_lex, 4),
         "ivf_recall_at_10": round(r_ivf, 4),
         "pq_recall_at_10": round(r_pq, 4),
+        "ivfpq_recall_at_10": round(r_ivfpq, 4),
         "topk_queries": nq,
     }
     print(json.dumps(out))
@@ -199,6 +214,7 @@ Data: `{sf}` — {n_docs} documents, {n_emb} embeddings.
 | **Ensemble**, lexical leg (Jaccard >= 0.5 verify) | 3-gram Jaccard >= 0.5 (`q_ngram_jaccard`) | {r_ens_lex:.3f} | {len(jac_truth)} pairs | same as MinHash row (exact-verified) |
 | IVF top-10 (k=16, nprobe=8) | brute-force cosine top-10, {nq} queries | {r_ivf:.3f} | recall@10 | >=5/10 overlap (test_ann.py) |
 | PQ top-10 (8x16 codes, rerank 200) | brute-force cosine top-10, {nq} queries | {r_pq:.3f} | recall@10 | >=5/10 overlap (test_pq.py) |
+| IVF-PQ top-10 (nprobe 8, rerank 200) | brute-force cosine top-10, {nq} queries | {r_ivfpq:.3f} | recall@10 | >=4/10 overlap (test_pq.py) |
 
 The ANN accuracy/cost knobs, measured on the same queries (cost scales
 linearly: nprobe/16 of the corpus scanned; rerank exact re-scores per
@@ -257,6 +273,13 @@ Reading the numbers:
   re-rank of 200 ADC finalists — the round-6 default, picked off the
   committed curve because rerank is the cheap leg: 200 exact d-dim
   re-scores per query vs the corpus-sized ADC scan).
+- **IVF-PQ** composes both approximations (probe 8/16 lists, ADC
+  within them, exact re-rank), so its recall is bounded above by each
+  leg — the measured value ~= IVF's probe recall times PQ's in-list
+  ranking loss. What the composition buys is COST: the ADC scan reads
+  nprobe/k of the corpus in 8-byte codes (probe fraction x 32x
+  compression multiply), the production trade at billion-vector scale;
+  raise nprobe/rerank along the committed curves to buy recall back.
 
 The floor tests (tests/test_recall_floors.py + the cited suites) pin
 these numbers with slack at sf0.001 so a regression in any

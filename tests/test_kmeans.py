@@ -80,3 +80,36 @@ def test_kmeans_empty_input(spark):
     got, centers = kmeans_train(df, k=4, iters=2)
     assert got.count() == 0 and centers == []
     assert [f.name for f in got.schema.fields] == ["vec_id", "cluster"]
+
+
+def test_kmeans_assign_matches_driver_argmin(spark):
+    """kmeans_assign against frozen centroids == the plain euclidean
+    argmin (lowest-id tie rule), checked against a driver-side numpy
+    recomputation. (Note: re-assigning the TRAINING set against the
+    RETURNED centroids is one Lloyd step ahead of the final training
+    assignment — kmeans_train updates centers after its last assign —
+    so that is deliberately NOT the contract tested here.)"""
+    import numpy as np
+
+    from udacity_data_engineering_spark.operators.kmeans import (
+        kmeans_assign,
+        kmeans_train,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    _, centers = kmeans_train(emb, k=4, iters=3)
+    got = {r.vec_id: r.cluster for r in kmeans_assign(emb, centers).collect()}
+    C = np.asarray(centers)
+    for r in emb.collect():
+        x = np.asarray([float(v) for v in r.embedding])
+        expect = int(((x[None, :] - C) ** 2).sum(axis=1).argmin())
+        assert got[r.vec_id] == expect
+
+
+def test_kmeans_assign_empty_model(spark):
+    from udacity_data_engineering_spark.operators.kmeans import kmeans_assign
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = kmeans_assign(emb, [])
+    assert out.count() == 0
+    assert out.columns == ["vec_id", "cluster"]

@@ -80,3 +80,38 @@ def test_pq_adc_scan_has_no_python_eval(spark):
     plan = pq_topk(encoded, df, qvec, books)._jdf.queryExecution().executedPlan().toString()
     assert "InMemoryTableScan" in plan or "Scan" in plan
     encoded.unpersist()
+
+
+def test_ivfpq_overlap_vs_brute_force(spark, sf_dir):
+    """IVF-PQ composes both approximations (probe 8/16 lists, then ADC
+    within them) — its recall is bounded above by each leg, and on the
+    uniform worst case the composite must still recover half the true
+    top-10 after exact re-rank."""
+    qs = all_queries()
+    exact = {r.vec_id for r in qs["q_cosine_topk"].fn(spark, sf_dir).collect()}
+    approx = {r.vec_id for r in qs["q_ivfpq_topk"].fn(spark, sf_dir).collect()}
+    assert len(exact & approx) >= 4
+
+
+def test_ivfpq_subset_of_probed_lists(spark, sf_dir):
+    """Every IVF-PQ result must come from the probed inverted lists —
+    the semi-join restriction is the operator's entire cost story."""
+    from udacity_data_engineering_spark.operators.ann import (
+        _probe_ids,
+        cached_ivf_index,
+    )
+    from udacity_data_engineering_spark.session import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    assigned, centers = cached_ivf_index(spark, sf_dir, emb)
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).head().embedding
+    ]
+    probes = set(_probe_ids(qvec, centers, 8))
+    got = {r.vec_id for r in all_queries()["q_ivfpq_topk"].fn(spark, sf_dir).collect()}
+    member = {
+        r.vec_id: r.cluster
+        for r in assigned.select("vec_id", "cluster").collect()
+    }
+    assert got and all(member[v] in probes for v in got)

@@ -173,3 +173,99 @@ def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     assigned, _ = kmeans_train(emb)
     return assigned.orderBy("vec_id")
+
+
+def kmeans_assign(
+    batch: DataFrame,
+    centers: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign a NEW batch of vectors to FROZEN centroids — the
+    incremental leg of the clustering family (the nd-lake posture:
+    train once on the corpus, classify each day's batch without
+    re-running Lloyd). One Arrow-batched map pass, no shuffle, model
+    broadcast as a task-closure constant; ties take the lowest
+    centroid id, identical to training-time assignment."""
+    e = batch.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    if not centers:
+        return e.sparkSession.createDataFrame([], f"{id_col} long, cluster int")
+    return e.mapInPandas(
+        _assign_fn(centers, id_col, "v"), f"{id_col} long, cluster int"
+    )
+
+
+def _kmeans_assign_oracle(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
+    """Train on the even-id half (unrolled Lloyd rounds, as in
+    _kmeans_oracle), then argmin-assign the odd-id batch against the
+    FINAL centroids."""
+    head = f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            WHERE vec_id % 2 = 0
+        ), c0 AS (
+            SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v
+            FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {k})
+        )"""
+    rounds = []
+    for i in range(1, iters + 1):
+        p = i - 1
+        rounds.append(
+            f""", a{i} AS (
+            SELECT vec_id, cid FROM (
+                SELECT e.vec_id, c.cid,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY list_distance(e.v, c.v), c.cid
+                       ) AS rn
+                FROM e CROSS JOIN c{p} c
+            ) WHERE rn = 1
+        ), m{i} AS (
+            SELECT cid, list(mval ORDER BY idx) AS v FROM (
+                SELECT cid, idx, avg(val) AS mval FROM (
+                    SELECT a.cid, generate_subscripts(e.v, 1) AS idx,
+                           unnest(e.v) AS val
+                    FROM a{i} a JOIN e USING (vec_id)
+                ) GROUP BY cid, idx
+            ) GROUP BY cid
+        ), c{i} AS (
+            SELECT p.cid, coalesce(m.v, p.v) AS v
+            FROM c{p} p LEFT JOIN m{i} m USING (cid)
+        )"""
+        )
+    tail = f""", batch AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            WHERE vec_id % 2 = 1
+        )
+        SELECT vec_id, cluster FROM (
+            SELECT b.vec_id, c.cid AS cluster,
+                   row_number() OVER (
+                       PARTITION BY b.vec_id
+                       ORDER BY list_distance(b.v, c.v), c.cid
+                   ) AS rn
+            FROM batch b CROSS JOIN c{iters} c
+        ) WHERE rn = 1
+        ORDER BY vec_id"""
+    return head + "".join(rounds) + tail
+
+
+@register(
+    "q_kmeans_assign_new",
+    oracle=_kmeans_assign_oracle(),
+    doc="Incremental clustering: train Lloyd's on the even-id half of "
+    "the embeddings (the lake), then assign the odd-id half (the new "
+    "batch) to the FROZEN final centroids — one Arrow map pass over "
+    "the batch, no shuffle, no re-training. The daily-crawl cadence "
+    "for every centroid consumer (IVF lists, SemDeDup clusters). "
+    "Hash-proven: the oracle replays training as unrolled CTEs and "
+    "argmin-assigns the batch against the final centroids.",
+    tags=("E12", "embeddings", "llm-pipeline"),
+)
+def q_kmeans_assign_new(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    _, centers = kmeans_train(emb.filter(F.col("vec_id") % 2 == 0))
+    batch = emb.filter(F.col("vec_id") % 2 == 1)
+    return kmeans_assign(batch, centers).orderBy("vec_id")

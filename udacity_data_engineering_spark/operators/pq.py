@@ -234,3 +234,72 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     encoded, books = _PQ_INDEX[key]
     qvec = [float(x) for x in head.embedding]
     return pq_topk(encoded, emb, qvec, codebooks=books, exclude_vec_id=0)
+
+
+def ivfpq_topk(
+    encoded: DataFrame,
+    emb: DataFrame,
+    assigned: DataFrame,
+    centers: list[list[float]],
+    query_vec: list[float],
+    codebooks: list[list[list[float]]],
+    k_neighbors: int = 10,
+    nprobe: int = 8,
+    rerank: int = 200,
+    exclude_vec_id: int | None = None,
+) -> DataFrame:
+    """IVF-PQ composite (the FAISS IndexIVFPQ shape): probe the nprobe
+    nearest inverted lists, run the codegen ADC scan ONLY inside them,
+    exact-cosine re-rank the finalists. Scan cost = (nprobe/k_lists) x
+    the 8-byte-code corpus — the two orthogonal reductions (probe
+    fraction x code compression) multiply, which is why this is the
+    production ANN default at billion-vector scale.
+
+    ``assigned``/``centers``: the cached IVF index; ``encoded``/
+    ``codebooks``: the cached PQ index. The list restriction is a
+    semi-join on vec_id (int key) — never a re-clustering."""
+    from udacity_data_engineering_spark.operators.ann import _probe_ids
+
+    probes = _probe_ids(query_vec, centers, nprobe)
+    probe_ids = assigned.filter(F.col("cluster").isin(probes)).select("vec_id")
+    cand = encoded.join(probe_ids, "vec_id", "left_semi")
+    return pq_topk(
+        cand,
+        emb,
+        query_vec,
+        codebooks=codebooks,
+        k_neighbors=k_neighbors,
+        rerank=rerank,
+        exclude_vec_id=exclude_vec_id,
+    )
+
+
+@register(
+    "q_ivfpq_topk",
+    doc="E12 composite scale path: IVF-PQ top-10 neighbours of vec_id=0 "
+    "— probe the 8 nearest of 16 inverted lists, ADC-scan only their "
+    "8-byte codes (probe fraction x 32x compression multiply), exact "
+    "re-rank of the top-200 finalists. Both indexes are the session's "
+    "cached ones (train once, probe per query). Seeded-iterative "
+    "codebooks/lists => rows-only; recall floor vs brute force pinned "
+    "in tests/test_pq.py.",
+    tags=("E12", "ann"),
+)
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from udacity_data_engineering_spark.operators.ann import cached_ivf_index
+    from udacity_data_engineering_spark.session import table as _table
+
+    emb = _table(spark, sf_dir, "embeddings")
+    head = emb.filter(F.col("vec_id") == 0).select("embedding").head()
+    if head is None or head.embedding is None:
+        return spark.createDataFrame([], "vec_id long, cos_sim double")
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PQ_INDEX:
+        books = pq_train(emb)
+        _evict_put(_PQ_INDEX, key, (pq_encode(emb, books).cache(), books))
+    encoded, books = _PQ_INDEX[key]
+    assigned, centers = cached_ivf_index(spark, sf_dir, emb)
+    qvec = [float(x) for x in head.embedding]
+    return ivfpq_topk(
+        encoded, emb, assigned, centers, qvec, codebooks=books, exclude_vec_id=0
+    )
