@@ -42,6 +42,10 @@ PINNED = [
     "q_streaming_lake_upsert",
     "q_incremental_substring",
     "q_streaming_dq_monitor",
+    # round 10: composite-index ANN (two cached trainers on zero rows)
+    # and batch-assignment against a model trained on an empty lake
+    "q_ivfpq_topk",
+    "q_kmeans_assign_new",
 ]
 
 
