@@ -29,6 +29,10 @@ FACTOR = int(sys.argv[1]) if len(sys.argv) > 1 else 10
 ONLY = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
 BASE = f"/tmp/scale_probe_x{FACTOR}"
 
+#: per-label setup memo for shapes whose index/model build must sit
+#: outside the timed region (the build_nd_indexes posture)
+_MEMO: dict = {}
+
 
 def build_replica(spark) -> None:
     if os.path.exists(f"{BASE}/_done"):
@@ -515,6 +519,57 @@ def main() -> None:
 
             return source_divergence(docs).agg(F.sum("kl_div")).collect()
 
+        def kmeans_assign_batch():
+            # round 10: batch-vs-lake contract — the FIXED 1x batch is
+            # assigned against a model trained on THIS label's lake
+            # (training memoized outside the timed region, the
+            # build_nd_indexes posture): timed cost must track the
+            # batch, not the lake
+            from udacity_data_engineering_spark.operators.kmeans import (
+                kmeans_assign,
+                kmeans_train,
+            )
+
+            key = ("kmeans_model", id(emb))
+            if key not in _MEMO:
+                _, centers = kmeans_train(emb, k=8, iters=4)
+                _MEMO[key] = centers
+            fixed_batch = table(spark, SF_DIR, "embeddings")
+            return (
+                kmeans_assign(fixed_batch, _MEMO[key])
+                .groupBy("cluster")
+                .count()
+                .collect()
+            )
+
+        def ivfpq():
+            # round 10: composite ANN — indexes built once per label
+            # outside timing; timed = probe + in-list ADC scan + rerank
+            # (expected sub-linear: nprobe/k of the corpus in 8-byte
+            # codes)
+            from udacity_data_engineering_spark.operators.ann import ivf_assign
+            from udacity_data_engineering_spark.operators.pq import (
+                ivfpq_topk,
+                pq_encode,
+                pq_train,
+            )
+
+            key = ("ivfpq_index", id(emb))
+            if key not in _MEMO:
+                assigned, centers = ivf_assign(emb, k=16)
+                books = pq_train(emb)
+                encoded = pq_encode(emb, books).localCheckpoint()
+                _MEMO[key] = (assigned.localCheckpoint(), centers, encoded, books)
+            assigned, centers, encoded, books = _MEMO[key]
+            qvec = [
+                float(x)
+                for x in emb.filter(F.col("vec_id") == 0).head().embedding
+            ]
+            return ivfpq_topk(
+                encoded, emb, assigned, centers, qvec, codebooks=books,
+                exclude_vec_id=0,
+            ).collect()
+
         def rrf():
             # round 9: hybrid retrieval — both legs scan once, fusion is
             # a bounded join of two <=100-row frames
@@ -543,6 +598,8 @@ def main() -> None:
 
         return {
             "kmeans_train_4r": kmeans_4r,
+            "kmeans_assign_batch": kmeans_assign_batch,
+            "ivfpq_topk": ivfpq,
             "mmr_rerank": mmr,
             "heavy_hitters": hh,
             "global_rank": grank,

@@ -80,6 +80,9 @@ PYTHON_PATH_QUERIES = {
     # per-query ADC scan itself is codegen over the cached codes (see
     # test_pq.py::test_pq_adc_scan_has_no_python_eval).
     "q_pq_topk",
+    # IVF-PQ composes the PQ encode pass (same one-off Arrow GEMM argmin)
+    # with the IVF list restriction; the per-query ADC scan stays codegen:
+    "q_ivfpq_topk",
     # kNN join: the partial-top-k scan stage is an Arrow-batched GEMM +
     # argpartition by design (mergeable top-k; see operators/knn.py) —
     # the merge window over O(batches x queries x k) rows is JVM-side.
@@ -95,6 +98,7 @@ PYTHON_PATH_QUERIES = {
     # kernel by design (k x dim model state, pq.py codebook posture);
     # the centroid update stays JVM-side (posexplode + partial agg):
     "q_kmeans_train",
+    "q_kmeans_assign_new",  # round 10: Arrow-batched frozen-centroid assignment
     # BPE application is an Arrow-batched mapInPandas kernel by design
     # (broadcast merge ranks + per-task word cache, operators/bpe.py);
     # the two *_bpe budget/packing variants consume its counts frame:
