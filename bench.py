@@ -285,6 +285,7 @@ def main() -> None:
         "q_quality_ensemble",
         "q_kmeans_assign_new",
         "q_ivfpq_topk",
+        "q_resample_ffill",
     ):
         best = float("inf")
         for _ in range(REPS):  # best-of-3, matching BASELINE.md methodology

@@ -1,0 +1,51 @@
+
+
+def test_resample_ffill_known_grid(spark):
+    """Hand-checkable grid: 3 observations across 3 hours -> 4 hourly
+    points (trunc(min)..trunc(max)), each carrying the latest value at
+    or before it; the pre-first-observation point carries the value
+    observed within its own hour (trunc rounds the grid start down)."""
+    from datetime import datetime
+
+    from udacity_data_engineering_spark.operators.asof import resample_ffill
+
+    rows = [
+        (1, 10, datetime(2024, 1, 1, 0, 30), 1.0),
+        (2, 10, datetime(2024, 1, 1, 1, 15), 2.0),
+        (3, 10, datetime(2024, 1, 1, 3, 45), 3.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    out = {
+        r["grid_ts"].hour: r["value"]
+        for r in resample_ffill(
+            df, "user_id", "ts", "value", tiebreak="event_id"
+        ).collect()
+    }
+    # grid 00:00..03:00; 00:00 precedes the first observation -> NULL
+    assert out == {0: None, 1: 1.0, 2: 2.0, 3: 2.0}
+
+
+def test_resample_ffill_tie_takes_max_tiebreak(spark):
+    from datetime import datetime
+
+    from udacity_data_engineering_spark.operators.asof import resample_ffill
+
+    t = datetime(2024, 1, 1, 0, 30)
+    df = spark.createDataFrame(
+        [
+            (1, 10, t, 1.0),
+            (2, 10, t, 2.0),
+            (3, 10, datetime(2024, 1, 1, 1, 30), 9.0),
+        ],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    got = {
+        r["grid_ts"].hour: r["value"]
+        for r in resample_ffill(
+            df, "user_id", "ts", "value", tiebreak="event_id"
+        ).collect()
+    }
+    # 01:00 sees the tied pair at 00:30 -> max event_id (value 2.0) wins
+    assert got == {0: None, 1: 2.0}

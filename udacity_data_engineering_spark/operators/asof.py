@@ -268,3 +268,88 @@ def q_range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("__n").alias("n_pairs"),
         F.round(F.sum("__qty"), 2).alias("sum_qty"),
     )
+
+
+def resample_ffill(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    step: str = "1 hour",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Regular-grid resampling with forward-fill (the pandas
+    ``resample().ffill()`` shape, Spark-native): per key, a grid of
+    ``step``-spaced points spanning [trunc(min ts), trunc(max ts)], each
+    carrying the latest observation at or before it.
+
+    The gap this fills: event streams are irregular, every downstream
+    consumer (feature windows, dashboards, rate comparisons) wants a
+    regular grid. Cost: one (key)-grouped min/max aggregate, a
+    sequence+explode whose output IS the grid (no cross join against a
+    calendar table), and one as-of join — the union-merge machinery
+    above, one shuffle + one sort, no pairwise blow-up. Grid density is
+    the caller's contract: points per key = span/step.
+    """
+    unit = step.split()[1].rstrip("s")
+    spans = df.groupBy(key).agg(
+        F.date_trunc(unit, F.min(ts_col)).alias("__a"),
+        F.date_trunc(unit, F.max(ts_col)).alias("__z"),
+    )
+    grid = spans.select(
+        key,
+        F.explode(
+            F.expr(f"sequence(__a, __z, interval {step})")
+        ).alias("grid_ts"),
+    )
+    obs = df.select(
+        key,
+        F.col(ts_col),
+        F.col(value_col),
+        *( [F.col(tiebreak)] if tiebreak and tiebreak not in (key, ts_col, value_col) else [] ),
+    )
+    return asof_join(
+        grid,
+        obs,
+        on=key,
+        left_ts="grid_ts",
+        right_ts=ts_col,
+        right_cols=(value_col,),
+        right_tiebreak=tiebreak,
+    ).select(
+        key, "grid_ts", F.col(f"{value_col}_matched").alias(value_col)
+    )
+
+
+@register(
+    "q_resample_ffill",
+    oracle="""
+        WITH b AS (
+            SELECT user_id,
+                   date_trunc('hour', min(ts)) AS a,
+                   date_trunc('hour', max(ts)) AS z
+            FROM events GROUP BY user_id
+        ), grid AS (
+            SELECT user_id, unnest(generate_series(a, z, INTERVAL 1 HOUR)) AS grid_ts
+            FROM b
+        )
+        SELECT g.user_id, g.grid_ts,
+               (SELECT e.value FROM events e
+                WHERE e.user_id = g.user_id AND e.ts <= g.grid_ts
+                ORDER BY e.ts DESC, e.event_id DESC LIMIT 1) AS value
+        FROM grid g
+    """,
+    doc="Regular-grid resampling with forward-fill (pandas resample "
+    "parity, Spark-native): hourly grid per user spanning its event "
+    "range, each point carrying the latest value at or before it "
+    "(event_id max-tiebreak at equal timestamps — the as-of carry "
+    "rule). One grouped min/max + sequence explode + one union-merge "
+    "as-of join; the oracle's correlated latest-observation subquery "
+    "decorrelates in DuckDB.",
+    tags=("E8", "E13", "analytics"),
+)
+def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return resample_ffill(
+        ev, key="user_id", ts_col="ts", value_col="value", tiebreak="event_id"
+    )
