@@ -286,6 +286,9 @@ def main() -> None:
         "q_kmeans_assign_new",
         "q_ivfpq_topk",
         "q_resample_ffill",
+        "q_resample_interp",
+        "q_chisq_lang_source",
+        "q_seasonal_anomaly",
     ):
         best = float("inf")
         for _ in range(REPS):  # best-of-3, matching BASELINE.md methodology

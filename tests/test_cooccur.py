@@ -161,3 +161,68 @@ def test_robust_outliers_grouped_independently(spark):
     }
     assert out[8] is True
     assert not any(out[100 + i] for i in range(9))
+
+
+# ---------------------------------------------------------------------------
+# chi-square cells + seasonal anomaly (stats.py round-10 diagnostics)
+
+
+def test_chisq_independent_table_is_zero(spark):
+    from udacity_data_engineering_spark.operators.stats import (
+        chi_square_independence,
+    )
+
+    # perfectly independent 2x2: every contrib must be exactly 0
+    rows = []
+    i = 0
+    for lang in ("en", "de"):
+        for src in ("a", "b"):
+            for _ in range(25):
+                rows.append((i, lang, src))
+                i += 1
+    df = spark.createDataFrame(rows, "doc_id long, lang string, source string")
+    out = chi_square_independence(df, "lang", "source").collect()
+    assert len(out) == 4
+    assert all(r["contrib"] == 0.0 and r["expected"] == 25.0 for r in out)
+
+
+def test_chisq_skewed_cell_dominates(spark):
+    from udacity_data_engineering_spark.operators.stats import (
+        chi_square_independence,
+    )
+
+    rows = [(i, "en", "a") for i in range(90)]
+    rows += [(100 + i, "en", "b") for i in range(10)]
+    rows += [(200 + i, "de", "a") for i in range(10)]
+    rows += [(300 + i, "de", "b") for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, source string")
+    cells = {
+        (r["lang"], r["source"]): r["contrib"]
+        for r in chi_square_independence(df, "lang", "source").collect()
+    }
+    # symmetric design: all four cells contribute (o-e)^2/e = 32
+    assert all(c == 32.0 for c in cells.values())
+
+
+def test_seasonal_anomaly_flags_only_the_spike(spark):
+    from datetime import datetime, timedelta
+
+    from udacity_data_engineering_spark.operators.stats import (
+        seasonal_anomaly,
+    )
+
+    base = datetime(2024, 1, 1, 9, 0)  # same weekday+hour slot weekly
+    rows = [
+        (i, "click", base + timedelta(weeks=i), 10.0 + (i % 3))
+        for i in range(12)
+    ]
+    rows.append((99, "click", base + timedelta(weeks=12), 500.0))
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts timestamp, value double"
+    )
+    out = {
+        r["event_id"]: r["is_anomaly"]
+        for r in seasonal_anomaly(df, "ts", "value", group="event_type").collect()
+    }
+    assert out[99] is True
+    assert sum(out.values()) == 1

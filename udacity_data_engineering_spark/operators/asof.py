@@ -353,3 +353,121 @@ def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resample_ffill(
         ev, key="user_id", ts_col="ts", value_col="value", tiebreak="event_id"
     )
+
+
+def resample_interp(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    step: str = "1 hour",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Regular-grid resampling with LINEAR interpolation (the pandas
+    ``resample().interpolate()`` shape): per key, each ``step``-spaced
+    grid point carries prev + (next - prev) * (t - t_prev) / (t_next -
+    t_prev) between its neighboring observations.
+
+    Edge contract (deterministic on any engine): before the first
+    observation -> NULL; after the last -> hold the previous value
+    (ffill); an observation exactly on the grid point appears in BOTH
+    as-of directions, making the fraction 0/valid either way. Two
+    union-merge as-of joins (backward + forward) over the same grid —
+    still one shuffle class, no pairwise blow-up. interp rounded 6dp
+    (both engines compute the identical double expression).
+    """
+    unit = step.split()[1].rstrip("s")
+    spans = df.groupBy(key).agg(
+        F.date_trunc(unit, F.min(ts_col)).alias("__a"),
+        F.date_trunc(unit, F.max(ts_col)).alias("__z"),
+    )
+    grid = spans.select(
+        key,
+        F.explode(F.expr(f"sequence(__a, __z, interval {step})")).alias(
+            "grid_ts"
+        ),
+    )
+    obs = df.select(
+        key,
+        F.col(ts_col),
+        F.col(value_col),
+        *([F.col(tiebreak)] if tiebreak else []),
+    )
+    back = asof_join(
+        grid, obs, on=key, left_ts="grid_ts", right_ts=ts_col,
+        right_cols=(value_col, ts_col), right_tiebreak=tiebreak,
+    ).withColumnsRenamed(
+        {f"{value_col}_matched": "__pv", f"{ts_col}_matched": "__pt"}
+    )
+    fwd = asof_join(
+        grid, obs, on=key, left_ts="grid_ts", right_ts=ts_col,
+        right_cols=(value_col, ts_col), right_tiebreak=tiebreak,
+        direction="forward",
+    ).withColumnsRenamed(
+        {f"{value_col}_matched": "__nv", f"{ts_col}_matched": "__nt"}
+    )
+    both = back.join(fwd, [key, "grid_ts"])
+    def _secs(c):
+        # TIMESTAMP_NTZ refuses a direct double cast (Spark 4) — route
+        # through TIMESTAMP (session tz is UTC everywhere in this repo)
+        return c.cast("timestamp").cast("double")
+
+    g = _secs(F.col("grid_ts"))
+    pt, nt = _secs(F.col("__pt")), _secs(F.col("__nt"))
+    frac = (g - pt) / (nt - pt)
+    interp = F.when(F.col("__pv").isNull(), F.lit(None)).when(
+        F.col("__nv").isNull() | (nt == pt), F.col("__pv")
+    ).otherwise(F.col("__pv") + (F.col("__nv") - F.col("__pv")) * frac)
+    return both.select(
+        key, "grid_ts", F.round(interp, 6).alias(value_col)
+    )
+
+
+@register(
+    "q_resample_interp",
+    oracle="""
+        WITH b AS (
+            SELECT user_id,
+                   date_trunc('hour', min(ts)) AS a,
+                   date_trunc('hour', max(ts)) AS z
+            FROM events GROUP BY user_id
+        ), grid AS (
+            SELECT user_id, unnest(generate_series(a, z, INTERVAL 1 HOUR)) AS grid_ts
+            FROM b
+        ), nb AS (
+            SELECT g.user_id, g.grid_ts,
+                   (SELECT e.value FROM events e
+                    WHERE e.user_id = g.user_id AND e.ts <= g.grid_ts
+                    ORDER BY e.ts DESC, e.event_id DESC LIMIT 1) AS pv,
+                   (SELECT epoch(e.ts) FROM events e
+                    WHERE e.user_id = g.user_id AND e.ts <= g.grid_ts
+                    ORDER BY e.ts DESC, e.event_id DESC LIMIT 1) AS pt,
+                   (SELECT e.value FROM events e
+                    WHERE e.user_id = g.user_id AND e.ts >= g.grid_ts
+                    ORDER BY e.ts ASC, e.event_id DESC LIMIT 1) AS nv,
+                   (SELECT epoch(e.ts) FROM events e
+                    WHERE e.user_id = g.user_id AND e.ts >= g.grid_ts
+                    ORDER BY e.ts ASC, e.event_id DESC LIMIT 1) AS nt
+            FROM grid g
+        )
+        SELECT user_id, grid_ts,
+               round(CASE WHEN pv IS NULL THEN NULL
+                          WHEN nv IS NULL OR nt = pt THEN pv
+                          ELSE pv + (nv - pv)
+                               * (epoch(grid_ts) - pt) / (nt - pt)
+                     END, 6) AS value
+        FROM nb
+    """,
+    doc="Regular-grid resampling with linear interpolation (pandas "
+    "interpolate parity): each hourly point blends its neighboring "
+    "observations by time fraction — two union-merge as-of joins "
+    "(backward + forward) over one grid, matching tie rules both "
+    "directions (max event_id at the boundary timestamp). NULL before "
+    "the first observation, hold-last after the final one.",
+    tags=("E8", "E13", "analytics"),
+)
+def q_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return resample_interp(
+        ev, key="user_id", ts_col="ts", value_col="value", tiebreak="event_id"
+    )

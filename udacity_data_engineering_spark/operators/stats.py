@@ -252,3 +252,142 @@ def q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return robust_outliers(docs, "n_chars", group="lang").select(
         "doc_id", "lang", "robust_z", "is_outlier"
     )
+
+
+def chi_square_independence(
+    df: DataFrame, a: str, b: str
+) -> DataFrame:
+    """Per-cell chi-square contributions for the independence test of
+    two categorical columns: expected = row_total * col_total / n,
+    contrib = (observed - expected)^2 / expected. The corpus-composition
+    diagnostic (is language independent of source? a skewed cell =
+    a collection-pipeline artifact worth investigating).
+
+    Three wordcount-shaped aggregates (cells, row totals, col totals) +
+    broadcast joins — shuffle is category-cardinality-sized. Sum the
+    contrib column for the chi-square statistic; dof = (R-1)(C-1).
+    """
+    cells = df.groupBy(a, b).agg(F.count(F.lit(1)).alias("observed"))
+    rows_t = cells.groupBy(a).agg(F.sum("observed").alias("__r"))
+    cols_t = cells.groupBy(b).agg(F.sum("observed").alias("__c"))
+    n = cells.agg(F.sum("observed").alias("__n"))
+    e = F.col("__r") * F.col("__c") / F.col("__n")
+    contrib = (F.col("observed") - e) * (F.col("observed") - e) / e
+    return (
+        cells.join(F.broadcast(rows_t), a)
+        .join(F.broadcast(cols_t), b)
+        .crossJoin(F.broadcast(n))
+        .select(
+            a,
+            b,
+            "observed",
+            F.round(e, 6).alias("expected"),
+            F.round(contrib, 6).alias("contrib"),
+        )
+    )
+
+
+@register(
+    "q_chisq_lang_source",
+    oracle="""
+        WITH cells AS (
+            SELECT lang, source, count(*) AS observed
+            FROM documents GROUP BY lang, source
+        ), r AS (SELECT lang, sum(observed) AS rt FROM cells GROUP BY lang),
+        c AS (SELECT source, sum(observed) AS ct FROM cells GROUP BY source),
+        n AS (SELECT sum(observed) AS nt FROM cells)
+        SELECT cells.lang, cells.source, CAST(observed AS BIGINT) AS observed,
+               round(rt * ct / CAST(nt AS DOUBLE), 6) AS expected,
+               round((observed - rt * ct / CAST(nt AS DOUBLE))
+                     * (observed - rt * ct / CAST(nt AS DOUBLE))
+                     / (rt * ct / CAST(nt AS DOUBLE)), 6) AS contrib
+        FROM cells JOIN r USING (lang) JOIN c USING (source)
+        CROSS JOIN n
+    """,
+    doc="Chi-square independence cells for lang x source — the corpus "
+    "composition diagnostic (a skewed cell = a collection artifact). "
+    "Category-cardinality-sized aggregates + broadcast joins; sum "
+    "contrib for the statistic.",
+    tags=("E1", "stats", "quality", "llm-pipeline"),
+)
+def q_chisq_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return chi_square_independence(docs, "lang", "source")
+
+
+def seasonal_anomaly(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    group: str,
+    cutoff: float = 3.0,
+) -> DataFrame:
+    """Seasonal-baseline anomaly scoring: z of each observation against
+    the mean/stddev of ITS OWN (group, day-of-week, hour-of-day) slot —
+    "is this value unusual for Tuesday 9am?", the time-of-week
+    seasonality every ops/metrics monitor needs (a 3am traffic level
+    that is normal at 3am but pathological at noon).
+
+    One slot-keyed aggregate (|groups| x 168 rows) broadcast back; z is
+    rounded to 4dp and the flag computed FROM the rounded z on both
+    engines, so a boundary observation can never flag-flip between
+    engines. Slots with stddev 0 yield NULL z / no flag.
+    """
+    slot = [group, F.dayofweek(ts_col).alias("__dow"), F.hour(ts_col).alias("__hr")]
+    stats = (
+        df.select(*slot, F.col(value_col))
+        .groupBy(group, "__dow", "__hr")
+        .agg(
+            F.avg(value_col).alias("__mu"),
+            F.stddev_samp(value_col).alias("__sd"),
+        )
+    )
+    with_slot = df.select(
+        "*", F.dayofweek(ts_col).alias("__dow"), F.hour(ts_col).alias("__hr")
+    )
+    joined = with_slot.join(F.broadcast(stats), [group, "__dow", "__hr"])
+    z = F.round(
+        (F.col(value_col) - F.col("__mu")) / F.nullif(F.col("__sd"), F.lit(0.0)),
+        4,
+    )
+    return (
+        joined.withColumn("season_z", z)
+        .withColumn(
+            "is_anomaly",
+            F.coalesce(F.abs(F.col("season_z")) > cutoff, F.lit(False)),
+        )
+        .drop("__dow", "__hr", "__mu", "__sd")
+    )
+
+
+@register(
+    "q_seasonal_anomaly",
+    oracle="""
+        WITH slotted AS (
+            SELECT event_id, event_type, value,
+                   dayofweek(ts) + 1 AS dow, hour(ts) AS hr
+            FROM events
+        ), s AS (
+            SELECT event_type, dow, hr,
+                   avg(value) AS mu, stddev_samp(value) AS sd
+            FROM slotted GROUP BY event_type, dow, hr
+        )
+        SELECT e.event_id,
+               round((e.value - mu) / nullif(sd, 0.0), 4) AS season_z,
+               coalesce(abs(round((e.value - mu) / nullif(sd, 0.0), 4)) > 3.0,
+                        false) AS is_anomaly
+        FROM slotted e JOIN s USING (event_type, dow, hr)
+    """,
+    doc="Time-of-week seasonal anomaly: z of each event's value against "
+    "its (event_type, day-of-week, hour) slot baseline — normal-at-3am "
+    "vs pathological-at-noon. Slot aggregate is |types| x 168 rows "
+    "broadcast back; flag computed from the 4dp-rounded z on both "
+    "engines (no boundary flag-flips). Spark dayofweek = DuckDB "
+    "dayofweek + 1.",
+    tags=("E5", "stats", "analytics"),
+)
+def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return seasonal_anomaly(ev, "ts", "value", group="event_type").select(
+        "event_id", "season_z", "is_anomaly"
+    )
