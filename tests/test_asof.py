@@ -49,3 +49,18 @@ def test_resample_ffill_tie_takes_max_tiebreak(spark):
     }
     # 01:00 sees the tied pair at 00:30 -> max event_id (value 2.0) wins
     assert got == {0: None, 1: 2.0}
+
+
+def test_resample_step_validation():
+    import pytest as _pt
+
+    from udacity_data_engineering_spark.operators.asof import _step_unit
+
+    assert _step_unit("1 hour") == "hour"
+    assert _step_unit("1 days") == "day"
+    with _pt.raises(ValueError, match="shorthand"):
+        _step_unit("1h")
+    with _pt.raises(ValueError, match="count must be 1"):
+        _step_unit("30 minutes")
+    with _pt.raises(ValueError, match="unsupported resample unit"):
+        _step_unit("1 fortnight")

@@ -154,3 +154,21 @@ def test_rank_null_keys_match_window_nulls_first(spark):
     ref = _window_rank(df, "v", "id")
     merged = got.join(ref.select("id", "rn_ref"), "id")
     assert merged.filter(F.col("rn") != F.col("rn_ref")).count() == 0
+
+
+def test_exact_global_rank_large_bucket_count_depth_safe(spark):
+    """B-deep CASE chains hit Catalyst recursion limits; the HOF bucket
+    expr + broadcast offset join must analyze and run at B in the
+    thousands (ADVICE r10)."""
+    from udacity_data_engineering_spark.operators.ranking import (
+        exact_global_rank,
+    )
+
+    df = spark.range(500).select(
+        (F.col("id") * 37 % 211).alias("v"), F.col("id")
+    )
+    got = exact_global_rank(df, "v", "id", out="rn", buckets=2048)
+    rows = got.orderBy("rn").collect()
+    assert [r["rn"] for r in rows] == list(range(1, 501))
+    want = sorted((r["v"], r["id"]) for r in df.collect())
+    assert [(r["v"], r["id"]) for r in rows] == want

@@ -502,3 +502,64 @@ def test_checkpoint_recovery_is_exactly_once_across_restarts(spark, tmp_path):
     assert final.count() == 8  # ...plus event 9, exactly once each
     assert final.select("event_id").distinct().count() == 8
     assert final.filter(F.col("event_id") == 2).count() == 1  # not re-emitted
+
+
+def test_dq_log_gate_idempotent_under_batch_redelivery(spark, sf_dir, tmp_path):
+    """foreachBatch is at-least-once: the SAME (batch_id, data) pair can be
+    replayed after a failure. The DQ log gate must emit identical corpus
+    totals whether a batch is delivered once or redelivered — the exact
+    failure mode behind the round-10 q_streaming_dq_monitor hash-fail."""
+    from udacity_data_engineering_spark.streaming.stream_queries import (
+        _dq_monitor_predicates,
+        dq_log_gate,
+        dq_log_totals,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    dirty = ev.withColumn(
+        "user_id",
+        F.when(F.col("event_id") % 13 == 0, F.lit(None)).otherwise(
+            F.col("user_id")
+        ),
+    )
+    b0 = dirty.filter(F.col("event_id") % 2 == 0)
+    b1 = dirty.filter(F.col("event_id") % 2 == 1)
+
+    clean_dir = str(tmp_path / "clean_log")
+    gate = dq_log_gate(clean_dir, _dq_monitor_predicates())
+    gate(b0, 0)
+    gate(b1, 1)
+    want = _norm(dq_log_totals(spark, clean_dir).collect())
+    assert any(v > 0 for _, v, _ in want), "dirt injection produced no violations"
+
+    # redelivery run: batch 0 delivered twice, batch 1 three times
+    replay_dir = str(tmp_path / "replay_log")
+    gate2 = dq_log_gate(replay_dir, _dq_monitor_predicates())
+    gate2(b0, 0)
+    gate2(b0, 0)  # replayed after a simulated sink failure
+    gate2(b1, 1)
+    gate2(b1, 1)
+    gate2(b1, 1)
+    got = _norm(dq_log_totals(spark, replay_dir).collect())
+    assert got == want, f"redelivery changed DQ totals: {got} != {want}"
+
+
+def test_dq_log_totals_survive_duplicate_log_rows(spark, tmp_path):
+    """Second idempotence layer: even a log holding literal duplicate
+    report rows for one (batch_id, check) must aggregate as one."""
+    from udacity_data_engineering_spark.streaming.stream_queries import (
+        dq_log_totals,
+    )
+
+    log_dir = str(tmp_path / "dup_log")
+    report = spark.createDataFrame(
+        [("user_id_complete", 5, False), ("value_complete", 0, True)],
+        "check string, violations long, passed boolean",
+    )
+    # simulate a pre-fix append-style log: the same batch's report twice
+    report.write.mode("overwrite").parquet(f"{log_dir}/batch_id=0")
+    report.unionAll(report).write.mode("overwrite").parquet(
+        f"{log_dir}/batch_id=1"
+    )
+    rows = {r["check"]: r["violations"] for r in dq_log_totals(spark, log_dir).collect()}
+    assert rows == {"user_id_complete": 10, "value_complete": 0}

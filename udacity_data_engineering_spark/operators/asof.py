@@ -270,6 +270,37 @@ def q_range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _step_unit(step: str) -> str:
+    """Validate a resample ``step`` and return its date_trunc unit.
+
+    The grid ORIGIN is ``date_trunc(unit, min ts)``, so only ``'1 <unit>'``
+    steps phase the grid the way callers expect: ``'30 minutes'`` would
+    silently truncate the origin to the minute while stepping by 30, and
+    shorthand like ``'1h'`` used to IndexError. Fail loud instead.
+    """
+    import re
+
+    m = re.fullmatch(r"\s*(\d+)\s+([a-zA-Z]+?)s?\s*", step)
+    if not m:
+        raise ValueError(
+            f"resample step must look like '1 hour' / '1 day', got {step!r}"
+            " (shorthand like '1h' is not supported)"
+        )
+    n, unit = int(m.group(1)), m.group(2).lower()
+    if n != 1:
+        raise ValueError(
+            f"resample step count must be 1 (got {step!r}): the grid origin"
+            f" is date_trunc('{unit}', min ts), so a multi-{unit} step would"
+            " produce a differently-phased grid — resample at"
+            f" '1 {unit}' and aggregate, or pass the coarser unit"
+        )
+    if unit not in {
+        "second", "minute", "hour", "day", "week", "month", "quarter", "year",
+    }:
+        raise ValueError(f"unsupported resample unit {unit!r} in {step!r}")
+    return unit
+
+
 def resample_ffill(
     df: DataFrame,
     key: str,
@@ -291,7 +322,7 @@ def resample_ffill(
     above, one shuffle + one sort, no pairwise blow-up. Grid density is
     the caller's contract: points per key = span/step.
     """
-    unit = step.split()[1].rstrip("s")
+    unit = _step_unit(step)
     spans = df.groupBy(key).agg(
         F.date_trunc(unit, F.min(ts_col)).alias("__a"),
         F.date_trunc(unit, F.max(ts_col)).alias("__z"),
@@ -376,7 +407,7 @@ def resample_interp(
     still one shuffle class, no pairwise blow-up. interp rounded 6dp
     (both engines compute the identical double expression).
     """
-    unit = step.split()[1].rstrip("s")
+    unit = _step_unit(step)
     spans = df.groupBy(key).agg(
         F.date_trunc(unit, F.min(ts_col)).alias("__a"),
         F.date_trunc(unit, F.max(ts_col)).alias("__z"),

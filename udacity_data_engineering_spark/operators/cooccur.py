@@ -171,7 +171,11 @@ def source_divergence(
 
     joined = (
         by_grp.join(grp_tot, "grp")
-        .join(F.broadcast(corpus), "token")
+        # plain shuffle join on token: the corpus unigram frame is
+        # vocabulary-sized (unbounded, unlike pmi_pairs' top-V cap), so a
+        # forced broadcast could exceed driver/executor limits at real
+        # corpus scale — AQE still converts it when it's actually small
+        .join(corpus, "token")
         .crossJoin(F.broadcast(n_all))
     )
     term = (F.col("c_gt") / F.col("n_g")) * F.log(

@@ -48,9 +48,13 @@ from udacity_data_engineering_spark.plans.registry import register
 from udacity_data_engineering_spark.session import table
 
 #: Default bucket count for the two-phase rank. More buckets = more
-#: parallelism and smaller per-window state; the per-bucket offset CASE
-#: chain and the counts collect are O(buckets) driver-side (trivial up
-#: to ~10k buckets — at 100 TB pick ~2-4x the executor-core count).
+#: parallelism and smaller per-window state. Bucket assignment is one
+#: O(1)-depth higher-order-function node and offsets arrive via a
+#: broadcast join (never a B-deep CASE chain), so large B is safe for
+#: Catalyst; the remaining O(B) driver costs are the percentile sketch
+#: result and the counts collect — at 100 TB pick ~2-4x the executor-core
+#: count (hundreds to a few thousand), not more: past that the sketch
+#: accuracy per boundary, not the plan, is the limit.
 DEFAULT_BUCKETS = 64
 
 
@@ -75,31 +79,41 @@ def exact_global_rank(
     ).first()
     bounds = sorted(set(row["b"] or []))  # frozen driver-side floats
 
-    bucket_expr = F.lit(0)
-    for b in bounds:
-        bucket_expr = bucket_expr + F.when(F.col(key) > F.lit(b), 1).otherwise(0)
+    # scan-side bucket id as ONE higher-order-function node (runtime O(B)
+    # per row, expression DEPTH O(1)) — a chained when/otherwise CASE is
+    # O(B)-deep and hits Catalyst analyzer/codegen recursion limits long
+    # before large B (ADVICE r10)
+    if bounds:
+        bounds_arr = F.array(*[F.lit(b) for b in bounds])
+        bucket_expr = F.aggregate(
+            bounds_arr,
+            F.lit(0),
+            lambda acc, b: acc + F.when(F.col(key) > b, 1).otherwise(0),
+        )
+    else:
+        bucket_expr = F.lit(0)
     bucketed = df.withColumn("__bkt", bucket_expr.cast("int"))
 
     counts = {
         r["__bkt"]: r["cnt"]
         for r in bucketed.groupBy("__bkt").agg(F.count(F.lit(1)).alias("cnt")).collect()
     }
-    offsets: dict[int, int] = {}
+    offsets: list[tuple[int, int]] = []
     acc = 0
     for bkt in sorted(counts):
-        offsets[bkt] = acc
+        offsets.append((bkt, acc))
         acc += counts[bkt]
 
-    off_expr = F.lit(0)
-    for bkt, off in offsets.items():
-        if off:
-            off_expr = F.when(F.col("__bkt") == bkt, F.lit(off)).otherwise(off_expr)
+    # per-bucket rank offsets via a broadcast join on __bkt (B tiny rows)
+    # instead of a B-deep literal CASE chain — depth-safe at any B
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(offsets, "__bkt int, __off long")
 
     w = Window.partitionBy("__bkt").orderBy(F.col(key).asc(), F.col(tiebreak).asc())
     return (
-        bucketed.withColumn(
-            out, (off_expr + F.row_number().over(w)).cast("long")
-        ).drop("__bkt")
+        bucketed.join(F.broadcast(off_df), "__bkt")
+        .withColumn(out, (F.col("__off") + F.row_number().over(w)).cast("long"))
+        .drop("__bkt", "__off")
     )
 
 
@@ -142,7 +156,7 @@ def sql_ntile(
     "q_quality_deciles",
     oracle="""
         SELECT doc_id,
-               ntile(10) OVER (ORDER BY n_chars, doc_id) AS decile
+               ntile(10) OVER (ORDER BY n_chars NULLS FIRST, doc_id) AS decile
         FROM documents
     """,
     doc="Curriculum deciles: exact SQL ntile(10) over (n_chars, doc_id) "
@@ -163,7 +177,7 @@ def q_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_global_rank",
     oracle="""
         SELECT event_id,
-               row_number() OVER (ORDER BY value, event_id) AS rn
+               row_number() OVER (ORDER BY value NULLS FIRST, event_id) AS rn
         FROM events
     """,
     doc="Exact global row_number over (value, event_id) via the "

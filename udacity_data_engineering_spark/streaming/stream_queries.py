@@ -379,6 +379,62 @@ def q_streaming_lake_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _dq_monitor_predicates() -> list:
+    """Constraint set monitored by q_streaming_dq_monitor (module-level so
+    the redelivery test drives the exact production gate, not a copy).
+    Lazy: F.col needs an active SparkContext in PySpark 4, and this module
+    must import session-free (tests/test_import_no_session.py)."""
+    return [
+        ("user_id_complete", F.col("user_id").isNull()),
+        ("value_complete", F.col("value").isNull()),
+        ("event_type_domain", F.col("event_type").startswith("__")),
+    ]
+
+
+def dq_log_gate(log_dir: str, predicates) -> "callable":
+    """foreachBatch sink: run ``check_suite`` per micro-batch, persist the
+    (check, violations, passed) report to a parquet DQ log — IDEMPOTENTLY.
+
+    Structured Streaming's foreachBatch contract is at-least-once: after a
+    failure the same (batch_id, data) pair is replayed. A bare
+    ``mode("append")`` to a shared log double-counts the replayed batch
+    (the round-10 driver hash-fail). Each batch instead OVERWRITES its own
+    deterministic hive directory ``log_dir/batch_id=N`` — a replay rewrites
+    identical bytes, so the log is exactly-once by construction. batch_id
+    is restored as a partition column on read.
+    """
+    from udacity_data_engineering_spark.operators.dq import check_suite
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        report = check_suite(batch_df, predicates=predicates)
+        report.write.mode("overwrite").parquet(
+            os.path.join(log_dir, f"batch_id={batch_id}")
+        )
+
+    return gate
+
+
+def dq_log_totals(spark: SparkSession, log_dir: str) -> DataFrame:
+    """Aggregate a DQ log to corpus totals per check.
+
+    Second idempotence layer: even if a duplicate report copy slipped into
+    the log, (batch_id, check) is unique per logical batch, so max() per
+    key then sum() is replay-invariant where a bare sum() double-counts.
+    """
+    log = spark.read.parquet(log_dir)
+    return (
+        log.groupBy("batch_id", "check")
+        .agg(F.max("violations").alias("violations"))
+        .groupBy("check")
+        .agg(F.sum("violations").alias("violations"))
+        .select(
+            "check",
+            "violations",
+            (F.col("violations") == 0).alias("passed"),
+        )
+    )
+
+
 @register(
     "q_streaming_dq_monitor",
     oracle="""
@@ -414,8 +470,6 @@ def q_streaming_lake_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("E14", "streaming", "llm-pipeline"),
 )
 def q_streaming_dq_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from udacity_data_engineering_spark.operators.dq import check_suite
-
     ev = table(spark, sf_dir, "events")
     feed = ev.select(
         "event_id",
@@ -441,19 +495,7 @@ def q_streaming_dq_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     log_dir = os.path.join(tmp, "dq_log")
     feed.coalesce(4).write.mode("overwrite").parquet(feed_dir)
 
-    def gate(batch_df: DataFrame, batch_id: int) -> None:
-        report = check_suite(
-            batch_df,
-            predicates=[
-                ("user_id_complete", F.col("user_id").isNull()),
-                ("value_complete", F.col("value").isNull()),
-                (
-                    "event_type_domain",
-                    F.col("event_type").startswith("__"),
-                ),
-            ],
-        ).withColumn("batch_id", F.lit(batch_id))
-        report.write.mode("append").parquet(log_dir)
+    gate = dq_log_gate(log_dir, _dq_monitor_predicates())
 
     q = (
         stream_events(spark, feed_dir, max_files_per_trigger=1)
@@ -464,16 +506,6 @@ def q_streaming_dq_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
 
-    log = spark.read.parquet(log_dir)
-    out = (
-        log.groupBy("check")
-        .agg(F.sum("violations").alias("violations"))
-        .select(
-            "check",
-            "violations",
-            (F.col("violations") == 0).alias("passed"),
-        )
-        .localCheckpoint(eager=True)
-    )
+    out = dq_log_totals(spark, log_dir).localCheckpoint(eager=True)
     shutil.rmtree(tmp, ignore_errors=True)
     return out
