@@ -122,3 +122,42 @@ def test_pagerank_uniform_on_symmetric_cycle(spark):
     }
     for v in nodes:
         assert abs(got[v] - 0.25) < 1e-12
+
+
+def test_click_edge_lake_incremental_matches_from_scratch(spark, sf_dir, tmp_path):
+    """Bootstrap + append over a per-user batch split must reproduce the
+    whole-table edge extraction exactly (edges never cross users), and
+    the persisted-pagerank query must equal the re-extracting one."""
+    from udacity_data_engineering_spark.operators.graph import (
+        click_edge_lake,
+        click_edges,
+        read_click_edges,
+    )
+    from udacity_data_engineering_spark.session import table as _table
+
+    ev = _table(spark, sf_dir, "events")
+    lake = str(tmp_path / "edges")
+    click_edge_lake(spark, lake, ev.filter(F.col("user_id") % 3 != 1))
+    click_edge_lake(
+        spark, lake, ev.filter(F.col("user_id") % 3 == 1), append=True
+    )
+    got = sorted(tuple(r) for r in read_click_edges(spark, lake).collect())
+    want = sorted(tuple(r) for r in click_edges(ev).collect())
+    assert got == want
+
+    # a re-bootstrap fully resets the lake (no stale append deltas)
+    click_edge_lake(spark, lake, ev)
+    again = sorted(tuple(r) for r in read_click_edges(spark, lake).collect())
+    assert again == want
+
+
+def test_pagerank_persisted_matches_reextracting(spark, sf_dir, tmp_path, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_SCRATCH", str(tmp_path))
+    from udacity_data_engineering_spark.plans.registry import all_queries
+
+    m = all_queries()
+    a = sorted(tuple(r) for r in m["q_pagerank"].fn(spark, sf_dir).collect())
+    b = sorted(
+        tuple(r) for r in m["q_pagerank_persisted"].fn(spark, sf_dir).collect()
+    )
+    assert a == b

@@ -488,3 +488,27 @@ def test_lake_ops_handle_escaped_partition_values(spark, tmp_path):
     )
     assert "c%d" in seen and "c%25d" not in seen
     assert "part=c%25d" not in os.listdir(new_dir)
+
+
+def test_lake_lifecycle_directory_state_between_steps(spark, sf_dir, tmp_path, monkeypatch):
+    """The composed lifecycle's cross-operator contract: after expiry only
+    cutoff-or-later day directories remain, and the diff carries all three
+    change types (upsert, delete and TTL each left a visible mark)."""
+    import os
+
+    monkeypatch.setenv("SPARK_GRAFT_SCRATCH", str(tmp_path))
+    from udacity_data_engineering_spark.sources.lake import q_lake_lifecycle
+
+    diff = q_lake_lifecycle(spark, sf_dir)
+    kinds = {r["change_type"] for r in diff.select("change_type").distinct().collect()}
+    assert kinds == {"added", "removed", "changed"}
+
+    lake_dir = str(tmp_path / "lifecycle_lake")
+    days = sorted(
+        d.split("=", 1)[1]
+        for d in os.listdir(lake_dir)
+        if d.startswith("event_date=")
+    )
+    assert days and days[0] >= "2024-01-06", days
+    # the lifecycle never resurrects an expired day
+    assert all(d >= "2024-01-06" for d in days)

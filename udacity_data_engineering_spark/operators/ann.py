@@ -178,3 +178,41 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame([], "vec_id long, cos_sim double")
     qvec = [float(x) for x in head.embedding]
     return ivf_topk(emb, qvec, exclude_vec_id=0, index=index)
+
+
+@register(
+    "q_ivf_topk_exhaustive",
+    oracle="""
+        WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS q_emb
+                   FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id,
+               round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), q_emb), 6)
+                   AS cos_sim
+        FROM embeddings, q
+        WHERE vec_id <> 0
+        ORDER BY cos_sim DESC, vec_id
+        LIMIT 10
+    """,
+    doc="E12: the IVF machinery driven at nprobe = n_clusters — every "
+    "inverted list probed, so the index path is EXACT by construction and "
+    "hash-proves against the brute-force cosine oracle (same SQL as "
+    "q_cosine_topk). This is the ANN family's provable leg: it certifies "
+    "the whole index pipeline (k-means assignment, probe routing, in-list "
+    "exact scoring, top-k) end-to-end; the approximate operating points "
+    "(q_ivf_topk nprobe=8, IVF-PQ) inherit that certified machinery and "
+    "are covered by committed recall floors instead (RECALL.md, "
+    "tests/test_ann.py). Exhaustive probing is a verification knob, not a "
+    "production setting — at scale nprobe/k stays a small fraction.",
+    tags=("E12", "ann"),
+)
+def q_ivf_topk_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    index = cached_ivf_index(spark, sf_dir, emb)
+    head = emb.filter(F.col("vec_id") == 0).select("embedding").head()
+    if head is None or head.embedding is None:
+        return spark.createDataFrame([], "vec_id long, cos_sim double")
+    qvec = [float(x) for x in head.embedding]
+    n_lists = len(index[1])
+    return ivf_topk(
+        emb, qvec, exclude_vec_id=0, index=index, nprobe=n_lists
+    )

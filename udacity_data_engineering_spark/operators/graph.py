@@ -297,3 +297,96 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = click_edges(ev)
     ranks = pagerank(edges, nodes)
     return ranks.select("page", F.round("pr", 6).alias("pr")).orderBy("page")
+
+
+# ---------------------------------------------------------------------------
+# persisted click-edge lake (write-once + incremental append)
+# ---------------------------------------------------------------------------
+
+
+def click_edge_lake(
+    spark: SparkSession,
+    lake_dir: str,
+    events: DataFrame,
+    page: F.Column | None = None,
+    append: bool = False,
+    n_parts: int = 16,
+) -> None:
+    """Persist the sessionized click-edge table to a parquet lake —
+    write-once, then incremental appends per new-events batch (the
+    substring_lake_index posture: extraction runs ONCE per batch, every
+    downstream graph consumer reads the lake).
+
+    Why this exists: edge EXTRACTION (lag window + groupBy over the raw
+    event stream) is the corpus-linear leg of q_pagerank /
+    q_markov_transitions — at 100 TB you build edges once per ingest
+    batch, not once per query (the round-10 scale probe's 7.1x ratio
+    was exactly this re-run extraction). Appends write DELTA edge
+    counts; ``read_click_edges`` sums deltas per (src, dst) — a
+    log-structured design whose merge is one vocabulary-sized groupBy,
+    never a lake rewrite (counts are additive, so no MERGE is needed).
+
+    Batch contract: a batch must contain WHOLE user streams (sessions
+    never straddle batches) — an edge is a consecutive pair within one
+    user's stream, so splitting a stream across batches would drop the
+    boundary transition. Partitioned by pmod(src, n_parts): per-page
+    neighbourhood lookups prune to one directory, and append batches
+    add files without rewriting existing ones.
+    """
+    edges = click_edges(events, page=page)
+    (
+        edges.withColumn("src_part", F.pmod(F.col("src"), F.lit(n_parts)))
+        .repartition("src_part")
+        .write.mode("append" if append else "overwrite")
+        # bootstrap must reset the WHOLE lake even under a session-level
+        # dynamic partitionOverwriteMode (stale append deltas from a
+        # prior bootstrap would otherwise survive in absent partitions)
+        .option("partitionOverwriteMode", "static")
+        .partitionBy("src_part")
+        .parquet(lake_dir)
+    )
+
+
+def read_click_edges(spark: SparkSession, lake_dir: str) -> DataFrame:
+    """The merged edge view over the lake's delta files: (src, dst,
+    n_transitions) with per-batch delta counts summed. Cost is one
+    groupBy over edge-table-sized (not corpus-sized) data."""
+    return (
+        spark.read.parquet(lake_dir)
+        .groupBy("src", "dst")
+        .agg(F.sum("n_transitions").alias("n_transitions"))
+    )
+
+
+@register(
+    "q_pagerank_persisted",
+    oracle=_pagerank_oracle(),
+    doc="PageRank fed from the PERSISTED click-edge lake instead of "
+    "re-extracting edges from raw events: the lake is bootstrapped from "
+    "the historic users (user_id % 5 <> 0), the remaining users arrive "
+    "as one incremental append batch, and the 8-round iteration runs "
+    "over read_click_edges' merged delta view. Edges never cross users, "
+    "so the per-user batch split reproduces the whole-table edge set "
+    "exactly and the result hash-proves against the SAME unrolled-CTE "
+    "oracle as q_pagerank — extraction-once + append is a pure "
+    "performance posture, not a semantics change.",
+    tags=("E5", "analytics", "graph", "llm-pipeline"),
+)
+def q_pagerank_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from udacity_data_engineering_spark.sources.parquet_source import (
+        scratch_dir,
+    )
+
+    lake_dir = scratch_dir("click_edge_lake")
+    ev = table(spark, sf_dir, "events")
+    # bootstrap: historic users; append: the new-user batch (whole
+    # streams per batch — the lake contract)
+    click_edge_lake(spark, lake_dir, ev.filter(F.col("user_id") % 5 != 0))
+    click_edge_lake(
+        spark, lake_dir, ev.filter(F.col("user_id") % 5 == 0), append=True
+    )
+
+    page = F.get_json_object("props", "$.k").cast("long")
+    nodes = ev.select(page.alias("page")).distinct()
+    ranks = pagerank(read_click_edges(spark, lake_dir), nodes)
+    return ranks.select("page", F.round("pr", 6).alias("pr")).orderBy("page")

@@ -660,3 +660,88 @@ def q_retention_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 4).alias("value"),
         "event_date",
     )
+
+
+@register(
+    "q_lake_lifecycle",
+    oracle="""
+        WITH base AS (
+            SELECT event_id, user_id,
+                   strftime(ts, '%Y-%m-%d') AS event_date
+            FROM events
+        )
+        SELECT CAST(event_id AS BIGINT) AS event_id,
+               'removed' AS change_type
+        FROM base
+        WHERE event_date < '2024-01-06' OR user_id % 97 = 5
+        UNION ALL
+        SELECT CAST(event_id AS BIGINT), 'changed'
+        FROM base
+        WHERE event_date >= '2024-01-06' AND user_id % 97 <> 5
+          AND event_id % 10 = 0
+        UNION ALL
+        SELECT CAST(event_id + 100000000 AS BIGINT), 'added'
+        FROM base
+        WHERE event_id % 100 = 1
+          AND event_date >= '2024-01-06' AND user_id % 97 <> 5
+    """,
+    doc="Composed lake LIFECYCLE over one physical lake directory — the "
+    "nightly sequence a 100 TB lake actually runs, as ONE hash-proven "
+    "query: (1) bootstrap the events lake hive-partitioned by day; "
+    "(2) MERGE upsert a batch (every 10th event re-priced +1000, plus "
+    "inserted late-arriving events at event_id+1e8) via dynamic "
+    "partition overwrite; (3) GDPR-delete every row of the affected "
+    "users (user_id % 97 = 5 — key set carries no partition column); "
+    "(4) expire day-partitions before 2024-01-06 by directory delete "
+    "(zero data read); (5) snapshot-diff the surviving lake against the "
+    "bootstrap snapshot. The final (event_id, change_type) frame is "
+    "exactly reconstructible in SQL, so the whole cross-operator "
+    "composition — including directory state carried BETWEEN operators, "
+    "which per-op tests cannot see — is driver-checkable. Each step is "
+    "individually proven by q_merge_upsert / q_merge_delete / "
+    "q_retention_expire / q_lake_diff; this catches their interactions.",
+    tags=("sources", "2A.20", "lifecycle"),
+)
+def q_lake_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lake_dir = scratch_dir("lifecycle_lake")
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.date_format("ts", "yyyy-MM-dd").alias("event_date"),
+    )
+    # (1) bootstrap — static overwrite resets lake state per invocation
+    write_partitioned(ev, lake_dir, ["event_date"])
+
+    # (2) MERGE upsert: updates (re-priced) + inserts (late arrivals)
+    updates = ev.filter(F.col("event_id") % 10 == 0).withColumn(
+        "value", F.col("value") + F.lit(1000.0)
+    )
+    inserts = ev.filter(F.col("event_id") % 100 == 1).withColumn(
+        "event_id", F.col("event_id") + F.lit(100000000).cast("long")
+    )
+    merge_upsert(
+        spark,
+        lake_dir,
+        updates.unionByName(inserts),
+        ["event_id"],
+        "event_date",
+    )
+
+    # (3) GDPR delete by user key (no partition column in the key set)
+    keys = (
+        ev.filter(F.col("user_id") % 97 == 5).select("user_id").distinct()
+    )
+    merge_delete(
+        spark, lake_dir, keys, ["user_id"], "event_date", schema=ev.schema
+    )
+
+    # (4) partition-level TTL: drop days before the cutoff, no data read
+    retention_expire(
+        spark, lake_dir, "event_date", lambda d: d < "2024-01-06"
+    )
+
+    # (5) snapshot diff: surviving lake vs the bootstrap snapshot
+    final = spark.read.schema(ev.schema).parquet(lake_dir).select(*ev.columns)
+    return snapshot_diff(ev, final, ["event_id"])
