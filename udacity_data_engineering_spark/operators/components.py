@@ -54,108 +54,112 @@ def connected_components(
     """Label every vertex of the (undirected) edge list with the minimum
     vertex id of its connected component. Returns (id, comp).
 
-    Min-label propagation WITH pointer jumping (the Shiloach-Vishkin /
-    Kiveris-et-al. "Connected Components in MapReduce" acceleration):
-    comp starts as the vertex's own id; each round takes the min over
-    the neighborhood, then JUMPS — comp := comp(comp) — so labels hop
-    two levels per round and a diameter-d chain converges in O(log d)
-    rounds instead of O(d) — on a pure 199-edge chain the label gap
-    doubles per round (g' = 2g+2, test-pinned under max_iter=25 where
-    plain propagation would need ~199 rounds). What the jump BUYS is
-    the diameter tolerance: ``max_iter`` becomes an exponential-reach
-    bound instead of a hop bound, which matters because the round-6
-    ensemble pair graph measured 23 plain rounds against the 25-round
-    fail-loud — one corpus-scale notch from a crash. On that mixed
-    star/chain graph the jump reads 18 rounds at roughly equal wall
-    (per round: the neighbor-min step materializes, then one extra
-    label self-join; a second jump per round was tried and rejected —
-    the nested lazy self-join blows up analysis time). Monotone + bounded below -> the label
-    sum strictly decreases until fixpoint, which is the convergence
-    test (one cheap scalar agg per round — no row-level diffing).
-    Every round is shuffle-bounded by the edge count; no per-vertex
-    neighbor lists are ever collected.
+    TWO-PHASE alternating-star algorithm (Kiveris, Lattanzi, Mirrokni,
+    Rastogi & Vassilvitskii, "Connected Components in MapReduce and
+    Beyond", SoCC 2014): each round rewrites the EDGE LIST rather than
+    propagating labels —
+
+    - large-star: every edge's larger endpoint reattaches to the
+      minimum of the smaller endpoint's closed neighborhood, leaving
+      all edges pointing big -> small;
+    - small-star: every node then collapses its (all-smaller) neighbor
+      set onto that set's minimum, keeping one hook edge itself.
+
+    The round-11 switch from min-label propagation + pointer jumping:
+    on the real ensemble pair graph the jump variant measured 19
+    rounds / 8.0 s where two-phase measures 6 rounds / 3.7 s with
+    byte-identical labels — star collapses shrink the graph itself, so
+    both chain reach AND hub fan-in accelerate. Per round: two
+    (groupBy-min + join) phases over edge-sized frames, one
+    localCheckpoint (lineage cut, the iterative-operator discipline),
+    and one (count, sum x, sum y) fingerprint aggregate in
+    decimal(38,0) (exact for >10^19 max-long terms — a long sum can
+    wrap at extreme scale and fake a fixpoint). The fingerprint is a
+    fast-path HEURISTIC only: on a repeat, fixpoint is CONFIRMED by an
+    exact two-sided exceptAll emptiness check before the loop exits,
+    so a colliding fingerprint can only cost one extra round, never a
+    wrong answer. At fixpoint the edge set is a star forest
+    (member -> component minimum), which IS the label mapping; vertices
+    with no surviving edge (component minima, self-loop-only vertices)
+    label themselves. Every step is shuffle-bounded by the edge count;
+    no per-vertex neighbor lists are ever collected.
+
+    ``max_iter`` stays a fail-loud ceiling: the paper's O(log^2 n)
+    round bound means hitting 25 signals pathological input (measured:
+    mixed star/chain ensemble graph 6, a pure 199-edge path 9).
     """
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    sym = (
-        sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # every vertex that appears anywhere must come out labeled, even if
+    # star collapses remove all its edges (or it only had self-loops)
+    ids = (
+        sym.select("a")
+        .union(sym.select(F.col("b").alias("a")))
         .distinct()
-        # Materialize the symmetrized edge list ONCE. Every round joins
-        # against it; without the lineage cut each iteration re-executes
-        # the full upstream pipeline that produced the edges (for the
-        # minhash survivor path that is the whole candidates+verify DAG
-        # per round). Executor-local storage of the edge list is the
-        # standard posture for iterative graph algorithms at scale.
+        .select(F.col("a").alias("id"))
         .localCheckpoint()
     )
-    labels = (
-        sym.select(F.col("a").alias("id")).distinct().withColumn("comp", F.col("id"))
+    e = (
+        sym.filter(F.col("a") != F.col("b"))
+        .select(
+            F.greatest("a", "b").alias("x"), F.least("a", "b").alias("y")
+        )
+        .distinct()
+        .localCheckpoint()
     )
     prev = None
-    converged = False
+    converged = e.isEmpty()
     for _ in range(max_iter):
-        nbr = (
-            sym.join(labels, sym["b"] == labels["id"])
-            .groupBy("a")
-            .agg(F.min("comp").alias("m"))
-        )
-        # Materialize the neighbor-min step BEFORE deriving the jump's
-        # self-join from it: hop over a lazy `stepped` plans the whole
-        # edge-join + aggregate subtree under BOTH join sides (measured:
-        # 5 joins/4 aggregates per round, 0 reuse), doubling per-round
-        # work. With the cut, the jump joins two reads of one
-        # materialized RDD.
-        stepped = (
-            labels.join(nbr, labels["id"] == nbr["a"], "left")
-            .select(
-                labels["id"],
-                F.least(F.col("comp"), F.coalesce("m", "comp")).alias("comp"),
-            )
-            .localCheckpoint()
-        )
-        # Convergence is checked on STEPPED's label sum: per row
-        # stepped' <= jumped <= stepped (monotone), so sum-equality
-        # pins jumped == stepped too, and a neighbor-min fixpoint is
-        # already constant per component — i.e. the component minimum —
-        # making a final jump a no-op. One cheap scalar agg per round
-        # over the just-materialized rows. Summed in decimal(38,0):
-        # a long sum can overflow at extreme scale (10^10+ vertices ×
-        # 2^40+ ids — ANSI mode would abort the job mid-round, legacy
-        # mode could wrap two successive sums onto the same value and
-        # declare a FALSE fixpoint), while 38 decimal digits hold
-        # >10^19 max-long terms exactly.
-        total = stepped.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).first()[0]
-        if total == prev:
-            labels = stepped
-            converged = True
+        if converged:
             break
-        prev = total
-        # pointer jump: comp := comp(comp). Every comp value is itself a
-        # vertex id (labels only ever hold existing ids), and comp(x) <=
-        # x throughout, so the jump is monotone too; left join + coalesce
-        # is belt-and-braces for the self-rooted case.
-        hop = stepped.select(
-            F.col("id").alias("cid"), F.col("comp").alias("ccomp")
+        bi = e.union(e.select(F.col("y").alias("x"), F.col("x").alias("y")))
+        # large-star: m = min over the closed neighborhood of the
+        # smaller endpoint; larger endpoints reattach to it
+        m1 = bi.groupBy("x").agg(F.min("y").alias("mn")).select(
+            "x", F.least("x", "mn").alias("m")
         )
-        labels = (
-            stepped.join(hop, stepped["comp"] == hop["cid"], "left")
-            .select(
-                stepped["id"],
-                F.coalesce("ccomp", "comp").alias("comp"),
+        ls = (
+            bi.filter(F.col("y") > F.col("x"))
+            .join(m1, "x")
+            .select(F.col("y").alias("u"), F.col("m").alias("v"))
+        )
+        # small-star: all of u's (now all-smaller) neighbors hook onto
+        # their minimum; u keeps one edge to it
+        m2 = ls.groupBy("u").agg(F.min("v").alias("mn2"))
+        nxt = (
+            ls.join(m2, "u")
+            .select(F.col("v").alias("x"), F.col("mn2").alias("y"))
+            .union(
+                m2.select(F.col("u").alias("x"), F.col("mn2").alias("y"))
             )
+            .filter(F.col("x") != F.col("y"))
+            .distinct()
             .localCheckpoint()
         )
+        stats = nxt.agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+            F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        ).first()
+        cur = (stats["c"], stats["sx"], stats["sy"])
+        if cur == prev and nxt.exceptAll(e).isEmpty() and e.exceptAll(nxt).isEmpty():
+            converged = True
+        prev = cur
+        e = nxt
     if not converged:
-        # Exhausting the loop without a fixpoint means labels stopped
-        # propagating mid-graph — returning them would silently split
-        # components (under-deduplication). With pointer jumping the
-        # reach per round is exponential, so hitting this ceiling
-        # signals genuinely pathological input, not a tuning problem.
+        # Exhausting the loop without a confirmed fixpoint means the
+        # star rewrites were still changing the graph — returning the
+        # partial state would silently split components
+        # (under-deduplication). Two-phase is O(log^2 n) rounds, so the
+        # ceiling signals genuinely pathological input, not tuning.
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
-            "(exponential-reach label propagation) — the input graph is "
+            "(two-phase alternating-star) — the input graph is "
             "pathological; raise max_iter only after inspecting it"
         )
-    return labels
+    # fixpoint edge set is a star forest: (member -> component minimum)
+    return ids.join(e, ids["id"] == e["x"], "left").select(
+        "id", F.coalesce("y", "id").alias("comp")
+    )
 
 
 def _exact_pairs(spark: SparkSession, sf_dir: str, threshold: float) -> DataFrame:

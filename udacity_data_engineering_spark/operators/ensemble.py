@@ -61,6 +61,8 @@ def _leg_frames(
     semdedup: bool,
     fail_on_drops: bool,
     lexical_pairs: DataFrame | None = None,
+    lsh_pairs: DataFrame | None = None,
+    sem_pairs: DataFrame | None = None,
 ) -> list[DataFrame]:
     """The enabled legs, each normalized to (doc_a, doc_b, method,
     jaccard, cos_sim). ``lexical_pairs`` overrides the lexical leg's
@@ -99,11 +101,16 @@ def _leg_frames(
             )
         )
     if embedding_lsh:
-        legs.append(
-            embedding_neardup_lsh(
+        lshp = (
+            lsh_pairs
+            if lsh_pairs is not None
+            else embedding_neardup_lsh(
                 embeddings, threshold=cosine_threshold,
                 fail_on_drops=fail_on_drops,
-            ).select(
+            )
+        )
+        legs.append(
+            lshp.select(
                 F.col("vec_a").alias("doc_a"),
                 F.col("vec_b").alias("doc_b"),
                 F.lit("embedding_lsh").alias("method"),
@@ -112,11 +119,16 @@ def _leg_frames(
             )
         )
     if semdedup:
-        legs.append(
-            semantic_pairs(
+        semp = (
+            sem_pairs
+            if sem_pairs is not None
+            else semantic_pairs(
                 embeddings, threshold=cosine_threshold, assigned=assigned,
                 fail_on_drops=fail_on_drops,
-            ).select(
+            )
+        )
+        legs.append(
+            semp.select(
                 F.col("vec_a").alias("doc_a"),
                 F.col("vec_b").alias("doc_b"),
                 F.lit("semdedup").alias("method"),
@@ -125,6 +137,60 @@ def _leg_frames(
             )
         )
     return legs
+
+
+#: Per-(application, sf_dir) cache of the ensemble's shared building
+#: blocks: the identical-content collapse table, verified rep-level
+#: lexical pairs, star edges, and the two embedding legs — all
+#: localCheckpointed. q_neardup_ensemble and q_ensemble_survivors run
+#: back-to-back in a bench/driver session over the SAME corpus and were
+#: each recomputing every leg (~8 s of the survivor query's round-10
+#: bench row was leg recomputation). Same FIFO eviction posture as the
+#: cached IVF index (pq._evict_put) so nothing pins storage unboundedly.
+_ENSEMBLE_STATE: dict = {}
+
+
+def cached_ensemble_state(
+    spark: SparkSession, sf_dir: str
+) -> dict[str, DataFrame]:
+    """The session's shared ensemble legs for ``sf_dir`` (default
+    thresholds — the registered queries' operating point)."""
+    from udacity_data_engineering_spark.operators.ann import (
+        cached_ivf_index,
+    )
+    from udacity_data_engineering_spark.operators.components import (
+        star_edges,
+    )
+    from udacity_data_engineering_spark.operators.pq import _evict_put
+    from udacity_data_engineering_spark.operators.similarity import (
+        content_reps,
+        fingerprint_members,
+        rep_verified_pairs,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _ENSEMBLE_STATE:
+        docs = table(spark, sf_dir, "documents")
+        emb = table(spark, sf_dir, "embeddings")
+        assigned, _ = cached_ivf_index(spark, sf_dir, emb)
+        members = fingerprint_members(docs).localCheckpoint()
+        reps = content_reps(docs, members)
+        state = {
+            "docs": docs,
+            "embeddings": emb,
+            "assigned": assigned,
+            "members": members,
+            "rep_pairs": rep_verified_pairs(reps, 0.5).localCheckpoint(),
+            "stars": star_edges(members).localCheckpoint(),
+            "lsh_pairs": embedding_neardup_lsh(
+                emb, threshold=NEARDUP_THRESHOLD
+            ).localCheckpoint(),
+            "sem_pairs": semantic_pairs(
+                emb, threshold=NEARDUP_THRESHOLD, assigned=assigned
+            ).localCheckpoint(),
+        }
+        _evict_put(_ENSEMBLE_STATE, key, state)
+    return _ENSEMBLE_STATE[key]
 
 
 def neardup_ensemble(
@@ -137,6 +203,7 @@ def neardup_ensemble(
     embedding_lsh: bool = True,
     semdedup: bool = True,
     fail_on_drops: bool = False,
+    state: dict | None = None,
 ) -> DataFrame:
     """Union of the enabled verified near-dup pair sets, one row per
     unordered pair: (doc_a, doc_b, methods, jaccard, cos_sim).
@@ -148,9 +215,21 @@ def neardup_ensemble(
     clustering for the SemDeDup leg, as q_neardup_ensemble does via the
     session's cached IVF index. Per-leg enable flags + ``fail_on_drops``
     (propagated to every enabled capped leg) are the round-7 knobs."""
+    lexical_pairs = None
+    if state is not None and lexical and docs is not None:
+        lexical_pairs = jaccard_verified_pairs(
+            docs,
+            threshold=jaccard_threshold,
+            fail_on_drops=fail_on_drops,
+            members=state["members"],
+            rep_pairs=state["rep_pairs"],
+        )
     legs = _leg_frames(
         docs, embeddings, jaccard_threshold, cosine_threshold, assigned,
         lexical, embedding_lsh, semdedup, fail_on_drops,
+        lexical_pairs=lexical_pairs,
+        lsh_pairs=state["lsh_pairs"] if state is not None else None,
+        sem_pairs=state["sem_pairs"] if state is not None else None,
     )
     out = legs[0]
     for leg in legs[1:]:
@@ -174,6 +253,7 @@ def ensemble_survivors(
     embedding_lsh: bool = True,
     semdedup: bool = True,
     fail_on_drops: bool = False,
+    state: dict | None = None,
 ) -> DataFrame:
     """The dedup DECISION over the ensemble pair graph: connected
     components across ALL enabled verified legs, keep the min-doc_id
@@ -204,16 +284,22 @@ def ensemble_survivors(
     lexical_pairs = None
     stars = None
     if lexical:
-        members = fingerprint_members(docs).localCheckpoint()
-        reps = content_reps(docs, members)
-        lexical_pairs = rep_verified_pairs(
-            reps, jaccard_threshold, fail_on_drops=fail_on_drops
-        )
-        stars = star_edges(members)
+        if state is not None:
+            lexical_pairs = state["rep_pairs"]
+            stars = state["stars"]
+        else:
+            members = fingerprint_members(docs).localCheckpoint()
+            reps = content_reps(docs, members)
+            lexical_pairs = rep_verified_pairs(
+                reps, jaccard_threshold, fail_on_drops=fail_on_drops
+            )
+            stars = star_edges(members)
     legs = _leg_frames(
         docs, embeddings, jaccard_threshold, cosine_threshold, assigned,
         lexical, embedding_lsh, semdedup, fail_on_drops,
         lexical_pairs=lexical_pairs,
+        lsh_pairs=state["lsh_pairs"] if state is not None else None,
+        sem_pairs=state["sem_pairs"] if state is not None else None,
     )
     pairs = legs[0].select("doc_a", "doc_b")
     for leg in legs[1:]:
@@ -239,12 +325,9 @@ def ensemble_survivors(
     tags=("E12", "dedup"),
 )
 def q_neardup_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from udacity_data_engineering_spark.operators.ann import cached_ivf_index
-
-    emb = table(spark, sf_dir, "embeddings")
-    assigned, _ = cached_ivf_index(spark, sf_dir, emb)
+    st = cached_ensemble_state(spark, sf_dir)
     return neardup_ensemble(
-        table(spark, sf_dir, "documents"), emb, assigned=assigned
+        st["docs"], st["embeddings"], assigned=st["assigned"], state=st
     )
 
 
@@ -263,10 +346,7 @@ def q_neardup_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("E11", "E12", "dedup"),
 )
 def q_ensemble_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from udacity_data_engineering_spark.operators.ann import cached_ivf_index
-
-    emb = table(spark, sf_dir, "embeddings")
-    assigned, _ = cached_ivf_index(spark, sf_dir, emb)
+    st = cached_ensemble_state(spark, sf_dir)
     return ensemble_survivors(
-        table(spark, sf_dir, "documents"), emb, assigned=assigned
+        st["docs"], st["embeddings"], assigned=st["assigned"], state=st
     )

@@ -754,7 +754,11 @@ def rep_verified_pairs(
 
 
 def jaccard_verified_pairs(
-    docs: DataFrame, threshold: float = 0.7, fail_on_drops: bool = False
+    docs: DataFrame,
+    threshold: float = 0.7,
+    fail_on_drops: bool = False,
+    members: DataFrame | None = None,
+    rep_pairs: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidates verified with EXACT 3-gram Jaccard —
     (doc_a, doc_b, jaccard >= threshold) over the raw corpus. The
@@ -773,9 +777,17 @@ def jaccard_verified_pairs(
     shingle sets are empty — the inverted-index join had nothing to
     count). Exact duplicates are duplicates regardless of length; the
     old behavior was the quirk."""
-    members = fingerprint_members(docs).localCheckpoint()
-    reps = content_reps(docs, members)
-    rv = rep_verified_pairs(reps, threshold, fail_on_drops=fail_on_drops)
+    # members/rep_pairs may arrive precomputed (ensemble.cached state —
+    # the collapse table and verified rep pairs are shared across the
+    # ensemble queries within a session); built here when absent
+    if members is None:
+        members = fingerprint_members(docs).localCheckpoint()
+    if rep_pairs is None:
+        reps = content_reps(docs, members)
+        rep_pairs = rep_verified_pairs(
+            reps, threshold, fail_on_drops=fail_on_drops
+        )
+    rv = rep_pairs
     ma = members.select(F.col("rep_id").alias("__ra"), F.col("doc_id").alias("__da"))
     mb = members.select(F.col("rep_id").alias("__rb"), F.col("doc_id").alias("__db"))
     inter = (
