@@ -289,6 +289,11 @@ def main() -> None:
         "q_resample_interp",
         "q_chisq_lang_source",
         "q_seasonal_anomaly",
+        # round-11 additions
+        "q_ivf_topk_exhaustive",
+        "q_lake_lifecycle",
+        "q_pagerank_persisted",
+        "q_streaming_edge_lake",
     ):
         best = float("inf")
         for _ in range(REPS):  # best-of-3, matching BASELINE.md methodology

@@ -46,6 +46,12 @@ PINNED = [
     # and batch-assignment against a model trained on an empty lake
     "q_ivfpq_topk",
     "q_kmeans_assign_new",
+    # round 11: composed lake lifecycle (file-less lake at every step),
+    # edge-lake pagerank (empty edge lake => empty-but-typed read), and
+    # the exhaustive-probe IVF (cached trainer on zero rows)
+    "q_lake_lifecycle",
+    "q_pagerank_persisted",
+    "q_ivf_topk_exhaustive",
 ]
 
 

@@ -14,22 +14,18 @@ def test_priority_list_is_exactly_the_driver_window():
 
 def test_window_covers_core_parity_and_extension_families():
     window = set(DRIVER_PRIORITY)
-    # one slot per §2A row — the r6/r7 rotations moved redundant
-    # VARIANTS out (r6: dedup_fullrow, epoch_to_ts_udf,
-    # sparkify_users/time; r7: q_project -> project_rename, q_limit ->
-    # topn, q_scan_glob -> json_schema_scan, q_parquet_roundtrip ->
-    # parquet_partitioned — each row still covered by the sibling
-    # below) to expose never-driver-checked queries; the remaining
-    # names are each row's only in-window representative and must not
-    # fall out
+    # §2A spine — the r11 debt-clearing rotation shrank the always-in
+    # parity set from 15 to 6 anchors (every rotated-out §2A name is
+    # hash-proven in 9-10 consecutive CORRECTNESS_r*.json rounds AND
+    # sweep-verified at three scales; burning window slots re-proving
+    # them starved 86 never-driver-checked provable queries). The six
+    # anchors cover scan/count, datetime+the events nanos shim, joins,
+    # the SQL entry surface, the partitioned sink, and the reference's
+    # end-to-end program — the rows a §2A regression would break first.
     for name in (
-        "q_scan_count", "q_project_rename", "q_filter_eq",
-        "q_dedup_key", "q_dateparts",
-        "q_synthetic_id_props", "q_join_multikey",
-        "q_sql_entry", "q_epoch_to_ts", "q_topn",
-        "q_json_schema_scan", "q_json_infer_scan",
-        "q_parquet_partitioned",
-        "q_sparkify_songs", "q_sparkify_songplays_nat",
+        "q_scan_count", "q_dateparts", "q_join_multikey",
+        "q_sql_entry", "q_parquet_partitioned",
+        "q_sparkify_songplays_nat",
     ):
         assert name in window, f"§2A parity query {name} fell out of the driver window"
     # at least one query per §2B family tag (E14 joined in round 5/6)
@@ -41,19 +37,21 @@ def test_window_covers_core_parity_and_extension_families():
 
 
 def test_window_oracle_coverage_never_regresses():
-    """48 of the 50 driver-window slots are hash-proven as of round 10
-    (the r10 rotation moved five driver-seen rows-only residents out);
-    the 2 remaining rows-only residents are genuinely
-    non-SQL-expressible (seeded LSH/IVF banding, exactness pinned by
-    pytest contracts instead). Adding a window query without an oracle,
-    or dropping an oracle from a window query, must be a deliberate
+    """ALL 50 driver-window slots are hash-provable as of round 11:
+    the two long-standing err=no_oracle residents (q_ivf_topk,
+    q_embedding_neardup_lsh — 10 and 9 consecutive no-information
+    driver rows) rotated out in favor of provable representatives.
+    Adding a window query without an oracle must be a deliberate
     decision — not drift."""
     qs = all_queries()
     no_oracle = {n for n in DRIVER_PRIORITY if not qs[n].oracle}
-    assert no_oracle == {
-        "q_embedding_neardup_lsh",
-        "q_ivf_topk",
-    }, f"driver-window oracle coverage changed: rows-only = {sorted(no_oracle)}"
+    assert no_oracle == set(), (
+        "driver-window oracle coverage changed: rows-only = "
+        f"{sorted(no_oracle)} — as of round 11 EVERY window slot is "
+        "hash-provable (the two err=no_oracle residents rotated out for "
+        "q_ivf_topk_exhaustive, the ANN family's exact-by-construction "
+        "representative)"
+    )
 
 
 def test_no_oracle_only_queries_registered_runnable():

@@ -563,3 +563,35 @@ def test_dq_log_totals_survive_duplicate_log_rows(spark, tmp_path):
     )
     rows = {r["check"]: r["violations"] for r in dq_log_totals(spark, log_dir).collect()}
     assert rows == {"user_id_complete": 10, "value_complete": 0}
+
+
+def test_edge_lake_gate_idempotent_under_batch_redelivery(spark, sf_dir, tmp_path):
+    """A replayed micro-batch must not double its edge deltas (the
+    append-vs-overwrite at-least-once class)."""
+    from udacity_data_engineering_spark.operators.graph import click_edges
+    from udacity_data_engineering_spark.streaming.stream_queries import (
+        edge_lake_gate,
+    )
+    from udacity_data_engineering_spark.session import table as _table
+
+    ev = _table(spark, sf_dir, "events")
+    b0 = ev.filter(F.col("user_id") % 2 == 0)
+    b1 = ev.filter(F.col("user_id") % 2 == 1)
+    lake = str(tmp_path / "edges")
+    gate = edge_lake_gate(lake)
+    gate(b0, 0)
+    gate(b0, 0)  # replay
+    gate(b1, 1)
+    gate(b1, 1)  # replay
+    got = sorted(
+        tuple(r)
+        for r in spark.read.schema(
+            "src long, dst long, n_transitions long, batch_id int"
+        )
+        .parquet(lake)
+        .groupBy("src", "dst")
+        .agg(F.sum("n_transitions").alias("n"))
+        .collect()
+    )
+    want = sorted(tuple(r) for r in click_edges(ev).collect())
+    assert got == want

@@ -350,9 +350,15 @@ def click_edge_lake(
 def read_click_edges(spark: SparkSession, lake_dir: str) -> DataFrame:
     """The merged edge view over the lake's delta files: (src, dst,
     n_transitions) with per-batch delta counts summed. Cost is one
-    groupBy over edge-table-sized (not corpus-sized) data."""
+    groupBy over edge-table-sized (not corpus-sized) data. The schema is
+    declared, not inferred: an empty bootstrap (zero edges — e.g. a
+    partition-pruned-to-empty events feed) leaves a file-less lake with
+    no parquet footer to infer from."""
     return (
-        spark.read.parquet(lake_dir)
+        spark.read.schema(
+            "src long, dst long, n_transitions long, src_part int"
+        )
+        .parquet(lake_dir)
         .groupBy("src", "dst")
         .agg(F.sum("n_transitions").alias("n_transitions"))
     )

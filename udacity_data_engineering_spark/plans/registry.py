@@ -58,113 +58,67 @@ def register(
 # after these. A name listed here but not registered is a hard error (catches
 # renames going stale).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # Round-10 rotation (continuing r6-r9's): SEVENTEEN never-driver-
-    # checked queries rotate in — the twelve post-r9-snapshot operators
-    # (pagerank + markov transitions, k-means training, MMR re-ranking,
-    # blocked fuzzy match, exact heavy hitters, SCD2 apply, lake MERGE
-    # upsert, lake snapshot diff, incremental substring dedup, streaming
-    # DQ monitor, dHash media near-dup pairs) and the five round-10
-    # operators (quality deciles + global rank on the distributed
-    # two-phase ranker, PMI pairs, per-source KL divergence, leakage-
-    # safe split). Seventeen driver-green slots whose family keeps an
-    # in-window representative rotate out (r10 out: q_date_format,
-    # q_case_when, q_salted_join, q_bm25, q_quality_classifier,
-    # q_length_bucket_batches_bpe, q_token_budget_mix_bpe,
-    # q_weighted_sample, q_minhash_dedup_survivors, q_incremental_neardup,
-    # q_incremental_neardup_simhash, q_simhash_candidates,
-    # q_simhash_survivors, q_substring_dupes, q_multimodal_resize,
-    # q_streaming_tumbling, q_hybrid_rrf — five of them rows-only, so
-    # the window's hash-proven share rises to 48/50; every rotated-out
-    # name stays sweep-verified at three scales, see SWEEP.json).
-    # --- §2A reference-parity core (relational / datetime / SQL entry) ---
-    "q_scan_count",          # 2A.6 parquet scan + 2A.22 count
-    "q_project_rename",      # 2A.7+8 projection (+rename)
-    "q_filter_eq",           # 2A.9
-    "q_dedup_key",           # 2A.10 deterministic key-subset dedup
-    "q_dateparts",           # 2A.14 + 2A.11 derived columns
-                             # (q_date_format driver-green r1-r9,
-                             # rotated out r10 — dead-import parity
-                             # stays exercised via the sweep)
-    "q_synthetic_id_props",  # 2A.12 monotonically_increasing_id
-    "q_join_multikey",       # 2A.17 3-key composite equi-join
-    "q_sql_entry",           # 2A.15/16/18 temp view + SQL + aliasing
-    "q_epoch_to_ts",         # 2A.13 builtin epoch->timestamp
-    # --- §2A sources / sinks ---
-    "q_json_schema_scan",    # 2A.4 + 2A.3 declared-schema multi-file glob
-    "q_json_infer_scan",     # 2A.5
-    "q_parquet_partitioned", # 2A.20 hive-partitioned sink + pruned re-read
-    # --- Sparkify 5-table ETL (the reference's whole program) ---
-    "q_sparkify_songs",
-    "q_sparkify_songplays_nat",  # hash-proven 3-key join
-    # --- SQL scalar surface ---
-    "q_pivot",                 # pivot aggregation (q_case_when
-                               # driver-green r8-r9, rotated out r10)
-    # --- §2B: one-two per extension family ---
-    "q_groupby_agg",           # E1
-    "q_count_distinct",        # E2
-    "q_cube",                  # E3
-    "q_topn",                  # E4 (+ 2A.21 limit)
-    "q_window_running",        # E5 running-frame windows
-    "q_setops",                # E6
-    "q_join_broadcast_agg",    # E7 (q_salted_join driver-green r6-r9,
-                               # rotated out r10 — the physical family
-                               # slot moves to q_global_rank below)
-    "q_asof_join",             # E8
-    "q_json_extract",          # E9
-    "q_charlm_by_lang",        # E10/quality per-language LM scoring
-                               # (q_bm25 driver-green r6-r9 +
-                               # q_quality_classifier r6-r9, rotated out
-                               # r10 — E10 keeps charlm + the two new
-                               # corpus-diagnostic slots below)
-    "q_bpe_token_counts",      # E10/llm-pipeline subword counting
-                               # (the _bpe budget/packing variants
-                               # driver-green r9, rotated out r10)
-    "q_dsir_mix",              # quality/sampling DSIR (q_weighted_sample
-                               # driver-green r9, rotated out r10)
-    "q_dedup_components",      # E11 connected-components labeling
-                               # (q_minhash_dedup_survivors +
-                               # both q_incremental_neardup paths
-                               # driver-seen r9 rows-only, rotated out
-                               # r10 — exactness pinned in pytest)
-    "q_substring_ranges",      # E11+ duplicated-range coalescing
-                               # (q_substring_dupes driver-green r8-r9,
-                               # rotated out r10)
-    "q_embedding_neardup_lsh", # E12 scale path (q_simhash_candidates +
-                               # q_simhash_survivors driver-seen r9
-                               # rows-only, rotated out r10)
-    "q_ivf_topk",              # ANN scale path
-    "q_session_window",        # E13
-    "q_streaming_dedup_watermark",  # E14 real availableNow stream run
-                                    # (q_streaming_tumbling driver-green
-                                    # r6-r9, rotated out r10 — stream-
-                                    # batch parity keeps the DQ monitor
-                                    # slot below; q_hybrid_rrf
-                                    # driver-green r9, rotated out —
-                                    # retrieval stays via q_ivf_topk)
-    # --- round-10 operators (never driver-checked) ---
-    "q_quality_deciles",       # corpus/ranking: exact ntile curriculum
-                               # buckets via the distributed two-phase
-                               # rank (no single-partition window)
-    "q_global_rank",           # ranking/physical: exact global
-                               # row_number, plan-asserted free of
-                               # Exchange SinglePartition
-    "q_pmi_pairs",             # E10 corpus diagnostics: PMI collocations
-    "q_source_divergence",     # E10 corpus diagnostics: per-source KL
-    "q_leakage_safe_split",    # E11/sampling: near-dup clusters never
-                               # straddle train/eval
-    # --- post-r9-snapshot operators (never driver-checked) ---
-    "q_pagerank",              # graph: hash-proven PageRank
-    "q_markov_transitions",    # graph: click-edge Markov transitions
-    "q_kmeans_train",          # embeddings: Lloyd's k-means training
-    "q_mmr_rerank",            # embeddings: MMR diversified re-ranking
-    "q_fuzzy_match",           # entity resolution: blocked edit-distance
-    "q_heavy_hitters",         # exact heavy hitters (two-pass)
-    "q_scd2_apply",            # warehouse: SCD2 incremental apply
-    "q_merge_upsert",          # lake MERGE upsert
-    "q_lake_diff",             # lake snapshot diff
-    "q_incremental_substring", # E11+ batch-vs-lake substring dedup
-    "q_streaming_dq_monitor",  # E14 streaming data-quality monitor
-    "q_multimodal_dhash_pairs",  # E15 byte-raster dHash media near-dup
+    # Round-11 rotation — the debt-clearing round: 38 never-driver-
+    # checked SQL-oracled queries rotate in at once (r10 verdict: 86
+    # provable names were waiting outside the window while green slots
+    # re-proved themselves; at 17/round that was ~6 rounds of debt).
+    # Both err=no_oracle residents (q_ivf_topk, q_embedding_neardup_lsh)
+    # rotate out for the ANN family's PROVABLE representative
+    # (q_ivf_topk_exhaustive: nprobe=k makes IVF exact). The spine that
+    # stays: six SS2A parity anchors, the E2/E4 anchors with no
+    # never-checked oracled siblings, and q_streaming_dq_monitor, which
+    # MUST re-prove its round-11 idempotent-log fix. Every rotated-out
+    # name remains sweep-verified at three scales (SWEEP.json).
+    "q_scan_count",  # 2A.6 parquet scan + 2A.22 count
+    "q_dateparts",  # 2A.14/11/13 datetime parts + events nanos shim
+    "q_join_multikey",  # 2A.17 3-key composite equi-join
+    "q_sql_entry",  # 2A.15/16/18 temp view + SQL + aliasing
+    "q_parquet_partitioned",  # 2A.20 hive sink + pruned re-read
+    "q_sparkify_songplays_nat",  # the reference's whole program, hash-proven
+    "q_count_distinct",  # E2 (no never-checked oracled sibling)
+    "q_topn",  # E4 + 2A.21 (no never-checked oracled sibling)
+    "q_streaming_dq_monitor",  # r10's one red: idempotent log RE-PROOF
+    "q_ivf_topk_exhaustive",  # NEW r11: nprobe=k exact IVF vs brute oracle
+    "q_lake_lifecycle",  # NEW r11: composed upsert+delete+TTL+diff
+    "q_pagerank_persisted",  # NEW r11: pagerank off the click-edge lake
+    "q_substring_scrub",  # E11+ scrub
+    "q_range_join_binned",  # E8+ grid-binned band join
+    "q_merge_delete",  # lake GDPR delete
+    "q_retention_expire",  # lake partition TTL
+    "q_dq_checks",  # declarative DQ gate
+    "q_skew_report",  # E1/E7 skew diagnosis
+    "q_streaming_lake_upsert",  # E14 idempotent MERGE sink
+    "q_streaming_stream_join",  # E14 stream-stream interval join
+    "q_streaming_static_join",  # E14 stream-static join
+    "q_resample_ffill",  # E8/E13 grid resample + ffill
+    "q_resample_interp",  # E8/E13 linear interpolation
+    "q_robust_outliers",  # median/MAD robust z
+    "q_negative_samples",  # deterministic negative sampling
+    "q_kmeans_assign_new",  # incremental k-means assignment
+    "q_chisq_lang_source",  # chi-square independence cells
+    "q_seasonal_anomaly",  # seasonal residual anomaly
+    "q_variant_extract",  # E9 VARIANT path extraction
+    "q_lateral_join",  # LATERAL correlated join
+    "q_json_construct",  # E9 JSON construction
+    "q_try_funcs",  # try_* error-safe scalar surface
+    "q_multimodal_frames",  # E15 frame sampling
+    "q_multimodal_frame_dedup",  # E15 frame-level dedup
+    "q_udtf_ngrams",  # Python UDTF surface
+    "q_pandas_udaf_median",  # Arrow UDAF surface
+    "q_window_navigation",  # E5 lead/lag/first/last
+    "q_window_range_frame",  # E5 RANGE frames
+    "q_percentiles",  # exact percentile aggregates
+    "q_gap_sessionize",  # E13 gaps-and-islands sessionization
+    "q_tfidf",  # E10 tf-idf
+    "q_lang_id",  # E10 n-gram language id
+    "q_train_val_split",  # leakage-free hash split
+    "q_decontaminate",  # eval-contamination scrub
+    "q_stratified_fixed_k",  # per-stratum fixed-k sample
+    "q_schema_evolution",  # lake schema evolution
+    "q_python_datasource",  # Python DataSource API
+    "q_grouping_sets",  # E3 GROUPING SETS
+    "q_union_missing_cols",  # E6 union by name
+    "q_zorder_layout",  # physical: z-order layout
 )
 
 

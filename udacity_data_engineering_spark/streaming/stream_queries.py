@@ -305,6 +305,33 @@ def q_streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def lake_upsert_gate(lake_dir: str) -> "callable":
+    """foreachBatch sink: per-batch key-dedup then MERGE upsert into the
+    hive-partitioned lake — idempotent under at-least-once delivery
+    (a replayed batch re-MERGEs the same keys to the same values).
+    Module-level so the task-retry chaos suite drives the exact
+    production sink, not a copy."""
+    from udacity_data_engineering_spark.sources.lake import merge_upsert
+
+    def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.dropDuplicates(["event_id"])
+        if not os.path.isdir(lake_dir):
+            # bootstrap: first batch creates the lake layout
+            batch.repartition("event_type").write.partitionBy(
+                "event_type"
+            ).parquet(lake_dir)
+        else:
+            merge_upsert(
+                batch_df.sparkSession,
+                lake_dir,
+                batch,
+                ["event_id"],
+                "event_type",
+            )
+
+    return upsert_batch
+
+
 @register(
     "q_streaming_lake_upsert",
     oracle="""
@@ -324,8 +351,6 @@ def q_streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("E14", "streaming", "sources"),
 )
 def q_streaming_lake_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from udacity_data_engineering_spark.sources.lake import merge_upsert
-
     ev = table(spark, sf_dir, "events")
     feed = ev.unionAll(ev.where(F.col("event_id") % 7 == 0))
 
@@ -335,25 +360,9 @@ def q_streaming_lake_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     lake_dir = os.path.join(tmp, "lake")
     feed.coalesce(4).write.mode("overwrite").parquet(feed_dir)
 
-    def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch = batch_df.dropDuplicates(["event_id"])
-        if not os.path.isdir(lake_dir):
-            # bootstrap: first batch creates the lake layout
-            batch.repartition("event_type").write.partitionBy(
-                "event_type"
-            ).parquet(lake_dir)
-        else:
-            merge_upsert(
-                batch_df.sparkSession,
-                lake_dir,
-                batch,
-                ["event_id"],
-                "event_type",
-            )
-
     q = (
         stream_events(spark, feed_dir, max_files_per_trigger=1)
-        .writeStream.foreachBatch(upsert_batch)
+        .writeStream.foreachBatch(lake_upsert_gate(lake_dir))
         .option("checkpointLocation", os.path.join(tmp, "ckpt"))
         .trigger(availableNow=True)
         .start()
@@ -507,5 +516,97 @@ def q_streaming_dq_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
 
     out = dq_log_totals(spark, log_dir).localCheckpoint(eager=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def edge_lake_gate(lake_dir: str) -> "callable":
+    """foreachBatch sink: extract the micro-batch's click-graph edge
+    deltas and persist them to the edge lake — IDEMPOTENTLY, each batch
+    overwriting its own ``lake_dir/batch_id=N`` directory (the same
+    at-least-once posture as dq_log_gate; a bare delta APPEND would
+    double-count a replayed batch, the round-10 DQ-monitor bug class).
+
+    Batch contract (click_edge_lake's): each micro-batch must carry
+    WHOLE user streams — an edge is a consecutive pair within one
+    user's stream, so a stream split mid-user would drop the boundary
+    transition. The streaming feed must therefore be partitioned by
+    user, which q_streaming_edge_lake arranges by staging one file per
+    user-hash bucket."""
+    from udacity_data_engineering_spark.operators.graph import click_edges
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        click_edges(batch_df).write.mode("overwrite").parquet(
+            os.path.join(lake_dir, f"batch_id={batch_id}")
+        )
+
+    return gate
+
+
+@register(
+    "q_streaming_edge_lake",
+    oracle="""
+        WITH ev AS (
+            SELECT user_id, ts, event_id,
+                   CAST(props ->> 'k' AS BIGINT) AS page
+            FROM events
+        ), raw AS (
+            SELECT lag(page) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS src,
+                   page AS dst
+            FROM ev
+        )
+        SELECT src, dst, count(*) AS n_transitions
+        FROM raw WHERE src IS NOT NULL
+        GROUP BY src, dst
+        ORDER BY src, dst
+    """,
+    doc="E14/graph: STREAMING click-edge lake ingestion — the events "
+    "feed staged as one file per user-hash bucket (whole user streams "
+    "per micro-batch, the edge-extraction batch contract), consumed "
+    "maxFilesPerTrigger=1, each batch's edge DELTAS written idempotently "
+    "to batch_id=N (overwrite-on-replay, never append — the at-least-"
+    "once lesson the round-10 DQ flake taught), then the merged lake "
+    "view summed per (src, dst). Edges never cross users, so the "
+    "streamed delta sum hash-proves against the SAME whole-table "
+    "extraction oracle as q_click_edges — incremental graph ingest as "
+    "a driver-checked fact. This is the ingest leg that feeds "
+    "q_pagerank_persisted's read_click_edges at 100 TB: extraction "
+    "happens once per ingest batch, downstream centrality queries "
+    "never rescan raw events.",
+    tags=("E14", "streaming", "graph", "llm-pipeline"),
+)
+def q_streaming_edge_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+
+    run_id = uuid.uuid4().hex[:12]
+    tmp = tempfile.mkdtemp(prefix=f"stream_edges_{run_id}_")
+    feed_dir = os.path.join(tmp, "feed")
+    lake_dir = os.path.join(tmp, "edge_lake")
+    # hash-partition by user => every user's whole stream in ONE file,
+    # so each micro-batch satisfies the edge-extraction batch contract
+    ev.repartition(4, F.pmod(F.col("user_id"), F.lit(4))).write.mode(
+        "overwrite"
+    ).parquet(feed_dir)
+
+    q = (
+        stream_events(spark, feed_dir, max_files_per_trigger=1)
+        .writeStream.foreachBatch(edge_lake_gate(lake_dir))
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    lake = spark.read.schema(
+        "src long, dst long, n_transitions long, batch_id int"
+    ).parquet(lake_dir)
+    out = (
+        lake.groupBy("src", "dst")
+        .agg(F.sum("n_transitions").alias("n_transitions"))
+        .orderBy("src", "dst")
+        .localCheckpoint(eager=True)
+    )
     shutil.rmtree(tmp, ignore_errors=True)
     return out
