@@ -294,6 +294,7 @@ def main() -> None:
         "q_lake_lifecycle",
         "q_pagerank_persisted",
         "q_streaming_edge_lake",
+        "q_edge_lake_compacted",
     ):
         best = float("inf")
         for _ in range(REPS):  # best-of-3, matching BASELINE.md methodology

@@ -161,3 +161,29 @@ def test_pagerank_persisted_matches_reextracting(spark, sf_dir, tmp_path, monkey
         tuple(r) for r in m["q_pagerank_persisted"].fn(spark, sf_dir).collect()
     )
     assert a == b
+
+
+def test_edge_lake_compaction_shrinks_files_preserves_view(spark, sf_dir, tmp_path):
+    from udacity_data_engineering_spark.operators.graph import (
+        click_edge_lake,
+        compact_edge_lake,
+        read_click_edges,
+    )
+    from udacity_data_engineering_spark.session import table as _table
+
+    ev = _table(spark, sf_dir, "events")
+    lake = str(tmp_path / "edges")
+    click_edge_lake(spark, lake, ev.filter(F.col("user_id") % 4 == 0))
+    for k in (1, 2, 3):
+        click_edge_lake(
+            spark, lake, ev.filter(F.col("user_id") % 4 == k), append=True
+        )
+    before = sorted(tuple(r) for r in read_click_edges(spark, lake).collect())
+    stats = compact_edge_lake(spark, lake)
+    after = sorted(tuple(r) for r in read_click_edges(spark, lake).collect())
+    assert after == before  # the merged VIEW is untouched
+    # four append batches -> >= 4 delta files somewhere; compaction
+    # leaves exactly <= 1 file per partition and <= true edge count rows
+    assert stats["files_after"] < stats["files_before"]
+    assert stats["rows_after"] <= stats["rows_before"]
+    assert stats["rows_after"] == len(after)
