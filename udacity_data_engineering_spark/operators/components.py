@@ -88,15 +88,22 @@ def connected_components(
     round bound means hitting 25 signals pathological input (measured:
     mixed star/chain ensemble graph 6, a pure 199-edge path 9).
     """
-    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # Materialize the raw edge projection ONCE: both the vertex set and
+    # the canonical edge set derive from it, and the upstream pipeline
+    # that produced the edges (for the survivor paths, the whole
+    # candidates+verify DAG) must never execute twice (round-11 bench
+    # regression: a second lineage execution doubled q_leakage_safe_split).
+    sym = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).localCheckpoint()
     # every vertex that appears anywhere must come out labeled, even if
-    # star collapses remove all its edges (or it only had self-loops)
+    # star collapses remove all its edges (or it only had self-loops);
+    # derived lazily from the materialized sym — edge-sized, cheap
     ids = (
         sym.select("a")
         .union(sym.select(F.col("b").alias("a")))
         .distinct()
         .select(F.col("a").alias("id"))
-        .localCheckpoint()
     )
     e = (
         sym.filter(F.col("a") != F.col("b"))
