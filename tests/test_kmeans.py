@@ -113,3 +113,22 @@ def test_kmeans_assign_empty_model(spark):
     out = kmeans_assign(emb, [])
     assert out.count() == 0
     assert out.columns == ["vec_id", "cluster"]
+
+
+def test_kmeans_drops_null_embeddings(spark):
+    """Null embeddings (routine upstream-extractor dirt) must be dropped,
+    never reach the Arrow kernel's np.stack (round-11 nulls probe)."""
+    from udacity_data_engineering_spark.operators.kmeans import (
+        kmeans_assign,
+        kmeans_train,
+    )
+
+    rows = [(i, [float(i % 4), float(i % 3)]) for i in range(20)]
+    rows += [(100, None), (101, None)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assigned, centers = kmeans_train(emb, k=3, iters=2)
+    got = assigned.collect()
+    assert len(got) == 20  # the two null rows dropped
+    assert {r.vec_id for r in got} == set(range(20))
+    out = kmeans_assign(emb, centers)
+    assert out.count() == 20

@@ -80,10 +80,18 @@ def kmeans_train(
     assignment pass; the update is a JVM-side posexplode + groupBy
     (cluster, dim) partial aggregate — k·dim result cells, corpus-sized
     scan, no corpus shuffle beyond the k·dim aggregation."""
-    e = emb.select(
-        F.col(id_col).alias(id_col),
-        F.col(vec_col).cast("array<double>").alias("v"),
-    ).localCheckpoint()
+    # null embeddings cannot be clustered and would crash the Arrow
+    # kernel's np.stack (the round-5 null-input class, re-found by the
+    # round-11 nulls probe) — drop them, matching every other embedding
+    # consumer (knn/ann/semdedup)
+    e = (
+        emb.filter(F.col(vec_col).isNotNull())
+        .select(
+            F.col(id_col).alias(id_col),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .localCheckpoint()
+    )
 
     init_rows = e.orderBy(id_col).limit(k).collect()
     centers = [list(r.v) for r in init_rows]
@@ -187,7 +195,7 @@ def kmeans_assign(
     re-running Lloyd). One Arrow-batched map pass, no shuffle, model
     broadcast as a task-closure constant; ties take the lowest
     centroid id, identical to training-time assignment."""
-    e = batch.select(
+    e = batch.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
