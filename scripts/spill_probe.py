@@ -106,6 +106,18 @@ def main() -> int:
         n = thunk()
         results[name] = round(time.time() - t0, 1)
         print(f"done {name}: {n} rows in {results[name]}s", flush=True)
+        # release the previous shape's localCheckpoint blocks before the
+        # next one starts: the ContextCleaner frees them only after a
+        # driver GC notices the dropped references, and under a
+        # deliberately tiny heap the ASYNC cleanup can lose the race
+        # against the next shape's allocation burst (round-11: the scrub
+        # shape OOM'd in the full sequence but passes in isolation).
+        # A real cluster GCs its executors continuously; the probe's
+        # single shared JVM needs the nudge to model that.
+        import gc
+
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
 
     # the two heaviest declared pipelines, exactly as the driver runs them
     run("q_minhash_dedup_survivors", lambda: len(manifest["q_minhash_dedup_survivors"].fn(spark, SF_DIR).collect()))
