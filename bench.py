@@ -295,6 +295,7 @@ def main() -> None:
         "q_pagerank_persisted",
         "q_streaming_edge_lake",
         "q_edge_lake_compacted",
+        "q_kmeans_update",
     ):
         best = float("inf")
         for _ in range(REPS):  # best-of-3, matching BASELINE.md methodology

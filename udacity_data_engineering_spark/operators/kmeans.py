@@ -277,3 +277,150 @@ def q_kmeans_assign_new(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, centers = kmeans_train(emb.filter(F.col("vec_id") % 2 == 0))
     batch = emb.filter(F.col("vec_id") % 2 == 1)
     return kmeans_assign(batch, centers).orderBy("vec_id")
+
+
+def kmeans_update(
+    batch: DataFrame,
+    centers: list[list[float]],
+    counts: dict[int, int],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Count-weighted mini-batch centroid REFRESH — the third leg of the
+    clustering family (train once / assign each batch / update the model
+    on a schedule, never re-running Lloyd over the lake):
+
+        new_c = (n_c * old_c + sum(batch members of c)) / (n_c + m_c)
+
+    ``counts`` carries the per-center lake sizes n_c (from the lake's
+    assignment under the current model); a center that receives no batch
+    members keeps its value, so the update is a no-op on empty batches.
+    This is exactly the sufficient-statistics form of streaming k-means
+    (the sum and count per center are additive across batches).
+
+    Cost: one Arrow assignment pass over the BATCH + one (cluster, dim)
+    partial aggregate — k x dim result cells, the driver-sized model
+    posture shared with training; the lake is never rescanned. Returns
+    the updated centers (driver-side model, like ``kmeans_train``).
+    """
+    assigned = kmeans_assign(batch, centers, id_col=id_col, vec_col=vec_col)
+    e = batch.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    cells = (
+        assigned.join(e, id_col)
+        .select("cluster", F.posexplode("v").alias("pos", "val"))
+        .groupBy("cluster", "pos")
+        .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("m"))
+        .collect()
+    )
+    by_cluster: dict[int, dict[int, tuple[float, int]]] = {}
+    for r in cells:
+        by_cluster.setdefault(r.cluster, {})[r.pos] = (r.s, r.m)
+    out = []
+    for c, old in enumerate(centers):
+        cell = by_cluster.get(c)
+        n = counts.get(c, 0)
+        if not cell:
+            out.append(list(old))
+            continue
+        out.append(
+            [
+                (n * old[p] + cell[p][0]) / (n + cell[p][1])
+                for p in range(len(old))
+            ]
+        )
+    return out
+
+
+def _kmeans_update_oracle(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
+    """Training replay (the _kmeans_assign_oracle head), then the
+    count-weighted update arithmetic over the odd-id batch."""
+    head = _kmeans_assign_oracle(k, iters)
+    # reuse everything up to (not including) the final SELECT
+    head = head[: head.index(", batch AS (")]
+    tail = f""", lakeassign AS (
+            SELECT vec_id, cid FROM (
+                SELECT e.vec_id, c.cid,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY list_distance(e.v, c.v), c.cid
+                       ) AS rn
+                FROM e CROSS JOIN c{iters} c
+            ) WHERE rn = 1
+        ), ncnt AS (
+            SELECT cid, count(*) AS n FROM lakeassign GROUP BY cid
+        ), batch AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            WHERE vec_id % 2 = 1
+        ), bassign AS (
+            SELECT vec_id, cid FROM (
+                SELECT b.vec_id, c.cid,
+                       row_number() OVER (
+                           PARTITION BY b.vec_id
+                           ORDER BY list_distance(b.v, c.v), c.cid
+                       ) AS rn
+                FROM batch b CROSS JOIN c{iters} c
+            ) WHERE rn = 1
+        ), bsum AS (
+            SELECT cid, idx, sum(val) AS s, count(*) AS m FROM (
+                SELECT a.cid, generate_subscripts(b.v, 1) AS idx,
+                       unnest(b.v) AS val
+                FROM bassign a JOIN batch b USING (vec_id)
+            ) GROUP BY cid, idx
+        ), oldc AS (
+            SELECT cid, generate_subscripts(v, 1) AS idx, unnest(v) AS val
+            FROM c{iters}
+        )
+        SELECT o.cid AS cluster, CAST(o.idx - 1 AS INT) AS pos,
+               round(CASE
+                   WHEN b.s IS NULL THEN o.val
+                   ELSE (coalesce(n.n, 0) * o.val + b.s)
+                        / (coalesce(n.n, 0) + b.m)
+               END, 6) AS centroid
+        FROM oldc o
+        LEFT JOIN ncnt n ON n.cid = o.cid
+        LEFT JOIN bsum b ON b.cid = o.cid AND b.idx = o.idx
+        ORDER BY cluster, pos"""
+    return head + tail
+
+
+@register(
+    "q_kmeans_update",
+    oracle=_kmeans_update_oracle(),
+    doc="Mini-batch centroid REFRESH: train Lloyd's on the even-id half "
+    "(the lake), take the lake's per-center sizes under the final model, "
+    "then fold the odd-id batch in with the count-weighted streaming "
+    "update new_c = (n_c*old_c + sum(batch_c)) / (n_c + m_c) — the "
+    "model-maintenance cadence that keeps IVF lists / SemDeDup clusters "
+    "current without ever re-running Lloyd over the lake. Sufficient "
+    "statistics are additive, so batches fold in any grouping. "
+    "Hash-proven end to end: the oracle replays training as unrolled "
+    "CTEs and recomputes the same update arithmetic.",
+    tags=("E12", "embeddings", "llm-pipeline"),
+)
+def q_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    lake = emb.filter(F.col("vec_id") % 2 == 0)
+    _, centers = kmeans_train(lake)
+    if not centers:
+        return spark.createDataFrame(
+            [], "cluster int, pos int, centroid double"
+        )
+    lake_sizes = {
+        r.cluster: r.n
+        for r in kmeans_assign(lake, centers)
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    batch = emb.filter(F.col("vec_id") % 2 == 1)
+    updated = kmeans_update(batch, centers, lake_sizes)
+    rows = [
+        (c, p, v)
+        for c, vec in enumerate(updated)
+        for p, v in enumerate(vec)
+    ]
+    return spark.createDataFrame(
+        rows, "cluster int, pos int, centroid double"
+    ).select("cluster", "pos", F.round("centroid", 6).alias("centroid"))
