@@ -595,3 +595,75 @@ def test_edge_lake_gate_idempotent_under_batch_redelivery(spark, sf_dir, tmp_pat
     )
     want = sorted(tuple(r) for r in click_edges(ev).collect())
     assert got == want
+
+
+def test_edge_lake_stream_restart_does_not_double_count(spark, tmp_path):
+    """Checkpoint-resume across two runs of the edge-lake ingest stream:
+    run 1 consumes the initial user-bucketed feed; run 2 (same
+    checkpoint) sees one NEW file and must process ONLY it — the merged
+    lake equals whole-table extraction over all files, nothing counted
+    twice."""
+    import os as _os
+    import time as _time
+
+    from udacity_data_engineering_spark.operators.graph import click_edges
+    from udacity_data_engineering_spark.streaming.event_stream import (
+        stream_events,
+    )
+    from udacity_data_engineering_spark.streaming.stream_queries import (
+        edge_lake_gate,
+    )
+
+    feed = str(tmp_path / "feed")
+    _os.makedirs(feed)
+    lake = str(tmp_path / "lake")
+    ckpt = str(tmp_path / "ckpt")
+    base = _time.time() - 3600
+    # whole user streams per file (the batch contract): users 1 and 2
+    rows_u1 = [(i, f"2025-01-01 10:{i:02d}:00", 1, "view", 1.0) for i in range(5)]
+    rows_u2 = [(10 + i, f"2025-01-01 11:{i:02d}:00", 2, "view", 1.0) for i in range(4)]
+    f1 = _events(spark, rows_u1).withColumn(
+        "props", F.format_string('{"k": %d}', F.col("event_id") % 3)
+    )
+    f2 = _events(spark, rows_u2).withColumn(
+        "props", F.format_string('{"k": %d}', F.col("event_id") % 3)
+    )
+    _add_file(f1, feed, "u1", base)
+    _add_file(f2, feed, "u2", base + 60)
+
+    def run():
+        q = (
+            stream_events(spark, feed, max_files_per_trigger=1)
+            .writeStream.foreachBatch(edge_lake_gate(lake))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return q.recentProgress
+
+    first = run()
+    n1 = max(p["batchId"] for p in first) + 1
+    # "restart": same checkpoint, one new whole-user file
+    rows_u3 = [(20 + i, f"2025-01-01 12:{i:02d}:00", 3, "view", 1.0) for i in range(3)]
+    f3 = _events(spark, rows_u3).withColumn(
+        "props", F.format_string('{"k": %d}', F.col("event_id") % 3)
+    )
+    _add_file(f3, feed, "u3", base + 120)
+    second = run()
+    assert min(p["batchId"] for p in second) == n1  # batch ids continue
+    assert sum(p["numInputRows"] for p in second) == 3  # only the new file
+
+    got = sorted(
+        tuple(r)
+        for r in spark.read.schema(
+            "src long, dst long, n_transitions long, batch_id int"
+        )
+        .parquet(lake)
+        .groupBy("src", "dst")
+        .agg(F.sum("n_transitions").alias("n"))
+        .collect()
+    )
+    all_events = f1.unionByName(f2).unionByName(f3)
+    want = sorted(tuple(r) for r in click_edges(all_events).collect())
+    assert got == want
