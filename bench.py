@@ -296,6 +296,7 @@ def main() -> None:
         "q_streaming_edge_lake",
         "q_edge_lake_compacted",
         "q_kmeans_update",
+        "q_dq_observed_write",
     ):
         best = float("inf")
         for _ in range(REPS):  # best-of-3, matching BASELINE.md methodology

@@ -148,3 +148,90 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         pk="o_orderkey",
     )
     return single.unionByName(ref)
+
+
+def observed_write(
+    df: DataFrame,
+    path: str,
+    predicates: list[tuple[str, F.Column]],
+    fmt: str = "parquet",
+) -> DataFrame:
+    """Write ``df`` while collecting DQ violation metrics IN THE SAME
+    JOB via the Observation API — the zero-extra-pass monitoring shape:
+    ``check_suite`` costs one dedicated scan; ``df.observe(...)``
+    piggybacks the conditional aggregates onto the write's own pass, so
+    a 100 TB promotion job gets its quality report for free.
+
+    Returns the (check, violations, passed) report frame (tiny,
+    driver-built from the observed metrics after the write completes).
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    aggs = [
+        F.coalesce(F.sum(F.when(cond, 1).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias(name)
+        for name, cond in predicates
+    ]
+    df.observe(obs, *aggs).write.mode("overwrite").format(fmt).save(path)
+    got = obs.get  # blocks until the action's metrics arrive
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(name, got[name], got[name] == 0) for name, _ in predicates],
+        "check string, violations long, passed boolean",
+    )
+
+
+@register(
+    "q_dq_observed_write",
+    oracle="""
+        SELECT 'custkey_complete' AS check,
+               sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS violations,
+               sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) = 0 AS passed
+        FROM orders
+        UNION ALL
+        SELECT 'totalprice_positive',
+               sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END),
+               sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) = 0
+        FROM orders
+        UNION ALL
+        SELECT 'priority_domain',
+               sum(CASE WHEN o_orderpriority NOT IN
+                   ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW')
+                   THEN 1 ELSE 0 END),
+               sum(CASE WHEN o_orderpriority NOT IN
+                   ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW')
+                   THEN 1 ELSE 0 END) = 0
+        FROM orders
+    """,
+    doc="DQ metrics collected DURING the write via df.observe (the "
+    "Observation API): the orders table is written to the lake and its "
+    "completeness / positivity / domain violation counts arrive as "
+    "observed metrics of the write job itself — zero extra scans, the "
+    "pattern that makes per-promotion quality reports free at 100 TB "
+    "(check_suite's dedicated-scan shape remains for gate-without-write "
+    "uses). Hash-proven: DuckDB recomputes the same three aggregates.",
+    tags=("E1", "sql-surface", "llm-pipeline"),
+)
+def q_dq_observed_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from udacity_data_engineering_spark.sources.parquet_source import (
+        scratch_dir,
+    )
+
+    orders = table(spark, sf_dir, "orders")
+    return observed_write(
+        orders,
+        scratch_dir("dq_observed_out"),
+        predicates=[
+            ("custkey_complete", F.col("o_custkey").isNull()),
+            ("totalprice_positive", F.col("o_totalprice") <= 0),
+            (
+                "priority_domain",
+                ~F.col("o_orderpriority").isin(
+                    "1-URGENT", "2-HIGH", "3-MEDIUM",
+                    "4-NOT SPECIFIED", "5-LOW",
+                ),
+            ),
+        ],
+    )
