@@ -120,6 +120,26 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_union_missing_cols",  # E6 union by name
     "q_zorder_layout",  # physical: z-order layout
 )
+# Round-12 rotation queue (computed at the end of round 11, assuming the
+# r11 window lands green): 52 SQL-oracled names remain never-driver-
+# checked — q_streaming_edge_lake, q_edge_lake_compacted, q_kmeans_update,
+# q_dq_observed_write (the r11 additions that missed the frozen window),
+# the sql_surface tail (q_cte, q_in_subquery, q_scalar_subquery,
+# q_correlated_subquery, q_having, q_conditional_agg, q_minmax_by,
+# q_array_funcs, q_map_funcs, q_regex_funcs, q_date_arithmetic,
+# q_higher_order_funcs, q_posexplode, q_unpivot, q_string_agg,
+# q_stats_agg, q_histogram, q_count), the text/quality tail (q_doc_stats,
+# q_doc_quality, q_lang_dist, q_token_count_regex, q_token_entropy,
+# q_top_tokens_per_lang, q_text_normalize, q_text_scrub, q_rolling_hash,
+# q_repetition_filter, q_length_outliers, q_profile, q_group_zscore,
+# q_charlm_lang_filter, q_quality_ensemble, q_doc_chunks_bpe), sampling
+# (q_epoch_upsample, q_source_caps, q_shuffle_order), multimodal
+# (q_multimodal_audio, q_multimodal_dedup, q_multimodal_shared_frames),
+# sources/layout (q_textfile_parse, q_xml_roundtrip, q_sorted_layout),
+# embeddings (q_embedding_quantize, q_embedding_neardup), analytics
+# (q_funnel, q_retention_cohorts, q_click_edges). At ~40/round the debt
+# clears in round 12 with ~12 spine slots to spare; 11 rows-only names
+# stay sweep+pytest-verified by design.
 
 
 def all_queries() -> dict[str, Query]:
