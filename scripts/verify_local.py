@@ -29,7 +29,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 from udacity_data_engineering_spark.plans.registry import all_queries
 from udacity_data_engineering_spark.session import TABLES, build_session
-from udacity_data_engineering_spark.testing import compare
+from udacity_data_engineering_spark.testing import compare, oracle_type_problems
 
 
 def main() -> int:
@@ -87,14 +87,18 @@ def main() -> int:
                 print(f"FAIL {name}: rows-only query returned 0 rows")
             continue
         try:
-            res = con.execute(q.oracle)
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            rel = con.sql(q.oracle)
+            ocols = rel.columns
+            # Type gate BEFORE values: DuckDB fetchall() flattens HUGEINT
+            # to int, so a repr compare passes queries the driver's typed
+            # hash fails (r10/r11 failure class). Reject at the schema.
+            problems = oracle_type_problems(ocols, rel.types)
+            orows = rel.fetchall()
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: duckdb error: {type(e).__name__}: {e}")
             continue
-        problems = compare(srows, scols, orows, ocols)
+        problems += compare(srows, scols, orows, ocols)
         if problems:
             failures.append(name)
             print(f"FAIL {name}: " + "; ".join(problems))

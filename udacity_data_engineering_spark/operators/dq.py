@@ -87,31 +87,35 @@ def referential_check(
     "q_dq_checks",
     oracle="""
         SELECT 'orders_key_unique' AS check,
-               count(*) - count(DISTINCT o_orderkey) AS violations,
+               CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+                   AS violations,
                count(*) - count(DISTINCT o_orderkey) = 0 AS passed
         FROM orders
         UNION ALL
         SELECT 'orders_custkey_complete',
-               sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+               CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT),
                sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) = 0
         FROM orders
         UNION ALL
         SELECT 'orders_totalprice_positive',
-               sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END),
+               CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+                    AS BIGINT),
                sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) = 0
         FROM orders
         UNION ALL
         SELECT 'orders_status_domain',
-               sum(CASE WHEN o_orderstatus NOT IN ('O','F','P')
-                        THEN 1 ELSE 0 END),
+               CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                        THEN 1 ELSE 0 END) AS BIGINT),
                sum(CASE WHEN o_orderstatus NOT IN ('O','F','P')
                         THEN 1 ELSE 0 END) = 0
         FROM orders
         UNION ALL
         SELECT 'lineitem_orderkey_refs_orders',
-               (SELECT count(*) FROM lineitem l
+               CAST((SELECT count(*) FROM lineitem l
                 WHERE NOT EXISTS (SELECT 1 FROM orders o
-                                  WHERE o.o_orderkey = l.l_orderkey)),
+                                  WHERE o.o_orderkey = l.l_orderkey))
+                    AS BIGINT),
                (SELECT count(*) FROM lineitem l
                 WHERE NOT EXISTS (SELECT 1 FROM orders o
                                   WHERE o.o_orderkey = l.l_orderkey)) = 0
@@ -187,19 +191,21 @@ def observed_write(
     "q_dq_observed_write",
     oracle="""
         SELECT 'custkey_complete' AS check,
-               sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS violations,
+               CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS violations,
                sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) = 0 AS passed
         FROM orders
         UNION ALL
         SELECT 'totalprice_positive',
-               sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END),
+               CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+                    AS BIGINT),
                sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) = 0
         FROM orders
         UNION ALL
         SELECT 'priority_domain',
-               sum(CASE WHEN o_orderpriority NOT IN
+               CAST(sum(CASE WHEN o_orderpriority NOT IN
                    ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW')
-                   THEN 1 ELSE 0 END),
+                   THEN 1 ELSE 0 END) AS BIGINT),
                sum(CASE WHEN o_orderpriority NOT IN
                    ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW')
                    THEN 1 ELSE 0 END) = 0

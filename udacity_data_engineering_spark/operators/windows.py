@@ -143,10 +143,14 @@ def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ), sess AS (
+            -- sid only feeds GROUP BY, but cast anyway: DuckDB windowed
+            -- sum() widens to HUGEINT and one refactor away from the
+            -- output column it would hash-fail the driver (VERDICT r11).
             SELECT user_id, ts,
-                   sum(new_sess) OVER (
+                   CAST(sum(new_sess) OVER (
                        PARTITION BY user_id ORDER BY ts
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS sid
             FROM flagged
         )
         SELECT user_id, min(ts) AS session_start, count(*) AS n_events
@@ -181,10 +185,10 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         )
         SELECT event_id, user_id, ts,
-               sum(new_sess) OVER (
+               CAST(sum(new_sess) OVER (
                    PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-               ) AS session_seq
+               ) AS BIGINT) AS session_seq
         FROM flagged
     """,
     doc="Gaps-and-islands sessionization: assigns each EVENT its session "

@@ -448,17 +448,20 @@ def dq_log_totals(spark: SparkSession, log_dir: str) -> DataFrame:
     "q_streaming_dq_monitor",
     oracle="""
         SELECT 'user_id_complete' AS check,
-               sum(CASE WHEN event_id % 13 = 0 THEN 1 ELSE 0 END) AS violations,
+               CAST(sum(CASE WHEN event_id % 13 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS violations,
                sum(CASE WHEN event_id % 13 = 0 THEN 1 ELSE 0 END) = 0 AS passed
         FROM events
         UNION ALL
         SELECT 'value_complete',
-               sum(CASE WHEN event_id % 11 = 0 THEN 1 ELSE 0 END),
+               CAST(sum(CASE WHEN event_id % 11 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT),
                sum(CASE WHEN event_id % 11 = 0 THEN 1 ELSE 0 END) = 0
         FROM events
         UNION ALL
         SELECT 'event_type_domain',
-               sum(CASE WHEN event_id % 17 = 0 THEN 1 ELSE 0 END),
+               CAST(sum(CASE WHEN event_id % 17 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT),
                sum(CASE WHEN event_id % 17 = 0 THEN 1 ELSE 0 END) = 0
         FROM events
     """,

