@@ -188,9 +188,39 @@ def cached_ensemble_state(
             "sem_pairs": semantic_pairs(
                 emb, threshold=NEARDUP_THRESHOLD, assigned=assigned
             ).localCheckpoint(),
+            # the thresholds these frozen legs were built at — consumers
+            # must run at the same point or rebuild (ADVICE r11)
+            "operating_point": (0.5, NEARDUP_THRESHOLD, False),
         }
         _evict_put(_ENSEMBLE_STATE, key, state)
     return _ENSEMBLE_STATE[key]
+
+
+def _check_operating_point(
+    state: dict | None,
+    jaccard_threshold: float,
+    cosine_threshold: float,
+    fail_on_drops: bool,
+) -> None:
+    """Refuse to serve cached ensemble legs at a different operating
+    point than they were built at: state's rep_pairs/lsh_pairs/sem_pairs
+    are frozen at build thresholds, so honoring a caller's different
+    thresholds silently would return wrong pair sets (ADVICE r11).
+    Hand-built states without an 'operating_point' key skip the check
+    (the caller owns consistency)."""
+    if state is None:
+        return
+    point = state.get("operating_point")
+    if point is None:
+        return
+    requested = (jaccard_threshold, cosine_threshold, fail_on_drops)
+    if requested != point:
+        raise ValueError(
+            f"cached ensemble state was built at operating point "
+            f"(jaccard, cosine, fail_on_drops)={point} but {requested} "
+            f"was requested; "
+            f"pass state=None to build legs at the new thresholds"
+        )
 
 
 def neardup_ensemble(
@@ -215,6 +245,9 @@ def neardup_ensemble(
     clustering for the SemDeDup leg, as q_neardup_ensemble does via the
     session's cached IVF index. Per-leg enable flags + ``fail_on_drops``
     (propagated to every enabled capped leg) are the round-7 knobs."""
+    _check_operating_point(
+        state, jaccard_threshold, cosine_threshold, fail_on_drops
+    )
     lexical_pairs = None
     if state is not None and lexical and docs is not None:
         lexical_pairs = jaccard_verified_pairs(
@@ -281,6 +314,9 @@ def ensemble_survivors(
         rep_verified_pairs,
     )
 
+    _check_operating_point(
+        state, jaccard_threshold, cosine_threshold, fail_on_drops
+    )
     lexical_pairs = None
     stars = None
     if lexical:

@@ -394,10 +394,16 @@ def cached_edge_lake(spark: SparkSession, sf_dir: str) -> str:
                 _EDGE_LAKES.pop(next(iter(_EDGE_LAKES))), ignore_errors=True
             )
         # distinct dir per sf_dir: scratch_dir is per-NAME, and two
-        # sf_dirs cached at once must not share one lake directory
+        # sf_dirs cached at once must not share one lake directory —
+        # keyed by a hash of the FULL normalized path (two sf_dirs can
+        # share a basename; eviction rmtree also invalidates any lazy
+        # frames previously read from the evicted lake)
+        import hashlib
+
+        norm = os.path.normpath(os.path.abspath(sf_dir))
         lake_dir = os.path.join(
             scratch_dir("click_edge_lake"),
-            os.path.basename(os.path.normpath(sf_dir)) or "d",
+            hashlib.sha256(norm.encode()).hexdigest()[:16],
         )
         ev = table(spark, sf_dir, "events")
         click_edge_lake(spark, lake_dir, ev.filter(F.col("user_id") % 5 != 0))
@@ -541,5 +547,11 @@ def q_edge_lake_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, lake_dir, ev.filter(F.col("user_id") % 4 == k), append=True
         )
     stats = compact_edge_lake(spark, lake_dir)
-    assert stats["files_after"] <= stats["files_before"]
+    if stats["files_after"] > stats["files_before"]:
+        # not assert: production query path must enforce the compaction
+        # invariant under `python -O` too
+        raise RuntimeError(
+            f"compaction grew the lake: {stats['files_before']} -> "
+            f"{stats['files_after']} files"
+        )
     return read_click_edges(spark, lake_dir).orderBy("src", "dst")

@@ -127,6 +127,7 @@ def _kmeans_oracle(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
     head = f"""
         WITH e AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            WHERE embedding IS NOT NULL
         ), c0 AS (
             SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v
             FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {k})
@@ -213,7 +214,7 @@ def _kmeans_assign_oracle(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
     head = f"""
         WITH e AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-            WHERE vec_id % 2 = 0
+            WHERE vec_id % 2 = 0 AND embedding IS NOT NULL
         ), c0 AS (
             SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v
             FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {k})
@@ -246,7 +247,7 @@ def _kmeans_assign_oracle(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
         )
     tail = f""", batch AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-            WHERE vec_id % 2 = 1
+            WHERE vec_id % 2 = 1 AND embedding IS NOT NULL
         )
         SELECT vec_id, cluster FROM (
             SELECT b.vec_id, c.cid AS cluster,
@@ -352,7 +353,7 @@ def _kmeans_update_oracle(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
             SELECT cid, count(*) AS n FROM lakeassign GROUP BY cid
         ), batch AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-            WHERE vec_id % 2 = 1
+            WHERE vec_id % 2 = 1 AND embedding IS NOT NULL
         ), bassign AS (
             SELECT vec_id, cid FROM (
                 SELECT b.vec_id, c.cid,

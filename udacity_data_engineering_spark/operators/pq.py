@@ -198,15 +198,35 @@ def pq_topk(
 _PQ_INDEX: dict[tuple[str, str], tuple[DataFrame, list[list[list[float]]]]] = {}
 
 
+def _release(value) -> None:
+    """Best-effort unpersist of every cached frame inside ``value`` —
+    a DataFrame/handle with .unpersist(), or any tuple/list/dict
+    nesting of them. Non-frame leaves (model lists, floats) are
+    skipped; double-unpersist is a Spark no-op."""
+    if hasattr(value, "unpersist"):
+        try:
+            value.unpersist()
+        except Exception:
+            pass
+        return
+    if isinstance(value, (tuple, list)):
+        for v in value:
+            _release(v)
+    elif isinstance(value, dict):
+        for v in value.values():
+            _release(v)
+
+
 def _evict_put(cache: dict, key, value, cap: int = 2) -> None:
     """FIFO insert: unpersist + drop the oldest entries beyond ``cap``.
 
-    (dict.pop returns the VALUE — a (cached_df, model_metadata) tuple;
-    the original mis-unpack only surfaced once a session actually
-    touched a third sf_dir, i.e. the eviction path had never run.)"""
+    Values may be DataFrames or any tuple/list/dict nesting of them
+    (ann/pq cache (df, model) tuples; ensemble.py caches a dict of
+    frames) — ``_release`` walks the structure instead of assuming a
+    (df, meta) unpack, which raised ValueError the first time a dict
+    value was evicted (a third (appId, sf_dir) key in one session)."""
     while len(cache) >= cap:
-        old_df, _ = cache.pop(next(iter(cache)))
-        old_df.unpersist()
+        _release(cache.pop(next(iter(cache))))
     cache[key] = value
 
 
