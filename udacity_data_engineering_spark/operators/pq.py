@@ -256,6 +256,48 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(encoded, emb, qvec, codebooks=books, exclude_vec_id=0)
 
 
+@register(
+    "q_pq_topk_exhaustive",
+    oracle="""
+        WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS q_emb
+                   FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id,
+               round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), q_emb), 6)
+                   AS cos_sim
+        FROM embeddings, q
+        WHERE vec_id <> 0
+        ORDER BY cos_sim DESC, vec_id
+        LIMIT 10
+    """,
+    doc="E12: the PQ machinery driven at rerank = corpus size — every "
+    "ADC candidate gets the exact d-dim re-score, so the compressed-"
+    "domain path is EXACT by construction and hash-proves against the "
+    "brute-force cosine oracle (same SQL as q_ivf_topk_exhaustive). "
+    "Certifies the whole PQ pipeline end-to-end — codebook training, "
+    "encoding, the literal-folded ADC lookup scan, finalist join, exact "
+    "re-rank — while the approximate operating point (q_pq_topk, "
+    "rerank=200) inherits that certified machinery under committed "
+    "recall floors (tests/test_pq.py, RECALL.md). Exhaustive rerank is "
+    "a verification knob, not a production setting.",
+    tags=("E12", "ann"),
+)
+def q_pq_topk_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    head = emb.filter(F.col("vec_id") == 0).select("embedding").head()
+    if head is None or head.embedding is None:
+        return spark.createDataFrame([], "vec_id long, cos_sim double")
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PQ_INDEX:
+        books = pq_train(emb)
+        _evict_put(_PQ_INDEX, key, (pq_encode(emb, books).cache(), books))
+    encoded, books = _PQ_INDEX[key]
+    qvec = [float(x) for x in head.embedding]
+    n = emb.count()  # bounded driver scalar: rerank knob, not data
+    return pq_topk(
+        encoded, emb, qvec, codebooks=books, exclude_vec_id=0, rerank=n
+    )
+
+
 def ivfpq_topk(
     encoded: DataFrame,
     emb: DataFrame,
