@@ -297,6 +297,9 @@ def main() -> None:
         "q_edge_lake_compacted",
         "q_kmeans_update",
         "q_dq_observed_write",
+        # round-12 additions
+        "q_sparkify_artists",
+        "q_pq_topk_exhaustive",
     ):
         best = float("inf")
         for _ in range(REPS):  # best-of-3, matching BASELINE.md methodology

@@ -58,88 +58,79 @@ def register(
 # after these. A name listed here but not registered is a hard error (catches
 # renames going stale).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # Round-11 rotation — the debt-clearing round: 38 never-driver-
-    # checked SQL-oracled queries rotate in at once (r10 verdict: 86
-    # provable names were waiting outside the window while green slots
-    # re-proved themselves; at 17/round that was ~6 rounds of debt).
-    # Both err=no_oracle residents (q_ivf_topk, q_embedding_neardup_lsh)
-    # rotate out for the ANN family's PROVABLE representative
-    # (q_ivf_topk_exhaustive: nprobe=k makes IVF exact). The spine that
-    # stays: six SS2A parity anchors, the E2/E4 anchors with no
-    # never-checked oracled siblings, and q_streaming_dq_monitor, which
-    # MUST re-prove its round-11 idempotent-log fix. Every rotated-out
-    # name remains sweep-verified at three scales (SWEEP.json).
+    # Round-12 rotation: 17 spine slots + 33 never-driver-checked
+    # rotations from the r11-computed queue. The spine: six §2A parity
+    # anchors; the three r11 hash-reds RE-PROVING their HUGEINT oracle
+    # casts (q_dq_checks, q_streaming_dq_monitor, q_gap_sessionize —
+    # plus q_dq_observed_write below, pre-emptively fixed before its
+    # first window); the two new r12 provables (q_sparkify_artists —
+    # the last reference table, q_pq_topk_exhaustive — rerank=corpus
+    # exact PQ); and six single-slot family anchors for E2/E3/E4/E6/
+    # E7/E8/E9 whose queue has no representative (q_parts_supplier_cnt
+    # doubles E2+E7, q_range_join_binned doubles E7+E8). Every
+    # rotated-out name remains sweep-verified at three scales.
     "q_scan_count",  # 2A.6 parquet scan + 2A.22 count
     "q_dateparts",  # 2A.14/11/13 datetime parts + events nanos shim
     "q_join_multikey",  # 2A.17 3-key composite equi-join
     "q_sql_entry",  # 2A.15/16/18 temp view + SQL + aliasing
     "q_parquet_partitioned",  # 2A.20 hive sink + pruned re-read
     "q_sparkify_songplays_nat",  # the reference's whole program, hash-proven
-    "q_count_distinct",  # E2 (no never-checked oracled sibling)
-    "q_topn",  # E4 + 2A.21 (no never-checked oracled sibling)
-    "q_streaming_dq_monitor",  # r10's one red: idempotent log RE-PROOF
-    "q_ivf_topk_exhaustive",  # NEW r11: nprobe=k exact IVF vs brute oracle
-    "q_lake_lifecycle",  # NEW r11: composed upsert+delete+TTL+diff
-    "q_pagerank_persisted",  # NEW r11: pagerank off the click-edge lake
-    "q_substring_scrub",  # E11+ scrub
-    "q_range_join_binned",  # E8+ grid-binned band join
-    "q_merge_delete",  # lake GDPR delete
-    "q_retention_expire",  # lake partition TTL
-    "q_dq_checks",  # declarative DQ gate
-    "q_skew_report",  # E1/E7 skew diagnosis
-    "q_streaming_lake_upsert",  # E14 idempotent MERGE sink
-    "q_streaming_stream_join",  # E14 stream-stream interval join
-    "q_streaming_static_join",  # E14 stream-static join
-    "q_resample_ffill",  # E8/E13 grid resample + ffill
-    "q_resample_interp",  # E8/E13 linear interpolation
-    "q_robust_outliers",  # median/MAD robust z
-    "q_negative_samples",  # deterministic negative sampling
-    "q_kmeans_assign_new",  # incremental k-means assignment
-    "q_chisq_lang_source",  # chi-square independence cells
-    "q_seasonal_anomaly",  # seasonal residual anomaly
-    "q_variant_extract",  # E9 VARIANT path extraction
-    "q_lateral_join",  # LATERAL correlated join
-    "q_json_construct",  # E9 JSON construction
-    "q_try_funcs",  # try_* error-safe scalar surface
-    "q_multimodal_frames",  # E15 frame sampling
-    "q_multimodal_frame_dedup",  # E15 frame-level dedup
-    "q_udtf_ngrams",  # Python UDTF surface
-    "q_pandas_udaf_median",  # Arrow UDAF surface
-    "q_window_navigation",  # E5 lead/lag/first/last
-    "q_window_range_frame",  # E5 RANGE frames
-    "q_percentiles",  # exact percentile aggregates
-    "q_gap_sessionize",  # E13 gaps-and-islands sessionization
-    "q_tfidf",  # E10 tf-idf
-    "q_lang_id",  # E10 n-gram language id
-    "q_train_val_split",  # leakage-free hash split
-    "q_decontaminate",  # eval-contamination scrub
-    "q_stratified_fixed_k",  # per-stratum fixed-k sample
-    "q_schema_evolution",  # lake schema evolution
-    "q_python_datasource",  # Python DataSource API
-    "q_grouping_sets",  # E3 GROUPING SETS
-    "q_union_missing_cols",  # E6 union by name
-    "q_zorder_layout",  # physical: z-order layout
+    "q_dq_checks",  # RE-PROOF: oracle HUGEINT->BIGINT cast (r11 red)
+    "q_streaming_dq_monitor",  # RE-PROOF: oracle cast (r10+r11 red)
+    "q_gap_sessionize",  # RE-PROOF: oracle cast (r11 red)
+    "q_sparkify_artists",  # NEW r12: last reference table hash-proven
+    "q_pq_topk_exhaustive",  # NEW r12: rerank=corpus exact PQ vs brute oracle
+    "q_parts_supplier_cnt",  # E2+E7 family anchor
+    "q_rollup",  # E3 family anchor
+    "q_topn",  # E4 + 2A.21 family anchor
+    "q_setops",  # E6 family anchor
+    "q_range_join_binned",  # E7+E8 family anchor
+    "q_json_extract",  # E9 family anchor
+    # --- 33 never-driver-checked rotations (queue computed end of r11) ---
+    "q_streaming_edge_lake",  # r11 addition: streaming edge-lake ingest
+    "q_edge_lake_compacted",  # r11 addition: lake compaction invariant
+    "q_kmeans_update",  # r11 addition: mini-batch centroid refresh
+    "q_dq_observed_write",  # r11 addition: Observation-API DQ (cast fixed)
+    "q_cte",  # sql-surface tail
+    "q_in_subquery",
+    "q_scalar_subquery",
+    "q_correlated_subquery",
+    "q_having",
+    "q_conditional_agg",
+    "q_minmax_by",
+    "q_array_funcs",
+    "q_map_funcs",
+    "q_regex_funcs",
+    "q_date_arithmetic",
+    "q_higher_order_funcs",
+    "q_posexplode",
+    "q_unpivot",
+    "q_count",
+    "q_epoch_upsample",  # sampling
+    "q_source_caps",
+    "q_shuffle_order",
+    "q_multimodal_audio",  # E15 multimodal
+    "q_multimodal_dedup",
+    "q_multimodal_shared_frames",
+    "q_textfile_parse",  # sources/layout
+    "q_xml_roundtrip",
+    "q_sorted_layout",
+    "q_embedding_quantize",  # embeddings
+    "q_embedding_neardup",
+    "q_funnel",  # analytics
+    "q_retention_cohorts",
+    "q_click_edges",
 )
-# Round-12 rotation queue (computed at the end of round 11, assuming the
-# r11 window lands green): 52 SQL-oracled names remain never-driver-
-# checked — q_streaming_edge_lake, q_edge_lake_compacted, q_kmeans_update,
-# q_dq_observed_write (the r11 additions that missed the frozen window),
-# the sql_surface tail (q_cte, q_in_subquery, q_scalar_subquery,
-# q_correlated_subquery, q_having, q_conditional_agg, q_minmax_by,
-# q_array_funcs, q_map_funcs, q_regex_funcs, q_date_arithmetic,
-# q_higher_order_funcs, q_posexplode, q_unpivot, q_string_agg,
-# q_stats_agg, q_histogram, q_count), the text/quality tail (q_doc_stats,
-# q_doc_quality, q_lang_dist, q_token_count_regex, q_token_entropy,
-# q_top_tokens_per_lang, q_text_normalize, q_text_scrub, q_rolling_hash,
-# q_repetition_filter, q_length_outliers, q_profile, q_group_zscore,
-# q_charlm_lang_filter, q_quality_ensemble, q_doc_chunks_bpe), sampling
-# (q_epoch_upsample, q_source_caps, q_shuffle_order), multimodal
-# (q_multimodal_audio, q_multimodal_dedup, q_multimodal_shared_frames),
-# sources/layout (q_textfile_parse, q_xml_roundtrip, q_sorted_layout),
-# embeddings (q_embedding_quantize, q_embedding_neardup), analytics
-# (q_funnel, q_retention_cohorts, q_click_edges). At ~40/round the debt
-# clears in round 12 with ~12 spine slots to spare; 11 rows-only names
-# stay sweep+pytest-verified by design.
+# Round-13 rotation queue (computed at the end of round 12): 19 SQL-
+# oracled names remain never-driver-checked — the deferred sql_surface
+# trio (q_string_agg, q_stats_agg, q_histogram) and the text/quality
+# tail (q_doc_stats, q_doc_quality, q_lang_dist, q_token_count_regex,
+# q_token_entropy, q_top_tokens_per_lang, q_text_normalize,
+# q_text_scrub, q_rolling_hash, q_repetition_filter, q_length_outliers,
+# q_profile, q_group_zscore, q_charlm_lang_filter, q_quality_ensemble,
+# q_doc_chunks_bpe). One rotation clears the debt entirely with ~30
+# spine slots to spare; 11 rows-only names stay sweep+pytest-verified
+# by design.
 
 
 def all_queries() -> dict[str, Query]:
