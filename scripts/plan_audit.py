@@ -40,14 +40,16 @@ from udacity_data_engineering_spark.session import build_session
 #: structurally bounded (1-row stat frames, k-row model frames, a final
 #: driver-bound top-k) — each entry must say WHY it is safe.
 ALLOWLIST: dict[tuple[str, str], str] = {
-    # final global top-k of a k-bounded candidate frame (k rows, not corpus)
-    ("q_pq_topk_exhaustive", "Exchange SinglePartition"):
-        "TakeOrderedAndProject fallback on a k-row finalist frame",
-    ("q_topn", "Exchange SinglePartition"):
-        "top-k limit on pre-aggregated group counts (bounded by group count)",
-    # 1-row broadcast stats frames joined to the corpus
+    # 1-row broadcast stats frames joined to the corpus (SCALE.md r11
+    # audit: Spark plans crossJoin(broadcast(<1-row frame>)) as a BNLJ
+    # over ONE broadcast row — bounded by construction)
     ("q_skew_report", "BroadcastNestedLoopJoin"):
         "1-row global stats frame cross-joined for ratio columns",
+    # the deliberate all-pairs ground-truth leg: oracle_only-tagged AND
+    # oracle_scale_guard refuses inputs above the row ceiling; the scale
+    # path is q_embedding_neardup_lsh (banded, never all-pairs)
+    ("q_embedding_neardup", "BroadcastNestedLoopJoin"):
+        "guarded exact all-pairs oracle shape; LSH variant is the scale path",
 }
 
 
