@@ -102,6 +102,48 @@ def build_nd_indexes(spark, label: str, docs) -> str:
     return out
 
 
+def _funnel(ev):
+    """q_funnel's exact plan over an arbitrary events frame."""
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(signups, "user_id")
+        .filter(F.col("ts") >= F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase_ts"))
+    )
+    return signups.join(purchases, "user_id", "left").select(
+        "user_id",
+        "signup_ts",
+        "first_purchase_ts",
+        F.col("first_purchase_ts").isNotNull().alias("converted"),
+    )
+
+
+def _retention(ev):
+    """q_retention_cohorts' exact plan over an arbitrary events frame."""
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    act = ev.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("active_week")
+    ).distinct()
+    return (
+        act.join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("active_week", "cohort_week") / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
 def main() -> None:
     spark = build_session(app_name="scale-probe", cpus=32)
     build_replica(spark)
@@ -242,6 +284,22 @@ def main() -> None:
                 ),
             )
             .filter("rn = 1")
+            .count(),
+            # round 12: the events-shaped analytics rotated into the r12
+            # driver window — replica shifts user_id per copy, so Nx =
+            # Nx users with constant per-user activity; all three must
+            # scale with the events scan (two-phase agg + broadcastable
+            # per-user anchors), never with users x weeks / grid width
+            "funnel": lambda: _funnel(t["events"]).count(),
+            "retention_cohorts": lambda: _retention(t["events"]).count(),
+            "resample_interp": lambda: __import__(
+                "udacity_data_engineering_spark.operators.asof",
+                fromlist=["resample_interp"],
+            )
+            .resample_interp(
+                t["events"], key="user_id", ts_col="ts",
+                value_col="value", tiebreak="event_id",
+            )
             .count(),
         }
 
