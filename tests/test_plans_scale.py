@@ -80,6 +80,9 @@ PYTHON_PATH_QUERIES = {
     # per-query ADC scan itself is codegen over the cached codes (see
     # test_pq.py::test_pq_adc_scan_has_no_python_eval).
     "q_pq_topk",
+    # the exhaustive verification knob shares q_pq_topk's encode pass
+    # (rerank=corpus changes the finalist LIMIT, not the kernels):
+    "q_pq_topk_exhaustive",
     # IVF-PQ composes the PQ encode pass (same one-off Arrow GEMM argmin)
     # with the IVF list restriction; the per-query ADC scan stays codegen:
     "q_ivfpq_topk",
