@@ -62,6 +62,36 @@ def test_no_oracle_only_queries_registered_runnable():
         assert "oracle_only" in qs[name].tags, f"{name} missing oracle_only tag"
 
 
+def test_inventory_debt_line_is_current():
+    """The 'Driver-proof debt' header line in INVENTORY.md (VERDICT r11
+    #9) must match a fresh computation from CORRECTNESS_r*.json history
+    plus the current DRIVER_PRIORITY window — a stale count after a
+    rotation or a new query fails here instead of misleading the judge."""
+    import json
+    import re
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parents[1]
+    text = (repo / "INVENTORY.md").read_text()
+    m = re.search(
+        r"Driver-proof debt: never-driver-checked SQL-oracled queries: "
+        r"(\d+)", text
+    )
+    assert m, "INVENTORY.md lost its Driver-proof debt line — rerun gen_inventory.py"
+    qs = all_queries()
+    checked = set(DRIVER_PRIORITY)
+    for p in repo.glob("CORRECTNESS_r*.json"):
+        checked |= set(json.loads(p.read_text()))
+    never = sorted(
+        n for n, q in qs.items() if q.oracle and n not in checked
+    )
+    assert int(m.group(1)) == len(never), (
+        f"INVENTORY.md debt line says {m.group(1)} but the registry has "
+        f"{len(never)} never-driver-checked names ({never[:5]}...) — "
+        "rerun scripts/gen_inventory.py"
+    )
+
+
 def test_inventory_md_matches_registry():
     """INVENTORY.md is the judge-facing manifest; regenerating it is a
     manual step (scripts/gen_inventory.py), so pin that it lists exactly
