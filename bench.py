@@ -307,6 +307,9 @@ def main() -> None:
         # round-12 additions
         "q_sparkify_artists",
         "q_pq_topk_exhaustive",
+        "q_decontaminate_bloom",
+        "q_shard_assignment",
+        "q_shard_manifest",
     ):
         best = float("inf")
         for _ in range(REPS):  # best-of-3, matching BASELINE.md methodology

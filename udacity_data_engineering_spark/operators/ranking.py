@@ -98,18 +98,41 @@ def exact_global_rank(
         r["__bkt"]: r["cnt"]
         for r in bucketed.groupBy("__bkt").agg(F.count(F.lit(1)).alias("cnt")).collect()
     }
+
+    w = Window.partitionBy("__bkt").orderBy(F.col(key).asc(), F.col(tiebreak).asc())
+
+    n_buckets = len(bounds) + 1
+    if n_buckets <= 16384:
+        # per-bucket rank offsets as a DENSE literal-array lookup indexed
+        # by __bkt: one element_at node (depth O(1) at any B, unlike a
+        # B-deep CASE chain), and — unlike a broadcast join — no join at
+        # all, which also sidesteps a Catalyst constraint-inference bug
+        # where the join key's defining higher-order-function expression
+        # gets inlined into a filter pushed to the offsets side,
+        # referencing left-plan attributes (INTERNAL_ERROR_ATTRIBUTE_NOT_
+        # FOUND at execution; hit when the key is itself a derived column).
+        dense: list[int] = []
+        acc = 0
+        for bkt in range(n_buckets):
+            dense.append(acc)
+            acc += counts.get(bkt, 0)
+        off_col = F.element_at(
+            F.array(*[F.lit(v).cast("long") for v in dense]), F.col("__bkt") + 1
+        )
+        return (
+            bucketed.withColumn(out, (off_col + F.row_number().over(w)).cast("long"))
+            .drop("__bkt")
+        )
+
+    # huge-B fallback: a 16k+-child literal array bloats the plan, so ship
+    # offsets via a broadcast join on __bkt (B tiny rows) instead
     offsets: list[tuple[int, int]] = []
     acc = 0
     for bkt in sorted(counts):
         offsets.append((bkt, acc))
         acc += counts[bkt]
-
-    # per-bucket rank offsets via a broadcast join on __bkt (B tiny rows)
-    # instead of a B-deep literal CASE chain — depth-safe at any B
     spark = df.sparkSession
     off_df = spark.createDataFrame(offsets, "__bkt int, __off long")
-
-    w = Window.partitionBy("__bkt").orderBy(F.col(key).asc(), F.col(tiebreak).asc())
     return (
         bucketed.join(F.broadcast(off_df), "__bkt")
         .withColumn(out, (F.col("__off") + F.row_number().over(w)).cast("long"))

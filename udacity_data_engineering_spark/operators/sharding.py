@@ -1,0 +1,130 @@
+"""Balanced output sharding — deterministic token-budget assignment of a
+corpus to N output shards (charter LLM-pipeline extension; the reference
+has no text surface, SURVEY.md §2B).
+
+The last step of a training-data pipeline is writing the curated corpus as
+a fixed number of shards whose token totals are as equal as possible, so
+every data-loader worker streams the same amount of work. The assignment
+here is the deterministic round-robin-by-size rule: rank documents by
+token count DESCENDING (doc_id tiebreak), then ``shard = (rank-1) mod N``.
+Round-robin over a size-sorted order is the classic one-pass balancing
+heuristic — consecutive ranks go to different shards, so each shard gets
+one document from every size band and totals stay within one document of
+each other per band.
+
+Scale shape: the global rank reuses the two-phase distributed
+``exact_global_rank`` (operators/ranking.py — range-bucketed partial
+windows + broadcast offsets), so there is NO single-partition window
+anywhere; the write is a ``partitionBy("shard")`` hive layout with one
+shuffle on the shard key. Everything is provable SQL (row_number over an
+explicit total order), hence the DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from udacity_data_engineering_spark.operators.ranking import exact_global_rank
+from udacity_data_engineering_spark.plans.registry import register
+from udacity_data_engineering_spark.session import table
+
+
+def shard_by_token_budget(
+    docs: DataFrame,
+    n_shards: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Append ``n_tokens`` (whitespace token count) and ``shard`` (int in
+    [0, n_shards)) — deterministic round-robin over the token-count-DESC,
+    id-ASC total order. Distributed: the rank is the two-phase
+    exact_global_rank, never a single-partition window."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    sized = docs.withColumn(
+        "n_tokens", F.size(F.split(F.col(text_col), " "))
+    ).withColumn("__negtok", -F.col("n_tokens"))
+    ranked = exact_global_rank(sized, "__negtok", id_col, out="__rn")
+    return ranked.withColumn(
+        "shard", F.pmod(F.col("__rn") - 1, F.lit(n_shards)).cast("int")
+    ).drop("__negtok", "__rn")
+
+
+def write_sharded(
+    docs_with_shard: DataFrame, path: str, mode: str = "overwrite"
+) -> None:
+    """Write the sharded corpus as a hive-partitioned parquet layout
+    (``shard=K/`` directories): one shuffle on the shard key so each shard
+    is written by its own tasks — no tiny-file explosion from every task
+    writing into every shard."""
+    (
+        docs_with_shard.repartition("shard")
+        .write.mode(mode)
+        .partitionBy("shard")
+        .parquet(path)
+    )
+
+
+@register(
+    "q_shard_assignment",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+            FROM documents
+        ), r AS (
+            SELECT doc_id, n_tokens,
+                   row_number() OVER (ORDER BY n_tokens DESC, doc_id) AS rn
+            FROM t
+        )
+        SELECT doc_id, n_tokens, CAST((rn - 1) % 8 AS INT) AS shard
+        FROM r
+    """,
+    doc="Deterministic balanced-shard assignment: every document's output "
+    "shard under round-robin over the token-count-DESC global order "
+    "(8 shards). The global rank is the two-phase distributed "
+    "exact_global_rank — hash-identical to the row_number oracle.",
+    tags=("llm-pipeline", "ranking", "physical", "sources"),
+)
+def q_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return shard_by_token_budget(docs, 8).select("doc_id", "n_tokens", "shard")
+
+
+@register(
+    "q_shard_manifest",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+            FROM documents
+        ), r AS (
+            SELECT doc_id, n_tokens,
+                   row_number() OVER (ORDER BY n_tokens DESC, doc_id) AS rn
+            FROM t
+        )
+        SELECT CAST((rn - 1) % 8 AS INT) AS shard,
+               count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+               CAST(max(n_tokens) AS INT) AS max_tokens
+        FROM r
+        GROUP BY 1
+    """,
+    doc="Shard manifest after balanced assignment: per-shard document count "
+    "and token totals — the balance statement a data-loader reads. "
+    "tot_tokens across shards differs by at most one size band under the "
+    "round-robin rule (pinned in tests/test_sharding.py).",
+    tags=("llm-pipeline", "ranking", "physical", "sources"),
+)
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return (
+        shard_by_token_budget(docs, 8)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("tot_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+    )
