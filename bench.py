@@ -310,6 +310,7 @@ def main() -> None:
         "q_decontaminate_bloom",
         "q_shard_assignment",
         "q_shard_manifest",
+        "q_random_projection",
     ):
         best = float("inf")
         for _ in range(REPS):  # best-of-3, matching BASELINE.md methodology

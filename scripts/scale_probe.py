@@ -690,8 +690,48 @@ def main() -> None:
                 [(lex, "doc_id", "bm25"), (dense, "vec_id", "cs")]
             ).count()
 
+        def bloom_decon():
+            # round 12: bloom-prefiltered decontamination — the replica
+            # multiplies BOTH sides (bench grows with the corpus here),
+            # but the broadcast stays the fixed-size bitmap; time must
+            # track the corpus-linear shingle explode, never bench size
+            from udacity_data_engineering_spark.operators.contamination import (
+                decontaminate_bloom,
+            )
+
+            bench = docs.filter(F.col("doc_id") % 100 == 7)
+            corpus = docs.filter(F.col("doc_id") % 100 != 7)
+            return decontaminate_bloom(corpus, bench, n=4).count()
+
+        def shard_assign():
+            # round 12: balanced shard assignment — two-phase global rank
+            # (quantile freeze + bucketed windows); corpus-linear, no
+            # single-partition window to cliff at scale
+            from udacity_data_engineering_spark.operators.sharding import (
+                shard_by_token_budget,
+            )
+
+            return (
+                shard_by_token_budget(docs, 8)
+                .groupBy("shard")
+                .agg(F.sum("n_tokens"))
+                .count()
+            )
+
+        def jl_project():
+            # round 12: JL random projection — map-only (literal +-1 rows,
+            # codegen folds); must scale exactly with the scan
+            from udacity_data_engineering_spark.operators.embeddings_ops import (
+                random_projection,
+            )
+
+            return random_projection(emb, r=8).count()
+
         return {
             "kmeans_train_4r": kmeans_4r,
+            "bloom_decontaminate": bloom_decon,
+            "shard_assign": shard_assign,
+            "random_projection": jl_project,
             "kmeans_assign_batch": kmeans_assign_batch,
             "ivfpq_topk": ivfpq,
             "mmr_rerank": mmr,

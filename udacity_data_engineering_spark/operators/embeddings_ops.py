@@ -120,3 +120,90 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantize_error(table(spark, sf_dir, "embeddings")).select(
         "vec_id", "scale", "mean_abs_err"
     )
+
+
+# --------------------------------------------------------------------------
+# Johnson–Lindenstrauss random projection — deterministic dimensionality
+# reduction for the embedding lake. A Rademacher (+-1) projection matrix is
+# derived from pure integer arithmetic over (input_dim, output_dim) index
+# pairs, so BOTH engines (and any re-run, any cluster size) materialize the
+# identical matrix without shipping one: the operator is map-only (the
+# matrix enters the plan as literal +-1 arrays, the dot products are
+# codegen'd higher-order folds) and the result is SQL-provable. Production
+# use: shrink d=1024 embeddings to r=64 before LSH banding / coarse ANN —
+# JL guarantees pairwise-distance distortion O(sqrt(log n / r)).
+# --------------------------------------------------------------------------
+
+#: Knuth multiplicative constant + a distinct odd stride; modulus 97 with
+#: threshold 48 gives an (almost exactly) balanced +-1 assignment. The same
+#: four integers appear verbatim in the q_random_projection oracle SQL —
+#: keep them in sync.
+_JL_A, _JL_B, _JL_M, _JL_T = 2654435761, 40503, 97, 48
+
+
+def _rademacher(i: int, j: int) -> float:
+    """Deterministic +-1 matrix entry for (input dim i, output dim j)."""
+    return 1.0 if ((i * _JL_A + j * _JL_B) % _JL_M) < _JL_T else -1.0
+
+
+def random_projection(
+    emb: DataFrame,
+    r: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Project every vector onto ``r`` deterministic Rademacher directions;
+    returns long format (id, j, comp) with j in [0, r). Map-only: no
+    shuffle, no matrix broadcast — the +-1 rows are plan literals and each
+    component is one fold over zip_with inside codegen. Null vectors are
+    excluded (they have no projection)."""
+    if r < 1:
+        raise ValueError(f"r must be >= 1, got {r}")
+    rows = emb.filter(F.col(vec_col).isNotNull())
+    first = rows.select(vec_col).first()
+    if first is None:
+        d = 0
+    else:
+        d = len(first[0])
+    e = F.col(vec_col).cast("array<double>")
+    comps = []
+    for j in range(r):
+        w = F.array(*[F.lit(_rademacher(i, j)) for i in range(d)])
+        dot = F.aggregate(
+            F.zip_with(e, w, lambda x, wv: x * wv),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        comps.append(F.round(dot, 6))
+    return rows.select(
+        F.col(id_col), F.posexplode(F.array(*comps)).alias("j", "comp")
+    )
+
+
+@register(
+    "q_random_projection",
+    oracle="""
+        SELECT vec_id,
+               CAST(j AS INT) AS j,
+               round(sum(val * CASE WHEN ((i * 2654435761 + j * 40503) % 97) < 48
+                                    THEN 1.0 ELSE -1.0 END), 6) AS comp
+        FROM (
+            SELECT vec_id,
+                   generate_subscripts(embedding, 1) - 1 AS i,
+                   CAST(unnest(embedding) AS DOUBLE) AS val
+            FROM embeddings
+            WHERE embedding IS NOT NULL
+        ) e
+        CROSS JOIN (SELECT unnest(range(8)) AS j) r
+        GROUP BY vec_id, j
+    """,
+    doc="Deterministic Johnson-Lindenstrauss random projection to r=8 "
+    "Rademacher directions (long format: vec_id, j, comp). The +-1 "
+    "matrix is integer arithmetic over index pairs — both engines "
+    "derive it independently, nothing is shipped. Map-only plan: zero "
+    "shuffle, dot products are codegen'd folds; the scale path for "
+    "shrinking wide embeddings before LSH/coarse ANN.",
+    tags=("E12", "llm-pipeline", "embeddings"),
+)
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return random_projection(table(spark, sf_dir, "embeddings"), r=8)

@@ -86,16 +86,21 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_setops",  # E6 family anchor
     "q_range_join_binned",  # E7+E8 family anchor
     "q_json_extract",  # E9 family anchor
+    # Four NEW r12 operators built mid-round take four rotation slots —
+    # first driver proofs beat second consecutive re-checks; the four
+    # deferred sql-surface rotations (q_cte, q_in_subquery,
+    # q_scalar_subquery, q_having) are pure Catalyst-translation shapes,
+    # sweep-verified at three scales, and join the r13 queue.
+    "q_decontaminate_bloom",  # NEW r12: bloom prefilter == exact oracle
+    "q_shard_assignment",  # NEW r12: balanced shard round-robin assignment
+    "q_shard_manifest",  # NEW r12: per-shard balance totals
+    "q_random_projection",  # NEW r12: deterministic JL projection
     # --- 33 never-driver-checked rotations (queue computed end of r11) ---
     "q_streaming_edge_lake",  # r11 addition: streaming edge-lake ingest
     "q_edge_lake_compacted",  # r11 addition: lake compaction invariant
     "q_kmeans_update",  # r11 addition: mini-batch centroid refresh
     "q_dq_observed_write",  # r11 addition: Observation-API DQ (cast fixed)
-    "q_cte",  # sql-surface tail
-    "q_in_subquery",
-    "q_scalar_subquery",
-    "q_correlated_subquery",
-    "q_having",
+    "q_correlated_subquery",  # sql-surface tail
     "q_conditional_agg",
     "q_minmax_by",
     "q_array_funcs",
@@ -128,9 +133,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # q_token_entropy, q_top_tokens_per_lang, q_text_normalize,
 # q_text_scrub, q_rolling_hash, q_repetition_filter, q_length_outliers,
 # q_profile, q_group_zscore, q_charlm_lang_filter, q_quality_ensemble,
-# q_doc_chunks_bpe). One rotation clears the debt entirely with ~30
-# spine slots to spare; 11 rows-only names stay sweep+pytest-verified
-# by design.
+# q_doc_chunks_bpe) plus the four sql-surface rotations deferred to
+# make room for the round-12 additions (q_cte, q_in_subquery,
+# q_scalar_subquery, q_having) = 23 names. One rotation clears the debt
+# entirely with ~27 spine slots to spare; 11 rows-only names stay
+# sweep+pytest-verified by design.
 
 
 def all_queries() -> dict[str, Query]:
