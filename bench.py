@@ -311,6 +311,7 @@ def main() -> None:
         "q_shard_assignment",
         "q_shard_manifest",
         "q_random_projection",
+        "q_export_pipeline",
     ):
         best = float("inf")
         for _ in range(REPS):  # best-of-3, matching BASELINE.md methodology

@@ -93,3 +93,36 @@ def test_rejects_bad_n_shards(spark):
     docs = _docs(spark, [(1, "a")])
     with pytest.raises(ValueError):
         shard_by_token_budget(docs, 0)
+
+
+def test_export_pipeline_composition(spark, sf_dir):
+    # the composed plan must agree with composing the operators by hand
+    from udacity_data_engineering_spark.operators.contamination import (
+        decontaminate_bloom,
+    )
+    from udacity_data_engineering_spark.operators.dedup import dedup_exact
+    from udacity_data_engineering_spark.operators.quality import gopher_signals
+    from udacity_data_engineering_spark.operators.sharding import q_export_pipeline
+    from udacity_data_engineering_spark.session import table
+
+    got = {r.shard: (r.n_docs, r.tot_tokens) for r in q_export_pipeline(spark, sf_dir).collect()}
+    docs = table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 100 == 7)
+    corpus = docs.filter(F.col("doc_id") % 100 != 7)
+    kept = gopher_signals(corpus, carry=("text",)).filter(F.col("keep")).select("doc_id", "text")
+    survivors = dedup_exact(kept, "text", ["doc_id"])
+    contaminated = decontaminate_bloom(survivors, bench, n=4).select("doc_id")
+    clean = survivors.join(contaminated, "doc_id", "left_anti")
+    expect = {
+        r.shard: (r.n_docs, r.tot)
+        for r in shard_by_token_budget(clean, 8)
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").cast("long").alias("tot"))
+        .collect()
+    }
+    assert got == expect
+    assert set(got) <= set(range(8))
+    # contaminated docs really are gone: no clean doc shares a 4-gram with bench
+    n_contam = contaminated.count()
+    assert clean.join(contaminated, "doc_id", "inner").count() == 0
+    assert n_contam > 0  # the synthetic corpus does contain overlaps

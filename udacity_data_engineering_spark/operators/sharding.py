@@ -128,3 +128,115 @@ def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_tokens").alias("max_tokens"),
         )
     )
+
+
+@register(
+    "q_export_pipeline",
+    oracle="""
+        WITH sig AS (
+            SELECT doc_id, text,
+                   len(string_split(text, ' ')) AS n_words,
+                   round((length(text) - len(string_split(text, ' ')) + 1.0)
+                         / len(string_split(text, ' ')), 6) AS mean_word_len,
+                   round(CAST(len(list_filter(string_split(text, ' '),
+                         t -> list_contains(['the', 'a', 'of', 'to', 'and',
+                                             'in', 'is', 'it'], t))) AS DOUBLE)
+                         / len(string_split(text, ' ')), 6) AS stopword_frac,
+                   round(CAST(list_max(list_transform(
+                         list_distinct(string_split(text, ' ')),
+                         d -> len(list_filter(string_split(text, ' '),
+                                  t -> t = d)))) AS DOUBLE)
+                         / len(string_split(text, ' ')), 6) AS top_token_frac
+            FROM documents
+            WHERE doc_id % 100 <> 7
+        ), kept AS (
+            SELECT doc_id, text, n_words FROM sig
+            WHERE n_words BETWEEN 5 AND 2000
+              AND mean_word_len BETWEEN 2.0 AND 12.0
+              AND stopword_frac >= 0.01
+              AND top_token_frac <= 0.5
+        ), survivors AS (
+            SELECT doc_id, text, n_words FROM (
+                SELECT doc_id, text, n_words,
+                       row_number() OVER (PARTITION BY text
+                                          ORDER BY doc_id) AS rn
+                FROM kept) t
+            WHERE rn = 1
+        ), surv_sh AS (
+            SELECT s.doc_id,
+                   array_to_string(list_slice(string_split(s.text, ' '),
+                                              CAST(g.i AS INT),
+                                              CAST(g.i AS INT) + 3), ' ')
+                       AS shingle
+            FROM survivors s
+            CROSS JOIN LATERAL (
+                SELECT unnest(range(1, len(string_split(s.text, ' ')) - 2)) AS i
+            ) g
+            WHERE len(string_split(s.text, ' ')) >= 4
+        ), bench AS (
+            SELECT DISTINCT
+                   array_to_string(list_slice(string_split(text, ' '),
+                                              CAST(g.i AS INT),
+                                              CAST(g.i AS INT) + 3), ' ')
+                       AS shingle
+            FROM documents
+            CROSS JOIN LATERAL (
+                SELECT unnest(range(1, len(string_split(text, ' ')) - 2)) AS i
+            ) g
+            WHERE doc_id % 100 = 7
+              AND len(string_split(text, ' ')) >= 4
+        ), contam AS (
+            SELECT DISTINCT s.doc_id
+            FROM surv_sh s JOIN bench b USING (shingle)
+        ), clean AS (
+            SELECT doc_id, n_words FROM survivors
+            WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+        ), r AS (
+            SELECT doc_id, n_words,
+                   row_number() OVER (ORDER BY n_words DESC, doc_id) AS rn
+            FROM clean
+        )
+        SELECT CAST((rn - 1) % 8 AS INT) AS shard,
+               count(*) AS n_docs,
+               CAST(sum(n_words) AS BIGINT) AS tot_tokens
+        FROM r
+        GROUP BY 1
+    """,
+    doc="Round-12 flagship composition — the training-data EXPORT pipeline "
+    "as ONE declarative plan: Gopher quality rules -> deterministic exact "
+    "dedup -> Bloom-prefiltered benchmark decontamination (drop every doc "
+    "sharing a 4-gram with the eval split) -> balanced shard assignment "
+    "-> per-shard manifest. Every stage is the registered operator it "
+    "composes (quality.gopher_signals, dedup.dedup_exact, "
+    "contamination.decontaminate_bloom, sharding.shard_by_token_budget); "
+    "the oracle recomputes the whole chain independently in DuckDB, so "
+    "the hash proves the composed pipeline end to end — including the "
+    "bloom path embedded mid-plan.",
+    tags=("E10", "E11", "llm-pipeline", "corpus", "quality", "dedup", "physical"),
+)
+def q_export_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from udacity_data_engineering_spark.operators.contamination import (
+        decontaminate_bloom,
+    )
+    from udacity_data_engineering_spark.operators.dedup import dedup_exact
+    from udacity_data_engineering_spark.operators.quality import gopher_signals
+
+    docs = table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 100 == 7)
+    corpus = docs.filter(F.col("doc_id") % 100 != 7)
+    kept = (
+        gopher_signals(corpus, carry=("text",))
+        .filter(F.col("keep"))
+        .select("doc_id", "text")
+    )
+    survivors = dedup_exact(kept, "text", ["doc_id"])
+    contaminated = decontaminate_bloom(survivors, bench, n=4).select("doc_id")
+    clean = survivors.join(contaminated, "doc_id", "left_anti")
+    return (
+        shard_by_token_budget(clean, 8)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("tot_tokens"),
+        )
+    )
