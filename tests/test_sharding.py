@@ -126,3 +126,11 @@ def test_export_pipeline_composition(spark, sf_dir):
     n_contam = contaminated.count()
     assert clean.join(contaminated, "doc_id", "inner").count() == 0
     assert n_contam > 0  # the synthetic corpus does contain overlaps
+
+
+def test_null_text_excluded(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, None), (3, "d e")], "doc_id long, text string"
+    )
+    got = {r.doc_id for r in shard_by_token_budget(docs, 2).collect()}
+    assert got == {1, 3}

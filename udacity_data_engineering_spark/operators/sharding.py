@@ -42,9 +42,15 @@ def shard_by_token_budget(
     exact_global_rank, never a single-partition window."""
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
-    sized = docs.withColumn(
-        "n_tokens", F.size(F.split(F.col(text_col), " "))
-    ).withColumn("__negtok", -F.col("n_tokens"))
+    # null text is excluded on BOTH sides (oracles filter text IS NOT
+    # NULL): Spark size(split(NULL)) is -1 while SQL len(string_split(
+    # NULL)) is NULL — the only way the two engines agree on null docs
+    # is for neither to rank them (the ADVICE-r11 kmeans lesson)
+    sized = (
+        docs.filter(F.col(text_col).isNotNull())
+        .withColumn("n_tokens", F.size(F.split(F.col(text_col), " ")))
+        .withColumn("__negtok", -F.col("n_tokens"))
+    )
     ranked = exact_global_rank(sized, "__negtok", id_col, out="__rn")
     return ranked.withColumn(
         "shard", F.pmod(F.col("__rn") - 1, F.lit(n_shards)).cast("int")
@@ -73,6 +79,7 @@ def write_sharded(
             SELECT doc_id,
                    CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
             FROM documents
+            WHERE text IS NOT NULL
         ), r AS (
             SELECT doc_id, n_tokens,
                    row_number() OVER (ORDER BY n_tokens DESC, doc_id) AS rn
@@ -99,6 +106,7 @@ def q_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT doc_id,
                    CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
             FROM documents
+            WHERE text IS NOT NULL
         ), r AS (
             SELECT doc_id, n_tokens,
                    row_number() OVER (ORDER BY n_tokens DESC, doc_id) AS rn
