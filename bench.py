@@ -312,6 +312,9 @@ def main() -> None:
         "q_shard_manifest",
         "q_random_projection",
         "q_export_pipeline",
+        "q_streaming_stateful_totals",
+        "q_cms_sketch",
+        "q_cms_estimates",
     ):
         best = float("inf")
         for _ in range(REPS):  # best-of-3, matching BASELINE.md methodology

@@ -50,6 +50,8 @@ ALLOWLIST: dict[tuple[str, str], str] = {
     # path is q_embedding_neardup_lsh (banded, never all-pairs)
     ("q_embedding_neardup", "BroadcastNestedLoopJoin"):
         "guarded exact all-pairs oracle shape; LSH variant is the scale path",
+    ("q_cms_estimates", "BroadcastNestedLoopJoin"):
+        "1-row corpus-total frame cross-joined for the heavy-token threshold",
 }
 
 

@@ -613,3 +613,65 @@ def q_streaming_edge_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+@register(
+    "q_streaming_stateful_totals",
+    oracle="""
+        SELECT user_id,
+               count(*) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM events
+        GROUP BY user_id
+    """,
+    doc="E14: the CUSTOM arbitrary-state operator (applyInPandasWithState, "
+    "streaming/stateful.py running_user_totals) executed as a REAL "
+    "multi-batch stream: the events feed is split into 6 files consumed "
+    "one per micro-batch (maxFilesPerTrigger=1), so per-user state "
+    "genuinely carries across batches; update mode emits cumulative "
+    "totals per user per batch, and the FINAL emission per user "
+    "(max_by on the strictly-monotone n_events) equals the batch "
+    "group-by — hash-proven against the plain SQL aggregate. State is "
+    "one (long, double) pair per user: constant per key, no growth with "
+    "stream length (the bounded-state probe discipline).",
+    tags=("E14", "streaming", "pandas"),
+)
+def q_streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from udacity_data_engineering_spark.streaming.stateful import (
+        running_user_totals,
+    )
+
+    ev = table(spark, sf_dir, "events")
+
+    run_id = uuid.uuid4().hex[:12]
+    tmp = tempfile.mkdtemp(prefix=f"stream_totals_{run_id}_")
+    feed_dir = os.path.join(tmp, "feed")
+    # 6 files -> 6 micro-batches: the kernel must fold state across
+    # batches, not just within one (any batch split converges — the
+    # accumulator is associative — so the multiset is deterministic)
+    ev.repartition(6).write.mode("overwrite").parquet(feed_dir)
+
+    sink = f"stream_totals_sink_{run_id}"
+    run_available_now(
+        running_user_totals(
+            stream_events(spark, feed_dir, max_files_per_trigger=1)
+        ),
+        sink,
+        os.path.join(tmp, "ckpt"),
+        output_mode="update",
+    )
+    # final cumulative row per user = the emission with the largest
+    # n_events (strictly monotone per user: a user is only emitted in
+    # batches contributing >= 1 event)
+    out = (
+        spark.table(sink)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("sum_value", "n_events").alias("sum_value"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    spark.catalog.dropTempView(sink)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
