@@ -718,6 +718,42 @@ def main() -> None:
                 .count()
             )
 
+        def export_pipe():
+            # round 12 flagship: quality -> exact dedup -> bloom decon ->
+            # balanced sharding as one plan. The replica repeats every
+            # text, so exact dedup collapses the survivor set back to ~1x
+            # — but the corpus-side work (gopher signals, fingerprint
+            # shuffle, shingle explode) is the full Nx
+            from udacity_data_engineering_spark.operators.contamination import (
+                decontaminate_bloom,
+            )
+            from udacity_data_engineering_spark.operators.dedup import dedup_exact
+            from udacity_data_engineering_spark.operators.quality import (
+                gopher_signals,
+            )
+            from udacity_data_engineering_spark.operators.sharding import (
+                shard_by_token_budget,
+            )
+
+            bench = docs.filter(F.col("doc_id") % 100 == 7)
+            corpus = docs.filter(F.col("doc_id") % 100 != 7)
+            kept = (
+                gopher_signals(corpus, carry=("text",))
+                .filter(F.col("keep"))
+                .select("doc_id", "text")
+            )
+            survivors = dedup_exact(kept, "text", ["doc_id"])
+            contaminated = decontaminate_bloom(survivors, bench, n=4).select("doc_id")
+            clean = survivors.join(
+                contaminated, "doc_id", "left_anti"
+            ).localCheckpoint()
+            return (
+                shard_by_token_budget(clean, 8)
+                .groupBy("shard")
+                .agg(F.sum("n_tokens"))
+                .count()
+            )
+
         def jl_project():
             # round 12: JL random projection — map-only (literal +-1 rows,
             # codegen folds); must scale exactly with the scan
@@ -732,6 +768,7 @@ def main() -> None:
             "bloom_decontaminate": bloom_decon,
             "shard_assign": shard_assign,
             "random_projection": jl_project,
+            "export_pipeline": export_pipe,
             "kmeans_assign_batch": kmeans_assign_batch,
             "ivfpq_topk": ivfpq,
             "mmr_rerank": mmr,
