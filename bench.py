@@ -315,6 +315,7 @@ def main() -> None:
         "q_streaming_stateful_totals",
         "q_cms_sketch",
         "q_cms_estimates",
+        "q_edge_lake_time_travel",
     ):
         best = float("inf")
         for _ in range(REPS):  # best-of-3, matching BASELINE.md methodology

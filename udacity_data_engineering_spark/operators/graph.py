@@ -555,3 +555,105 @@ def q_edge_lake_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{stats['files_after']} files"
         )
     return read_click_edges(spark, lake_dir).orderBy("src", "dst")
+
+
+# --------------------------------------------------------------------------
+# Versioned edge lake + time-travel reads. The log-structured design above
+# already makes history cheap — deltas are additive and never rewritten —
+# so keeping the batch ordinal as a partition column buys time travel for
+# free: "the graph as of ingest batch N" is the merge over batch_id <= N,
+# and partition pruning means an as-of read LISTS only the first N+1
+# batch directories (the lakehouse time-travel feature, parquet-native).
+# --------------------------------------------------------------------------
+
+
+def click_edge_lake_versioned(
+    spark: SparkSession,
+    lake_dir: str,
+    batches: list[DataFrame],
+    page: F.Column | None = None,
+) -> None:
+    """Build a VERSIONED click-edge lake: batch ``i``'s edge deltas land
+    under ``batch_id=i`` partitions via dynamic partition overwrite, so a
+    replayed batch rewrites its own partition idempotently (the streaming
+    edge lake's at-least-once discipline). Batch contract as in
+    click_edge_lake: whole user streams per batch."""
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        for i, ev in enumerate(batches):
+            (
+                click_edges(ev, page=page)
+                .withColumn("batch_id", F.lit(i))
+                .write.mode("overwrite")
+                .partitionBy("batch_id")
+                .parquet(lake_dir)
+            )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def read_click_edges_asof(
+    spark: SparkSession, lake_dir: str, upto_batch: int
+) -> DataFrame:
+    """The merged edge view AS OF ingest batch ``upto_batch`` (inclusive):
+    sum deltas over batch_id <= N. The predicate is on the partition
+    column, so the scan prunes to the first N+1 batch directories —
+    history costs nothing to retain and an as-of read never lists
+    later batches. Declared schema (file-less-lake safe)."""
+    return (
+        spark.read.schema("src long, dst long, n_transitions long, batch_id int")
+        .parquet(lake_dir)
+        .filter(F.col("batch_id") <= upto_batch)
+        .groupBy("src", "dst")
+        .agg(F.sum("n_transitions").alias("n_transitions"))
+    )
+
+
+@register(
+    "q_edge_lake_time_travel",
+    oracle="""
+        WITH ev AS (
+            SELECT user_id, ts, event_id,
+                   CAST(props ->> 'k' AS BIGINT) AS page
+            FROM events
+            WHERE user_id % 4 <= 2
+        ), raw AS (
+            SELECT lag(page) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS src,
+                   page AS dst
+            FROM ev
+        )
+        SELECT src, dst, count(*) AS n_transitions
+        FROM raw WHERE src IS NOT NULL
+        GROUP BY src, dst
+    """,
+    doc="Lakehouse TIME TRAVEL over the versioned click-edge lake: four "
+    "user-bucketed ingest batches land as batch_id=0..3 delta "
+    "partitions (dynamic overwrite — replay-idempotent); the as-of "
+    "read at batch 2 merges batch_id <= 2 only, with the predicate on "
+    "the partition column so the scan prunes to three directories and "
+    "never lists later history. Hash-proven: the as-of view equals the "
+    "edges extracted from exactly the first three batches' users.",
+    tags=("E5", "graph", "sources", "physical"),
+)
+def q_edge_lake_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    ev = table(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix=f"edge_tt_{uuid.uuid4().hex[:12]}_")
+    lake = os.path.join(tmp, "lake")
+    # whole user streams per batch (the lake contract): bucket by user
+    batches = [ev.filter(F.pmod(F.col("user_id"), F.lit(4)) == i) for i in range(4)]
+    click_edge_lake_versioned(spark, lake, batches)
+    out = (
+        read_click_edges_asof(spark, lake, 2)
+        .orderBy("src", "dst")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
