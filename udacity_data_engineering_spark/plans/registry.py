@@ -133,10 +133,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # q_token_entropy, q_top_tokens_per_lang, q_text_normalize,
 # q_text_scrub, q_rolling_hash, q_repetition_filter, q_length_outliers,
 # q_profile, q_group_zscore, q_charlm_lang_filter, q_quality_ensemble,
-# q_doc_chunks_bpe) plus the four sql-surface rotations deferred to
-# make room for the round-12 additions (q_cte, q_in_subquery,
-# q_scalar_subquery, q_having) = 23 names. One rotation clears the debt
-# entirely with ~27 spine slots to spare; 11 rows-only names stay
+# q_doc_chunks_bpe), the four sql-surface rotations deferred to make
+# room for the round-12 additions (q_cte, q_in_subquery,
+# q_scalar_subquery, q_having), and the five round-12 operators built
+# after the window was fixed (q_export_pipeline, q_cms_sketch,
+# q_cms_estimates, q_streaming_stateful_totals,
+# q_edge_lake_time_travel) = 28 names. One rotation clears the debt
+# entirely with ~22 spine slots to spare; 11 rows-only names stay
 # sweep+pytest-verified by design.
 
 
