@@ -52,6 +52,13 @@ ALLOWLIST: dict[tuple[str, str], str] = {
         "guarded exact all-pairs oracle shape; LSH variant is the scale path",
     ("q_cms_estimates", "BroadcastNestedLoopJoin"):
         "1-row corpus-total frame cross-joined for the heavy-token threshold",
+    # the bloom prefilter broadcasts its whole bitmap as ONE packed
+    # word_idx->bits map row (<= m_bits/64 entries) and tests all k bit
+    # probes in a single map-side filter — fan-out exactly 1 per probe row
+    ("q_decontaminate_bloom", "BroadcastNestedLoopJoin"):
+        "1-row packed bloom-bitmap frame cross-joined; bounded by m_bits/64",
+    ("q_export_pipeline", "BroadcastNestedLoopJoin"):
+        "same 1-row packed bloom-bitmap frame (decontaminate_bloom stage)",
 }
 
 

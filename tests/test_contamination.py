@@ -112,7 +112,10 @@ def test_bloom_rejects_most_non_members(spark):
 
 
 def test_bloom_probe_side_never_shuffles(spark):
-    # the prefilter must be broadcast joins only — no Exchange on the probe
+    # the prefilter is ONE broadcast of the packed 1-row bitmap map plus a
+    # map-side filter testing all k bits — a single nested-loop join with
+    # fan-out exactly 1, never k join stages, never an Exchange on the
+    # probe side (ADVICE r12 rework)
     keys = spark.range(100).select(F.concat(F.lit("k"), F.col("id")).alias("shingle"))
     bm = build_shingle_bloom(keys, m_bits=1 << 10, k=3)
     plan = (
@@ -121,8 +124,12 @@ def test_bloom_probe_side_never_shuffles(spark):
         .executedPlan()
         .toString()
     )
-    assert "BroadcastHashJoin" in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "BroadcastHashJoin" not in plan  # no per-probe join stages
     assert "SortMergeJoin" not in plan
+    # the only Exchange anywhere is the bitmap build's own word-group
+    # aggregate + its broadcast — the probe side reads straight through
+    assert "Exchange hashpartitioning(shingle" not in plan
 
 
 def test_bloom_rejects_bad_m_bits(spark):

@@ -1,0 +1,137 @@
+"""Mergeable fixed-grid quantile sketch (operators/quantiles.py).
+
+Contracts under test: (1) the sketch is a pure histogram — cells match a
+hand count; (2) merge is associative/commutative and batch-split-
+invariant (sketch(A ∪ B) == merge(sketch(A), sketch(B)) in any order);
+(3) every estimate is within one bin width of the true quantile
+(inverted-CDF definition) when the data fits the domain; (4) sparse
+cells never shift an estimate (the dense-bin-id regression); (5)
+out-of-domain values clamp to edge bins instead of corrupting cells.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from udacity_data_engineering_spark.operators.quantiles import (
+    merge_quantile_sketches,
+    quantile_estimates,
+    quantile_sketch,
+)
+
+
+def _cells(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_sketch_cells_match_hand_count(spark):
+    df = spark.createDataFrame(
+        [(float(v),) for v in (0.5, 1.5, 1.6, 9.9, 5.0)], "v double"
+    )
+    sk = quantile_sketch(df, "v", lo=0.0, hi=10.0, n_bins=10)
+    assert _cells(sk) == {(0, 1), (1, 2), (5, 1), (9, 1)}
+
+
+def test_nulls_excluded(spark):
+    df = spark.createDataFrame([(1.0,), (None,), (None,)], "v double")
+    sk = quantile_sketch(df, "v", 0.0, 10.0, 10)
+    assert _cells(sk) == {(1, 1)}
+
+
+def test_out_of_domain_clamps_to_edge_bins(spark):
+    df = spark.createDataFrame([(-5.0,), (99.0,), (10.0,)], "v double")
+    sk = quantile_sketch(df, "v", 0.0, 10.0, 10)
+    # -5 -> bin 0; 99 and 10 (== hi) -> bin 9
+    assert _cells(sk) == {(0, 1), (9, 2)}
+
+
+def test_merge_equals_whole_and_is_order_invariant(spark):
+    rows = [(i % 3, float((i * 37) % 1000)) for i in range(300)]
+    df = spark.createDataFrame(rows, "g int, v double")
+    whole = quantile_sketch(df, "v", 0.0, 1000.0, 16, group_cols=("g",))
+    parts = [
+        quantile_sketch(
+            df.filter(F.col("v") % 4 == i), "v", 0.0, 1000.0, 16, group_cols=("g",)
+        )
+        for i in range(4)
+    ]
+    merged = merge_quantile_sketches(*parts)
+    reversed_merge = merge_quantile_sketches(*parts[::-1])
+    # nested grouping: merge(merge(p0,p1), merge(p2,p3)) — associativity
+    nested = merge_quantile_sketches(
+        merge_quantile_sketches(parts[0], parts[1]),
+        merge_quantile_sketches(parts[2], parts[3]),
+    )
+    want = _cells(whole)
+    assert _cells(merged) == want
+    assert _cells(reversed_merge) == want
+    assert _cells(nested) == want
+
+
+def test_estimate_within_one_bin_width(spark):
+    rng = np.random.default_rng(13)
+    vals = rng.uniform(0.0, 1000.0, 2000).tolist()
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    lo, hi, bins = 0.0, 1000.0, 50
+    width = (hi - lo) / bins
+    qs = (0.1, 0.5, 0.9, 0.99)
+    sk = quantile_sketch(df, "v", lo, hi, bins)
+    est = {r["q"]: r["est"] for r in quantile_estimates(sk, qs, lo, hi, bins).collect()}
+    arr = np.sort(np.array(vals))
+    for q in qs:
+        # inverted-CDF true quantile: element at rank ceil(q*n)
+        true = arr[int(np.ceil(q * len(arr))) - 1]
+        assert true <= est[q] <= true + width, (q, true, est[q])
+
+
+def test_sparse_bins_do_not_shift_estimates(spark):
+    # two occupied bins far apart: 10 values in bin 0, 10 in bin 9.
+    # p90 must be the upper edge of bin 9 (100.0), NOT bin 1's edge —
+    # the bug a row-position (vs bin-id) cumulative scan would have.
+    vals = [1.0] * 10 + [95.0] * 10
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    sk = quantile_sketch(df, "v", 0.0, 100.0, 10)
+    est = {r["q"]: r["est"] for r in quantile_estimates(sk, (0.5, 0.9), 0.0, 100.0, 10).collect()}
+    assert est[0.5] == pytest.approx(10.0)  # cum(bin 0) = 10 >= 0.5*20
+    assert est[0.9] == pytest.approx(100.0)
+
+
+def test_grouped_estimates_are_per_group(spark):
+    rows = [("a", float(i)) for i in range(100)] + [
+        ("b", float(i * 10)) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    sk = quantile_sketch(df, "v", 0.0, 1000.0, 100, group_cols=("g",))
+    est = {
+        (r["g"], r["q"]): r["est"]
+        for r in quantile_estimates(
+            sk, (0.5,), 0.0, 1000.0, 100, group_cols=("g",)
+        ).collect()
+    }
+    assert est[("a", 0.5)] == pytest.approx(50.0)
+    assert est[("b", 0.5)] == pytest.approx(500.0)
+
+
+def test_rejects_bad_grid(spark):
+    df = spark.createDataFrame([(1.0,)], "v double")
+    with pytest.raises(ValueError):
+        quantile_sketch(df, "v", 5.0, 5.0, 10)
+    with pytest.raises(ValueError):
+        quantile_sketch(df, "v", 0.0, 1.0, 0)
+    with pytest.raises(ValueError):
+        merge_quantile_sketches()
+
+
+def test_registered_queries_bounded_output(spark, sf_dir):
+    from udacity_data_engineering_spark.operators.quantiles import (
+        q_quantile_estimates,
+        q_quantile_sketch,
+    )
+
+    sk = q_quantile_sketch(spark, sf_dir)
+    assert sk.count() <= 3 * 64  # statuses x bins
+    est = q_quantile_estimates(spark, sf_dir).collect()
+    assert len(est) == 3 * 3  # statuses x quantiles
+    assert all(0.0 < r["est"] <= 512000.0 for r in est)

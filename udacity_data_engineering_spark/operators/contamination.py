@@ -155,28 +155,33 @@ def bloom_prefilter(
     k: int = 5,
 ) -> DataFrame:
     """Rows of ``probe`` whose ``key_col`` MIGHT be in the filter (no false
-    negatives). ``k`` broadcast hash joins of the tiny bitmap — the probe
-    side stays map-only: no shuffle, no regroup. Missing bitmap words read
-    as all-zero via the left join + coalesce."""
-    out = probe
+    negatives). ONE broadcast of the bitmap packed into a single-row
+    word_idx->bits map, then all ``k`` bit probes evaluated in one
+    map-side filter expression — no per-probe join stages (this replaced
+    k sequential broadcast hash joins, ADVICE r12). Missing bitmap words
+    read as all-zero via element_at + coalesce. The broadcast row is at
+    most ``m_bits/64`` map entries (~16 bytes each) regardless of key
+    count; the 1-row build side makes the nested-loop join a bounded
+    fan-out of exactly 1."""
+    packed = F.broadcast(
+        bitmap.agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("word_idx"), F.col("bits")))
+            ).alias("__bloom_words")
+        )
+    )
+    cond = F.lit(True)
     for j in range(k):
         pos = _bloom_pos(F.col(key_col), j, m_bits)
-        bm = F.broadcast(
-            bitmap.select(
-                F.col("word_idx").alias(f"__w{j}"), F.col("bits").alias(f"__b{j}")
-            )
+        mask = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), F.pmod(pos, F.lit(64)).cast("int")
         )
-        out = (
-            out.withColumn(f"__m{j}", F.call_function("shiftleft", F.lit(1).cast("long"), F.pmod(pos, F.lit(64)).cast("int")))
-            .withColumn(f"__wp{j}", (pos / 64).cast("long"))
-            .join(bm, F.col(f"__wp{j}") == F.col(f"__w{j}"), "left")
-            .filter(
-                F.coalesce(F.col(f"__b{j}"), F.lit(0).cast("long")).bitwiseAND(F.col(f"__m{j}"))
-                == F.col(f"__m{j}")
-            )
-            .drop(f"__m{j}", f"__wp{j}", f"__w{j}", f"__b{j}")
+        word = F.coalesce(
+            F.element_at(F.col("__bloom_words"), (pos / 64).cast("long")),
+            F.lit(0).cast("long"),
         )
-    return out
+        cond = cond & (word.bitwiseAND(mask) == mask)
+    return probe.join(packed).filter(cond).drop("__bloom_words")
 
 
 def decontaminate_bloom(
@@ -235,8 +240,9 @@ def decontaminate_bloom(
     doc="Bloom-prefiltered decontamination — the scale path when the "
     "benchmark shingle set is too big to broadcast as strings: build a "
     "distributed Bloom bitmap (bit_or over 64-bit words, <= m/64 rows), "
-    "prefilter corpus shingles map-side via k broadcast joins of the "
-    "bitmap (no false negatives), exact-join only the survivors. "
+    "prefilter corpus shingles map-side — ONE broadcast of the packed "
+    "bitmap map, all k bit probes in one filter expression, no false "
+    "negatives — then exact-join only the survivors. "
     "Hash-identical to q_decontaminate, so the exact oracle proves the "
     "whole bloom path end to end.",
     tags=("E10", "E11", "llm-pipeline", "physical"),

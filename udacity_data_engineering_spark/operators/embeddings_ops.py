@@ -128,8 +128,8 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # derived from pure integer arithmetic over (input_dim, output_dim) index
 # pairs, so BOTH engines (and any re-run, any cluster size) materialize the
 # identical matrix without shipping one: the operator is map-only (the
-# matrix enters the plan as literal +-1 arrays, the dot products are
-# codegen'd higher-order folds) and the result is SQL-provable. Production
+# +-1 weights are computed inside the codegen'd higher-order fold from the
+# element index itself) and the result is SQL-provable. Production
 # use: shrink d=1024 embeddings to r=64 before LSH banding / coarse ANN —
 # JL guarantees pairwise-distance distortion O(sqrt(log n / r)).
 # --------------------------------------------------------------------------
@@ -154,26 +154,37 @@ def random_projection(
 ) -> DataFrame:
     """Project every vector onto ``r`` deterministic Rademacher directions;
     returns long format (id, j, comp) with j in [0, r). Map-only: no
-    shuffle, no matrix broadcast — the +-1 rows are plan literals and each
-    component is one fold over zip_with inside codegen. Null vectors are
-    excluded (they have no projection)."""
+    shuffle, no matrix broadcast, no plan-time job — the +-1 weight for
+    element i is the same integer arithmetic evaluated IN the expression
+    (``transform`` with index), so each row is projected against its own
+    length: mixed-width inputs each get their exact projection instead of
+    zip_with null-padding to an eagerly-sampled first row's width (ADVICE
+    r12). Null vectors are excluded (they have no projection).
+
+    Cross-engine parity note: ``round(dot, 6)`` compares Spark's
+    sequential left fold against DuckDB's arbitrary-order SUM; double
+    addition is non-associative, so a dot product sitting exactly on a
+    1e-6 rounding boundary could in principle flip. Synthetic-data sweeps
+    have never hit one; if a sweep ever flakes here, widen this round
+    before suspecting the operator."""
     if r < 1:
         raise ValueError(f"r must be >= 1, got {r}")
     rows = emb.filter(F.col(vec_col).isNotNull())
-    first = rows.select(vec_col).first()
-    if first is None:
-        d = 0
-    else:
-        d = len(first[0])
     e = F.col(vec_col).cast("array<double>")
+
+    def signer(jb: int):
+        # F.transform infers lambda arity from the signature: keep it
+        # exactly (element, index), binding j's offset via this closure
+        return lambda x, i: x * F.when(
+            F.pmod(i.cast("bigint") * F.lit(_JL_A) + F.lit(jb), F.lit(_JL_M))
+            < F.lit(_JL_T),
+            F.lit(1.0),
+        ).otherwise(F.lit(-1.0))
+
     comps = []
     for j in range(r):
-        w = F.array(*[F.lit(_rademacher(i, j)) for i in range(d)])
-        dot = F.aggregate(
-            F.zip_with(e, w, lambda x, wv: x * wv),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+        signed = F.transform(e, signer(j * _JL_B))
+        dot = F.aggregate(signed, F.lit(0.0), lambda acc, v: acc + v)
         comps.append(F.round(dot, 6))
     return rows.select(
         F.col(id_col), F.posexplode(F.array(*comps)).alias("j", "comp")

@@ -1,0 +1,213 @@
+"""Mergeable quantile sketch — fixed-boundary histogram summaries, the
+third leg of the sketch warehouse (HLL = distinct, CMS = frequency,
+this = quantiles; charter extension, SURVEY.md §2B — the reference has
+no aggregation surface beyond count, etl.py:188).
+
+A 100 TB deployment can't sort to answer "p99 latency per day"; it keeps
+a per-partition/per-day summary and merges. GK/KLL sketches do this with
+adaptive boundaries, but their compaction is rank-order-dependent —
+unprovable against a SQL oracle. A FIXED-grid histogram has the same
+warehouse algebra (cells are counts → merge is elementwise SUM, fully
+associative and commutative) with deterministic, engine-independent cell
+assignment, so DuckDB recomputes the identical sketch and the driver
+hash-proves both the cells and the derived quantile estimates — the CMS
+provability posture (cms.py). The price is a fixed value domain
+[lo, hi) and a rank-independent error bound: every estimate is within
+one bin width of the true quantile (pinned in tests/test_quantiles.py),
+vs GK's rank-relative eps*n. For curation metrics with known domains
+(lengths, scores, prices), the fixed grid is the right trade.
+
+Scale shape: one scan + one partial-aggregating shuffle of at most
+``groups x n_bins`` cells; estimates read only the sketch (never the
+data), so a year of daily sketches answers any percentile question with
+zero raw-data IO.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from udacity_data_engineering_spark.plans.registry import register
+from udacity_data_engineering_spark.session import table
+
+
+def bin_of(value: Column, lo: float, hi: float, n_bins: int) -> Column:
+    """Dense bin id for ``value`` on the fixed grid: floor((x-lo)/width)
+    clamped into [0, n_bins-1], so out-of-domain values land in the edge
+    bins instead of corrupting the cell space (their estimates then
+    saturate at the domain edge — deterministic, never wrong cells)."""
+    width = (hi - lo) / n_bins
+    raw = F.floor((value - F.lit(lo)) / F.lit(width))
+    return F.least(
+        F.greatest(raw, F.lit(0).cast("long")), F.lit(n_bins - 1).cast("long")
+    ).cast("int")
+
+
+def quantile_sketch(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 64,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Histogram sketch cells (group..., bin, cnt) over the fixed grid —
+    at most ``|groups| * n_bins`` rows at any input size. NULL values
+    carry no rank information and are excluded. Cells are additive:
+    per-partition / per-batch / per-day sketches merge with
+    :func:`merge_quantile_sketches` (elementwise sum)."""
+    if not lo < hi:
+        raise ValueError(f"need lo < hi, got [{lo}, {hi})")
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    g = list(group_cols)
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*g, bin_of(F.col(value_col), lo, hi, n_bins).alias("bin"))
+        .groupBy(*g, "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def merge_quantile_sketches(*sketches: DataFrame) -> DataFrame:
+    """Merge any number of sketches over the SAME grid: union + sum per
+    cell. Associative and commutative by construction (integer addition),
+    so merge order and batch split never change the result — the property
+    that makes the sketch a warehouse object (pinned in tests)."""
+    if not sketches:
+        raise ValueError("need at least one sketch")
+    merged = sketches[0]
+    for s in sketches[1:]:
+        merged = merged.unionByName(s)
+    keys = [c for c in merged.columns if c != "cnt"]
+    return merged.groupBy(*keys).agg(F.sum("cnt").alias("cnt"))
+
+
+def quantile_estimates(
+    sketch: DataFrame,
+    qs: Sequence[float],
+    lo: float,
+    hi: float,
+    n_bins: int = 64,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Quantile estimates from the sketch alone: for each q, the upper
+    edge of the first bin whose cumulative count reaches q*n —
+    ``est = lo + width * (k+1)`` with ``k = min{bin : cum(bin) >= q*n}``.
+    The true q-quantile lies in (est - width, est] whenever the data fits
+    the domain, so the absolute error is bounded by one bin width.
+
+    The cumulative scan keys on the BIN ID, not the (possibly sparse)
+    cell row position — empty bins must not shift the estimate. Windows
+    are per-group over at most n_bins rows; with no groups the sketch is
+    a single <= n_bins-row frame, so the single-partition window is
+    bounded by construction, never by the data."""
+    width = (hi - lo) / n_bins
+    g = list(group_cols)
+    w_cum = (
+        Window.partitionBy(*g)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*g)
+    cum = sketch.withColumn("__cum", F.sum("cnt").over(w_cum)).withColumn(
+        "__n", F.sum("cnt").over(w_all)
+    )
+    exploded = cum.select(
+        *g,
+        "bin",
+        "__cum",
+        "__n",
+        F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"),
+    )
+    k = F.min(F.when(F.col("__cum") >= F.col("q") * F.col("__n"), F.col("bin")))
+    return exploded.groupBy(*g, "q").agg(
+        (F.lit(lo) + F.lit(width) * (k + 1).cast("double")).alias("est")
+    )
+
+
+# Registered grid for the orders.o_totalprice demo: the synthetic domain
+# is ~[1e3, 5e5); 64 bins over [0, 512000) gives an exactly-representable
+# width of 8000.0 (both engines compute identical bin ids on exact
+# doubles). These constants appear verbatim in the oracle SQL — in sync.
+_LO, _HI, _BINS = 0.0, 512000.0, 64
+_WIDTH = (_HI - _LO) / _BINS
+_QS = (0.5, 0.9, 0.99)
+
+_CELLS_SQL = f"""
+        SELECT o_orderstatus,
+               CAST(LEAST(GREATEST(floor((o_totalprice - {_LO}) / {_WIDTH}), 0),
+                          {_BINS - 1}) AS INT) AS bin
+        FROM orders
+        WHERE o_totalprice IS NOT NULL
+"""
+
+
+@register(
+    "q_quantile_sketch",
+    oracle=f"""
+        WITH cells AS ({_CELLS_SQL})
+        SELECT o_orderstatus, bin, count(*) AS cnt
+        FROM cells
+        GROUP BY o_orderstatus, bin
+    """,
+    doc="Mergeable quantile sketch (fixed-grid histogram, 64 bins over "
+    "[0, 512000)) of order totals per status: at most groups x 64 cells "
+    "at any scale, one partial-aggregating shuffle, cells additive so "
+    "per-batch sketches merge by summing — the warehouse object a 100 TB "
+    "percentile rollup actually stores. Grid assignment is engine-"
+    "independent double arithmetic, so DuckDB rebuilds the identical "
+    "sketch and the driver hash-proves it (the CMS posture).",
+    tags=("E1", "E2", "llm-pipeline", "sketch"),
+)
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    return quantile_sketch(
+        orders, "o_totalprice", _LO, _HI, _BINS, group_cols=("o_orderstatus",)
+    )
+
+
+@register(
+    "q_quantile_estimates",
+    oracle=f"""
+        WITH cells AS ({_CELLS_SQL}),
+        sk AS (
+            SELECT o_orderstatus, bin, count(*) AS cnt
+            FROM cells GROUP BY o_orderstatus, bin
+        ),
+        cum AS (
+            SELECT o_orderstatus, bin,
+                   sum(cnt) OVER (PARTITION BY o_orderstatus ORDER BY bin)
+                       AS c,
+                   sum(cnt) OVER (PARTITION BY o_orderstatus) AS n
+            FROM sk
+        )
+        SELECT o_orderstatus,
+               CAST(q AS DOUBLE) AS q,
+               {_LO} + {_WIDTH} * CAST(
+                   min(CASE WHEN c >= CAST(q AS DOUBLE) * n THEN bin END) + 1
+                   AS DOUBLE) AS est
+        FROM cum
+        CROSS JOIN (VALUES (0.5), (0.9), (0.99)) AS qq(q)
+        GROUP BY o_orderstatus, q
+    """,
+    doc="p50/p90/p99 of order totals per status answered from the SKETCH "
+    "alone (zero raw-data IO): est = upper edge of the first bin whose "
+    "cumulative count reaches q*n, keyed on the dense bin id so sparse "
+    "cells never shift the answer; |est - true quantile| <= one bin "
+    "width (8000), pinned in tests. Windows run per group over <= 64 "
+    "sketch rows. Both the sketch and the estimate arithmetic are "
+    "recomputed independently in DuckDB.",
+    tags=("E1", "E2", "llm-pipeline", "sketch"),
+)
+def q_quantile_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    sk = quantile_sketch(
+        orders, "o_totalprice", _LO, _HI, _BINS, group_cols=("o_orderstatus",)
+    )
+    return quantile_estimates(
+        sk, _QS, _LO, _HI, _BINS, group_cols=("o_orderstatus",)
+    )

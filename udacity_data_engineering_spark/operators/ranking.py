@@ -49,8 +49,10 @@ from udacity_data_engineering_spark.session import table
 
 #: Default bucket count for the two-phase rank. More buckets = more
 #: parallelism and smaller per-window state. Bucket assignment is one
-#: O(1)-depth higher-order-function node and offsets arrive via a
-#: broadcast join (never a B-deep CASE chain), so large B is safe for
+#: O(1)-depth higher-order-function node and offsets arrive via a dense
+#: element_at lookup — plan-literal array at small B, broadcast 1-row
+#: array frame at huge B (never a B-deep CASE chain, never a join on the
+#: derived bucket key), so large B is safe for
 #: Catalyst; the remaining O(B) driver costs are the percentile sketch
 #: result and the counts collect — at 100 TB pick ~2-4x the executor-core
 #: count (hundreds to a few thousand), not more: past that the sketch
@@ -125,18 +127,30 @@ def exact_global_rank(
         )
 
     # huge-B fallback: a 16k+-child literal array bloats the plan, so ship
-    # offsets via a broadcast join on __bkt (B tiny rows) instead
-    offsets: list[tuple[int, int]] = []
+    # the SAME dense offset array as DATA — a broadcast 1-row frame cross-
+    # joined (fan-out exactly 1) and indexed with element_at. No join on
+    # __bkt means the Catalyst constraint-inference bug the dense branch
+    # sidesteps (the HOF bucket expr inlined into a filter pushed across
+    # the join, INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND) cannot trigger here
+    # either, at any B (ADVICE r12: the old broadcast-join-on-__bkt
+    # fallback kept the exposure for buckets > 16384 + derived keys).
+    dense_big: list[int] = []
     acc = 0
-    for bkt in sorted(counts):
-        offsets.append((bkt, acc))
-        acc += counts[bkt]
+    for bkt in range(n_buckets):
+        dense_big.append(acc)
+        acc += counts.get(bkt, 0)
     spark = df.sparkSession
-    off_df = spark.createDataFrame(offsets, "__bkt int, __off long")
+    off_df = spark.createDataFrame([(dense_big,)], "__offs array<long>")
     return (
-        bucketed.join(F.broadcast(off_df), "__bkt")
-        .withColumn(out, (F.col("__off") + F.row_number().over(w)).cast("long"))
-        .drop("__bkt", "__off")
+        bucketed.crossJoin(F.broadcast(off_df))
+        .withColumn(
+            out,
+            (
+                F.element_at(F.col("__offs"), F.col("__bkt") + 1)
+                + F.row_number().over(w)
+            ).cast("long"),
+        )
+        .drop("__bkt", "__offs")
     )
 
 
