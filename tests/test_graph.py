@@ -250,3 +250,69 @@ def test_versioned_write_is_replay_idempotent(spark, sf_dir, tmp_path):
     click_edge_lake_versioned(spark, lake, [batches[0], batches[1], batches[2]])
     after = read_click_edges_asof(spark, lake, 3).orderBy("src", "dst").collect()
     assert after == before
+
+
+# ---------------------------------------------------------------------------
+# Vacuum (vacuum_edge_lake / read_vacuum_horizon) — history folding must
+# keep retained as-of reads byte-identical and make expired reads loud
+# ---------------------------------------------------------------------------
+
+import os
+
+import pytest
+
+from udacity_data_engineering_spark.operators.graph import (
+    read_vacuum_horizon,
+    vacuum_edge_lake,
+)
+
+
+def test_vacuum_preserves_retained_asof_reads(spark, sf_dir, tmp_path):
+    _, lake, _ = _tt_lake(spark, sf_dir, tmp_path)
+    before_2 = read_click_edges_asof(spark, lake, 2).orderBy("src", "dst").collect()
+    before_3 = read_click_edges_asof(spark, lake, 3).orderBy("src", "dst").collect()
+    assert vacuum_edge_lake(spark, lake, horizon=1) == [0]
+    # the horizon read itself and everything past it: byte-identical
+    after_2 = read_click_edges_asof(spark, lake, 2).orderBy("src", "dst").collect()
+    after_3 = read_click_edges_asof(spark, lake, 3).orderBy("src", "dst").collect()
+    assert after_2 == before_2
+    assert after_3 == before_3
+    # expired directory is really gone; checkpoint partition remains
+    assert not os.path.exists(os.path.join(lake, "batch_id=0"))
+    assert os.path.exists(os.path.join(lake, "batch_id=1"))
+
+
+def test_vacuum_read_past_horizon_fails_loudly(spark, sf_dir, tmp_path):
+    _, lake, _ = _tt_lake(spark, sf_dir, tmp_path)
+    vacuum_edge_lake(spark, lake, horizon=2)
+    assert read_vacuum_horizon(spark, lake) == 2
+    for expired in (0, 1):
+        with pytest.raises(RuntimeError, match="vacuum horizon"):
+            read_click_edges_asof(spark, lake, expired)
+    # the horizon itself still answers
+    assert read_click_edges_asof(spark, lake, 2).count() > 0
+
+
+def test_vacuum_horizon_at_read_boundary_equals_prevacuum(spark, sf_dir, tmp_path):
+    # folding 0..2 into batch_id=2 must equal the pre-vacuum as-of-2 view
+    _, lake, _ = _tt_lake(spark, sf_dir, tmp_path)
+    before = read_click_edges_asof(spark, lake, 2).orderBy("src", "dst").collect()
+    assert vacuum_edge_lake(spark, lake, horizon=2) == [0, 1]
+    after = read_click_edges_asof(spark, lake, 2).orderBy("src", "dst").collect()
+    assert after == before
+
+
+def test_vacuum_rejects_regressing_horizon(spark, sf_dir, tmp_path):
+    _, lake, _ = _tt_lake(spark, sf_dir, tmp_path)
+    vacuum_edge_lake(spark, lake, horizon=2)
+    with pytest.raises(RuntimeError, match="precedes"):
+        vacuum_edge_lake(spark, lake, horizon=1)
+    # re-vacuuming at a LATER horizon on an already-vacuumed lake works:
+    # the checkpoint partition participates like any other delta batch
+    head = read_click_edges_asof(spark, lake, 3).orderBy("src", "dst").collect()
+    assert vacuum_edge_lake(spark, lake, horizon=3) == [2]
+    assert read_vacuum_horizon(spark, lake) == 3
+    assert (
+        read_click_edges_asof(spark, lake, 3).orderBy("src", "dst").collect()
+        == head
+    )

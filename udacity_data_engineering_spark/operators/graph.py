@@ -600,7 +600,18 @@ def read_click_edges_asof(
     sum deltas over batch_id <= N. The predicate is on the partition
     column, so the scan prunes to the first N+1 batch directories —
     history costs nothing to retain and an as-of read never lists
-    later batches. Declared schema (file-less-lake safe)."""
+    later batches. Declared schema (file-less-lake safe).
+
+    If the lake has been vacuumed (see :func:`vacuum_edge_lake`), reads
+    into the expired range fail LOUDLY: below the horizon the deltas are
+    gone and the folded checkpoint would silently answer for a later
+    point in time — the one wrong answer time travel must never give."""
+    horizon = read_vacuum_horizon(spark, lake_dir)
+    if upto_batch < horizon:
+        raise RuntimeError(
+            f"as-of batch {upto_batch} predates the vacuum horizon "
+            f"{horizon}: that history has been expired"
+        )
     return (
         spark.read.schema("src long, dst long, n_transitions long, batch_id int")
         .parquet(lake_dir)
@@ -650,6 +661,173 @@ def q_edge_lake_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # whole user streams per batch (the lake contract): bucket by user
     batches = [ev.filter(F.pmod(F.col("user_id"), F.lit(4)) == i) for i in range(4)]
     click_edge_lake_versioned(spark, lake, batches)
+    out = (
+        read_click_edges_asof(spark, lake, 2)
+        .orderBy("src", "dst")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+# --------------------------------------------------------------------------
+# VACUUM for the versioned edge lake — the missing lifecycle edge of time
+# travel. Retaining every delta forever makes history free but unbounded;
+# the standard lakehouse answer (Delta/Iceberg VACUUM / expire_snapshots)
+# trades history depth for storage: everything OLDER than a horizon batch
+# is folded into one checkpoint partition at the horizon, the expired
+# partition directories are dropped (directory-level deletes, zero data
+# read beyond the single merge scan), and as-of reads AT or PAST the
+# horizon stay byte-identical while reads INTO the expired range fail
+# loudly — never silently answer with the folded prefix.
+# --------------------------------------------------------------------------
+
+#: lake-root marker file recording the oldest still-readable batch id.
+#: Hidden from parquet discovery (leading underscore), read by
+#: read_click_edges_asof to reject time travel into expired history.
+VACUUM_MARKER = "_vacuum_horizon"
+
+_EDGE_SCHEMA = "src long, dst long, n_transitions long, batch_id int"
+
+
+def _lake_fs(spark: SparkSession, lake_dir: str):
+    jvm = spark._jvm
+    jroot = jvm.org.apache.hadoop.fs.Path(lake_dir)
+    return jvm, jroot.getFileSystem(spark._jsc.hadoopConfiguration()), jroot
+
+
+def read_vacuum_horizon(spark: SparkSession, lake_dir: str) -> int:
+    """The oldest as-of batch the lake can still answer exactly (0 when
+    never vacuumed). Hadoop-FS API throughout, so the marker works on
+    any scheme the lake itself works on."""
+    jvm, fs, jroot = _lake_fs(spark, lake_dir)
+    marker = jvm.org.apache.hadoop.fs.Path(lake_dir, VACUUM_MARKER)
+    if not fs.exists(marker):
+        return 0
+    reader = jvm.java.io.BufferedReader(
+        jvm.java.io.InputStreamReader(fs.open(marker))
+    )
+    try:
+        return int(reader.readLine().strip())
+    finally:
+        reader.close()
+
+
+def _write_vacuum_horizon(spark: SparkSession, lake_dir: str, horizon: int) -> None:
+    jvm, fs, _ = _lake_fs(spark, lake_dir)
+    marker = jvm.org.apache.hadoop.fs.Path(lake_dir, VACUUM_MARKER)
+    out = fs.create(marker, True)
+    try:
+        out.write(bytearray(f"{horizon}\n".encode()))
+    finally:
+        out.close()
+
+
+def vacuum_edge_lake(
+    spark: SparkSession, lake_dir: str, horizon: int
+) -> list[int]:
+    """Fold every batch with ``batch_id <= horizon`` into ONE checkpoint
+    partition at ``batch_id=horizon`` and drop the older directories.
+    Returns the expired batch ids. Idempotent staging protocol (crash at
+    any step leaves a resumable lake, never a double-counting one):
+
+    1. merge batch_id <= horizon into ``_vacuum_staging`` (overwrite) —
+       unless staging already holds a completed merge from a crashed
+       run, in which case recomputing from the possibly-partially-
+       deleted source partitions would be WRONG and the stage is reused;
+    2. delete every batch_id <= horizon partition directory;
+    3. rename staging to ``batch_id=horizon`` (the staged files carry no
+       batch_id column — hive layout derives it from the directory);
+    4. record the horizon marker, enforced by read_click_edges_asof.
+    """
+    import os
+
+    jvm, fs, jroot = _lake_fs(spark, lake_dir)
+    staging = jvm.org.apache.hadoop.fs.Path(lake_dir, "_vacuum_staging")
+    staging_done = jvm.org.apache.hadoop.fs.Path(
+        os.path.join(lake_dir, "_vacuum_staging", "_SUCCESS")
+    )
+    prev_horizon = read_vacuum_horizon(spark, lake_dir)
+    if horizon < prev_horizon:
+        raise RuntimeError(
+            f"vacuum horizon {horizon} precedes already-expired history "
+            f"(current horizon {prev_horizon})"
+        )
+
+    if not (fs.exists(staging) and fs.exists(staging_done)):
+        merged = (
+            spark.read.schema(_EDGE_SCHEMA)
+            .parquet(lake_dir)
+            .filter(F.col("batch_id") <= horizon)  # partition-pruned scan
+            .groupBy("src", "dst")
+            .agg(F.sum("n_transitions").alias("n_transitions"))
+            # lineage cut: the write below deletes the directories this
+            # plan reads (same discipline as compact_edge_lake)
+            .localCheckpoint(eager=True)
+        )
+        merged.write.mode("overwrite").parquet(
+            os.path.join(lake_dir, "_vacuum_staging")
+        )
+
+    from udacity_data_engineering_spark.sources.lake import retention_expire
+
+    expired = retention_expire(
+        spark, lake_dir, "batch_id", lambda v: int(v) <= horizon
+    )
+    target = jvm.org.apache.hadoop.fs.Path(lake_dir, f"batch_id={horizon}")
+    if not fs.rename(staging, target):
+        raise RuntimeError(f"vacuum commit rename failed: {staging} -> {target}")
+    _write_vacuum_horizon(spark, lake_dir, horizon)
+    # the horizon partition was deleted-then-recreated as the checkpoint,
+    # so only ids strictly below it are truly expired history
+    return sorted(int(v) for v in expired if int(v) < horizon)
+
+
+@register(
+    "q_edge_lake_vacuum",
+    oracle="""
+        WITH ev AS (
+            SELECT user_id, ts, event_id,
+                   CAST(props ->> 'k' AS BIGINT) AS page
+            FROM events
+            WHERE user_id % 4 <= 2
+        ), raw AS (
+            SELECT lag(page) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS src,
+                   page AS dst
+            FROM ev
+        )
+        SELECT src, dst, count(*) AS n_transitions
+        FROM raw WHERE src IS NOT NULL
+        GROUP BY src, dst
+    """,
+    doc="Lakehouse VACUUM over the versioned click-edge lake: four "
+    "user-bucketed ingest batches, then history below batch 1 is folded "
+    "into one checkpoint partition at batch_id=1 (staging + directory "
+    "rename — crash-resumable, never double-counting) and batch_id=0 is "
+    "dropped. The as-of read at batch 2 afterwards must be IDENTICAL to "
+    "what it returned before the vacuum — hash-proven against the same "
+    "first-three-batches oracle as q_edge_lake_time_travel. Reads below "
+    "the recorded horizon raise (pinned in tests/test_graph.py) — "
+    "expired history fails loudly, never silently answers with the "
+    "folded prefix.",
+    tags=("E5", "graph", "sources", "physical"),
+)
+def q_edge_lake_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    ev = table(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix=f"edge_vac_{uuid.uuid4().hex[:12]}_")
+    lake = os.path.join(tmp, "lake")
+    batches = [ev.filter(F.pmod(F.col("user_id"), F.lit(4)) == i) for i in range(4)]
+    click_edge_lake_versioned(spark, lake, batches)
+    expired = vacuum_edge_lake(spark, lake, horizon=1)
+    if expired != [0]:
+        raise RuntimeError(f"vacuum expired {expired}, expected [0]")
     out = (
         read_click_edges_asof(spark, lake, 2)
         .orderBy("src", "dst")
