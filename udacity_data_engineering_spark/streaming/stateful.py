@@ -58,6 +58,72 @@ ROCKSDB_PROVIDER = (
 )
 
 
+def ensure_tws_runtime(spark) -> bool:
+    """Make ``google.protobuf`` importable in the DRIVER and the Python
+    WORKERS of an already-running session — the self-provisioning twin
+    of tests/conftest.py's pre-JVM PYTHONPATH wiring. Under the external
+    driver the JVM is up before any of this repo's code runs, so
+    PYTHONPATH mutation can't reach the workers; instead:
+
+    - driver: vendor/protobuf_shim goes on sys.path (bridges to the
+      Cloud SDK's bundled pure-Python runtime; no-op where a real
+      protobuf is installed);
+    - workers: the shim is zipped once and shipped via
+      ``sc.addPyFile`` — python-includes land on every worker's
+      sys.path at task start, JVM-start-independent;
+    - both: PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION=python (os.environ
+      for the driver, ``sc.environment`` for workers — the env map new
+      PythonFunctions capture) so the SDK's possibly-foreign-ABI C
+      extension is never loaded.
+
+    Returns False when even the shim has no runtime to bridge to (no
+    SDK install) — callers surface that as an actionable error.
+    """
+    import os
+    import sys
+    import tempfile
+    import zipfile
+    from pathlib import Path
+
+    os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
+    shim_root = Path(__file__).resolve().parents[2] / "vendor" / "protobuf_shim"
+    shim_init = shim_root / "google" / "__init__.py"
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        if not shim_init.exists():
+            return False
+        sys.path.insert(0, str(shim_root))
+        try:
+            import google.protobuf  # noqa: F401
+        except ImportError:
+            return False
+
+    sc = spark.sparkContext
+    sc.environment["PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION"] = "python"
+    if shim_init.exists():
+        # TWS also spawns a DRIVER-side python worker (the state-schema
+        # exchange server) that never sees addPyFile includes; its
+        # PythonWorkerFactory merges the function's envVars PYTHONPATH,
+        # which sc.environment feeds — so the shim path must ride there
+        # too (same-host in local mode; a real cluster ships the zip via
+        # --py-files at submit time instead)
+        existing = sc.environment.get("PYTHONPATH", "")
+        if str(shim_root) not in existing.split(os.pathsep):
+            sc.environment["PYTHONPATH"] = str(shim_root) + (
+                os.pathsep + existing if existing else ""
+            )
+    if shim_init.exists() and not getattr(sc, "_tws_shim_shipped", False):
+        zpath = os.path.join(
+            tempfile.gettempdir(), f"protobuf_shim_{os.getpid()}.zip"
+        )
+        with zipfile.ZipFile(zpath, "w") as z:
+            z.write(shim_init, "google/__init__.py")
+        sc.addPyFile(zpath)
+        sc._tws_shim_shipped = True  # addPyFile twice would warn/fail
+    return True
+
+
 def running_user_totals_tws(events: DataFrame) -> DataFrame:
     """Same cumulative totals on Spark 4's ``transformWithStateInPandas``
     — the successor arbitrary-state API (SPARK-45939 lineage): named

@@ -675,3 +675,78 @@ def q_streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.catalog.dropTempView(sink)
     shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+@register(
+    "q_streaming_stateful_totals_tws",
+    oracle="""
+        SELECT user_id,
+               count(*) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM events
+        GROUP BY user_id
+    """,
+    doc="E14: the SAME cumulative per-user totals as "
+    "q_streaming_stateful_totals, on Spark 4's transformWithStateInPandas "
+    "— the successor arbitrary-state API (named ValueState on a handle, "
+    "RocksDB state store; streaming/stateful.py running_user_totals_tws) "
+    "— executed as a real 6-micro-batch stream and hash-proven against "
+    "the plain SQL aggregate. The TWS runtime is self-provisioned at "
+    "query time (stateful.ensure_tws_runtime: protobuf shim on the "
+    "driver's sys.path + addPyFile'd to workers + pure-Python protobuf "
+    "pinned via sc.environment), because under the external driver the "
+    "JVM predates this repo's code and PYTHONPATH can't reach workers. "
+    "State is one (long, double) pair per user — constant per key.",
+    tags=("E14", "streaming", "pandas"),
+)
+def q_streaming_stateful_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from udacity_data_engineering_spark.streaming.stateful import (
+        ROCKSDB_PROVIDER,
+        ensure_tws_runtime,
+        running_user_totals_tws,
+    )
+
+    if not ensure_tws_runtime(spark):
+        raise RuntimeError(
+            "transformWithStateInPandas needs google.protobuf and neither "
+            "a protobuf install nor the vendor/protobuf_shim SDK bridge "
+            "is available in this environment"
+        )
+    ev = table(spark, sf_dir, "events")
+
+    run_id = uuid.uuid4().hex[:12]
+    tmp = tempfile.mkdtemp(prefix=f"stream_tws_{run_id}_")
+    feed_dir = os.path.join(tmp, "feed")
+    ev.repartition(6).write.mode("overwrite").parquet(feed_dir)
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, ROCKSDB_PROVIDER)
+    sink = f"stream_tws_sink_{run_id}"
+    try:
+        run_available_now(
+            running_user_totals_tws(
+                stream_events(spark, feed_dir, max_files_per_trigger=1)
+            ),
+            sink,
+            os.path.join(tmp, "ckpt"),
+            output_mode="update",
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    # final cumulative emission per user — n_events is strictly monotone
+    out = (
+        spark.table(sink)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("sum_value", "n_events").alias("sum_value"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    spark.catalog.dropTempView(sink)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
