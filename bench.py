@@ -83,7 +83,9 @@ def slim_output(out: dict) -> dict:
     everything except the per-extension map (full detail is written to
     BENCH_DETAIL.json), with the extension total kept inline so
     extension regressions still move a driver-visible number."""
-    slim = {k: v for k, v in out.items() if k != "extensions"}
+    slim = {
+        k: v for k, v in out.items() if k not in ("extensions", "extensions_median")
+    }
     ext = out.get("extensions", {})
     slim["extensions_total"] = round(sum(ext.values()), 3)
     slim["n_extensions"] = len(ext)
@@ -212,6 +214,7 @@ def main() -> None:
 
     manifest = all_queries()
     extensions = {}
+    extensions_median = {}
     for name in (
         "q_window_rank", "q_asof_join", "q_tumbling_agg", "q_session_window",
         "q_cosine_topk", "q_minhash_candidates", "q_text_tokens",
@@ -316,9 +319,14 @@ def main() -> None:
         "q_cms_sketch",
         "q_cms_estimates",
         "q_edge_lake_time_travel",
+        # round-13 additions
+        "q_quantile_sketch",
+        "q_quantile_estimates",
+        "q_edge_lake_vacuum",
+        "q_streaming_stateful_totals_tws",
     ):
-        best = float("inf")
-        for _ in range(REPS):  # best-of-3, matching BASELINE.md methodology
+        times = []
+        for _ in range(REPS):  # 3 reps, matching BASELINE.md methodology
             t0 = time.perf_counter()
             # noop sink, not count(): count() lets Catalyst prune unused
             # expression subtrees (measured: q_dsir_mix's whole log-ratio
@@ -327,8 +335,15 @@ def main() -> None:
             manifest[name].fn(spark, SF_DIR).write.format("noop").mode(
                 "overwrite"
             ).save()
-            best = min(best, time.perf_counter() - t0)
-        extensions[name] = round(best, 3)
+            times.append(time.perf_counter() - t0)
+        # best is the cross-round comparison number (BASELINE.md method);
+        # the MEDIAN is what regression adjudication reads — best-of-n
+        # hides a real slowdown whenever one rep gets a quiet scheduler,
+        # and VERDICT r12 found 7 apparent extension regressions that
+        # were unreadable without a noise-robust statistic
+        times.sort()
+        extensions[name] = round(times[0], 3)
+        extensions_median[name] = round(times[len(times) // 2], 3)
 
     shutil.rmtree(tmp, ignore_errors=True)
     total = round(sum(results.values()), 3)
@@ -338,6 +353,7 @@ def main() -> None:
         "unit": "sec",
         "queries": results,
         "extensions": extensions,
+        "extensions_median": extensions_median,
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
         "cpus": CPUS,
     }

@@ -79,11 +79,22 @@ def main() -> int:
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("-q", "--queries", default="")
     ap.add_argument("--show", action="store_true", help="print flagged plans")
+    ap.add_argument(
+        "--all",
+        action="store_true",
+        help="audit the FULL registry, not just the driver window; a "
+        "zero-hazard full run stamps PLAN_AUDIT.json (drift-guarded by "
+        "tests/test_plan_audit_stamp.py, the SWEEP.json pattern) — the "
+        "round-12 lesson that 200+ registered-but-never-audited plans "
+        "are where the next scale-killer hides",
+    )
     args = ap.parse_args()
 
     spark = build_session(app_name="plan-audit")
     manifest = all_queries()
-    wanted = [s for s in args.queries.split(",") if s] or list(DRIVER_PRIORITY)
+    wanted = [s for s in args.queries.split(",") if s] or list(
+        manifest if args.all else DRIVER_PRIORITY
+    )
 
     flagged: dict[str, list[str]] = {}
     for name in wanted:
@@ -110,6 +121,24 @@ def main() -> int:
             print(f"ok   {name}")
 
     print(f"\n{len(flagged)} flagged" + (f": {sorted(flagged)}" if flagged else ""))
+    if args.all and not args.queries and not flagged:
+        import hashlib
+        import json
+
+        names = sorted(manifest)
+        stamp = {
+            "registry_count": len(names),
+            "names_sha256": hashlib.sha256("\n".join(names).encode()).hexdigest(),
+            "sf": args.sf,
+            "audited": len(wanted),
+            "skipped_streaming": sum(
+                1 for n in wanted if "streaming" in manifest[n].tags
+            ),
+            "flagged": 0,
+        }
+        out = Path(__file__).resolve().parents[1] / "PLAN_AUDIT.json"
+        out.write_text(json.dumps(stamp, indent=1) + "\n")
+        print(f"stamped {out}")
     return 1 if flagged else 0
 
 

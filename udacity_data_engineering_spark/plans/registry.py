@@ -58,89 +58,76 @@ def register(
 # after these. A name listed here but not registered is a hard error (catches
 # renames going stale).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # Round-12 rotation: 17 spine slots + 33 never-driver-checked
-    # rotations from the r11-computed queue. The spine: six §2A parity
-    # anchors; the three r11 hash-reds RE-PROVING their HUGEINT oracle
-    # casts (q_dq_checks, q_streaming_dq_monitor, q_gap_sessionize —
-    # plus q_dq_observed_write below, pre-emptively fixed before its
-    # first window); the two new r12 provables (q_sparkify_artists —
-    # the last reference table, q_pq_topk_exhaustive — rerank=corpus
-    # exact PQ); and six single-slot family anchors for E2/E3/E4/E6/
-    # E7/E8/E9 whose queue has no representative (q_parts_supplier_cnt
-    # doubles E2+E7, q_range_join_binned doubles E7+E8). Every
-    # rotated-out name remains sweep-verified at three scales.
+    # Round-13 rotation: 18 spine slots + 4 new r13 provables + ALL 28
+    # names from the r12-computed never-driver-checked queue — this
+    # window zeroes the driver-proof debt (VERDICT r12 item 1): after it
+    # runs, every SQL-oracled query in the registry has appeared in at
+    # least one driver correctness window. The spine: six §2A parity
+    # anchors plus twelve single-slot family anchors so every §2B family
+    # keeps a same-round driver proof (q_parts_supplier_cnt doubles
+    # E2+E7, q_range_join_binned doubles E7+E8; E14 and W+/lake are
+    # covered by the new provables below). Every rotated-out name
+    # remains sweep-verified at three scales.
     "q_scan_count",  # 2A.6 parquet scan + 2A.22 count
     "q_dateparts",  # 2A.14/11/13 datetime parts + events nanos shim
     "q_join_multikey",  # 2A.17 3-key composite equi-join
     "q_sql_entry",  # 2A.15/16/18 temp view + SQL + aliasing
     "q_parquet_partitioned",  # 2A.20 hive sink + pruned re-read
     "q_sparkify_songplays_nat",  # the reference's whole program, hash-proven
-    "q_dq_checks",  # RE-PROOF: oracle HUGEINT->BIGINT cast (r11 red)
-    "q_streaming_dq_monitor",  # RE-PROOF: oracle cast (r10+r11 red)
-    "q_gap_sessionize",  # RE-PROOF: oracle cast (r11 red)
-    "q_sparkify_artists",  # NEW r12: last reference table hash-proven
-    "q_pq_topk_exhaustive",  # NEW r12: rerank=corpus exact PQ vs brute oracle
     "q_parts_supplier_cnt",  # E2+E7 family anchor
     "q_rollup",  # E3 family anchor
     "q_topn",  # E4 + 2A.21 family anchor
     "q_setops",  # E6 family anchor
     "q_range_join_binned",  # E7+E8 family anchor
     "q_json_extract",  # E9 family anchor
-    # Four NEW r12 operators built mid-round take four rotation slots —
-    # first driver proofs beat second consecutive re-checks; the four
-    # deferred sql-surface rotations (q_cte, q_in_subquery,
-    # q_scalar_subquery, q_having) are pure Catalyst-translation shapes,
-    # sweep-verified at three scales, and join the r13 queue.
-    "q_decontaminate_bloom",  # NEW r12: bloom prefilter == exact oracle
-    "q_shard_assignment",  # NEW r12: balanced shard round-robin assignment
-    "q_shard_manifest",  # NEW r12: per-shard balance totals
-    "q_random_projection",  # NEW r12: deterministic JL projection
-    # --- 33 never-driver-checked rotations (queue computed end of r11) ---
-    "q_streaming_edge_lake",  # r11 addition: streaming edge-lake ingest
-    "q_edge_lake_compacted",  # r11 addition: lake compaction invariant
-    "q_kmeans_update",  # r11 addition: mini-batch centroid refresh
-    "q_dq_observed_write",  # r11 addition: Observation-API DQ (cast fixed)
-    "q_correlated_subquery",  # sql-surface tail
-    "q_conditional_agg",
-    "q_minmax_by",
-    "q_array_funcs",
-    "q_map_funcs",
-    "q_regex_funcs",
-    "q_date_arithmetic",
-    "q_higher_order_funcs",
-    "q_posexplode",
-    "q_unpivot",
-    "q_count",
-    "q_epoch_upsample",  # sampling
-    "q_source_caps",
-    "q_shuffle_order",
-    "q_multimodal_audio",  # E15 multimodal
-    "q_multimodal_dedup",
-    "q_multimodal_shared_frames",
-    "q_textfile_parse",  # sources/layout
-    "q_xml_roundtrip",
-    "q_sorted_layout",
-    "q_embedding_quantize",  # embeddings
-    "q_embedding_neardup",
-    "q_funnel",  # analytics
-    "q_retention_cohorts",
-    "q_click_edges",
+    "q_asof_join",  # E8 family anchor
+    "q_window_rank",  # E5 family anchor
+    "q_session_window",  # E13 family anchor
+    "q_doc_dedup",  # E11 family anchor
+    "q_cosine_topk",  # E12 family anchor
+    "q_multimodal_decode",  # E15 family anchor
+    # Four NEW r13 operators: first driver proofs (E14 + W+/lake + the
+    # sketch-warehouse quantile legs land their family coverage here)
+    "q_quantile_sketch",  # NEW r13: mergeable fixed-grid histogram cells
+    "q_quantile_estimates",  # NEW r13: percentiles from the sketch alone
+    "q_edge_lake_vacuum",  # NEW r13: history folding, as-of reads exact
+    "q_streaming_stateful_totals_tws",  # NEW r13: transformWithState leg
+    # --- all 28 never-driver-checked rotations (queue computed end of
+    # r12; zero left behind) ---
+    "q_cte",  # sql-surface rotations deferred from r12
+    "q_in_subquery",
+    "q_scalar_subquery",
+    "q_having",
+    "q_string_agg",  # sql-surface trio
+    "q_stats_agg",
+    "q_histogram",
+    "q_doc_stats",  # text/quality tail
+    "q_doc_quality",
+    "q_lang_dist",
+    "q_token_count_regex",
+    "q_token_entropy",
+    "q_top_tokens_per_lang",
+    "q_text_normalize",
+    "q_text_scrub",
+    "q_rolling_hash",
+    "q_repetition_filter",
+    "q_length_outliers",
+    "q_profile",
+    "q_group_zscore",
+    "q_charlm_lang_filter",
+    "q_quality_ensemble",
+    "q_doc_chunks_bpe",
+    "q_export_pipeline",  # the five post-window r12 operators
+    "q_cms_sketch",
+    "q_cms_estimates",
+    "q_streaming_stateful_totals",
+    "q_edge_lake_time_travel",
 )
-# Round-13 rotation queue (computed at the end of round 12): 19 SQL-
-# oracled names remain never-driver-checked — the deferred sql_surface
-# trio (q_string_agg, q_stats_agg, q_histogram) and the text/quality
-# tail (q_doc_stats, q_doc_quality, q_lang_dist, q_token_count_regex,
-# q_token_entropy, q_top_tokens_per_lang, q_text_normalize,
-# q_text_scrub, q_rolling_hash, q_repetition_filter, q_length_outliers,
-# q_profile, q_group_zscore, q_charlm_lang_filter, q_quality_ensemble,
-# q_doc_chunks_bpe), the four sql-surface rotations deferred to make
-# room for the round-12 additions (q_cte, q_in_subquery,
-# q_scalar_subquery, q_having), and the five round-12 operators built
-# after the window was fixed (q_export_pipeline, q_cms_sketch,
-# q_cms_estimates, q_streaming_stateful_totals,
-# q_edge_lake_time_travel) = 28 names. One rotation clears the debt
-# entirely with ~22 spine slots to spare; 11 rows-only names stay
-# sweep+pytest-verified by design.
+# Round-14 rotation queue (computed at the start of round 13): EMPTY —
+# this window clears the never-driver-checked ledger entirely. Any
+# SQL-oracled query added during round 13 AFTER this window was fixed
+# joins the r14 queue; rows-only names stay sweep+pytest-verified by
+# design.
 
 
 def all_queries() -> dict[str, Query]:
