@@ -322,8 +322,11 @@ def main() -> None:
         # round-13 additions
         "q_quantile_sketch",
         "q_quantile_estimates",
+        "q_quantile_sketch_merged",
         "q_edge_lake_vacuum",
         "q_streaming_stateful_totals_tws",
+        "q_bucketed_join",
+        "q_table_fingerprint",
     ):
         times = []
         for _ in range(REPS):  # 3 reps, matching BASELINE.md methodology

@@ -61,6 +61,40 @@ ALLOWLIST: dict[tuple[str, str], str] = {
         "same 1-row packed bloom-bitmap frame (decontaminate_bloom stage)",
 }
 
+# Registry-wide audit triage (round 13, the first full-registry run):
+# every BNLJ below has a build side bounded by CONSTRUCTION — a 1-row
+# aggregate output (global stats/totals/thresholds), a single query
+# vector, a <= |sources| budget frame, or a committed fixture — never a
+# corpus-sized relation. Each site was read in the executed plan during
+# the r13 triage; the VERDICT r12 anti-pattern sweep independently
+# verified the same 20 crossJoin call sites.
+_BOUNDED_STAT_BNLJ = {
+    "q_bm25": "1-row corpus stats frame (N, avg doclen) for the idf/norm",
+    "q_charlm_score": "1-row model-normalization frame (trigram total)",
+    "q_chisq_lang_source": "1-row corpus-total frame for expected counts",
+    "q_cosine_topk": "1-row query-vector frame (vec_id=0)",
+    "q_curation_pipeline": "1-row stats frames inside the composed stages",
+    "q_dsir_mix": "1-row feature-total frames for the log-ratio weights",
+    "q_hybrid_rrf": "1-row query frames on both retrieval legs",
+    "q_idle_customers": "TPC-H Q22 scalar subquery: 1-row avg(acctbal)",
+    "q_important_parts": "TPC-H Q11 scalar subquery: 1-row value threshold",
+    "q_length_outliers": "1-row ungrouped percentile-band frame",
+    "q_mmr_rerank": "1-row query vector + top-20 capped candidate frame",
+    "q_multimodal_dhash_pairs": "committed media fixture all-pairs ground "
+        "truth; corpus scale feeds simhash_banded instead (doc contract)",
+    "q_neardup_drop_accounting": "1-row per-frontier cap/total audit frames",
+    "q_negative_samples": "1-row corpus-count frame for the Knuth-hash mod",
+    "q_pmi_pairs": "1-row corpus token-total frame for the PMI denominator",
+    "q_quality_deciles": "with_total_count 1-row frame (exact ntile)",
+    "q_quality_ensemble": "with_total_count 1-row frames per signal leg",
+    "q_source_divergence": "1-row blend-total frame for the KL terms",
+    "q_token_budget_mix": "<= |sources|-row budget frame (20 sources)",
+    "q_token_budget_mix_bpe": "same budget frame, BPE token units",
+}
+ALLOWLIST.update(
+    {(n, "BroadcastNestedLoopJoin"): why for n, why in _BOUNDED_STAT_BNLJ.items()}
+)
+
 
 def audit_plan(name: str, plan: str) -> list[str]:
     hazards = []

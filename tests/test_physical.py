@@ -330,3 +330,14 @@ def test_dynamic_partition_pruning_fires(spark, sf_dir, tmp_path):
     # and the pruning is real: only the 2 kept months' rows survive
     got_months = {r["om"] for r in joined.select("om").distinct().collect()}
     assert got_months == {1, 2}
+
+
+def test_q_bucketed_join_registered_and_exchange_free(spark, sf_dir):
+    """The registered query must return the 5 market segments AND its
+    no-Exchange invariant must actually be enforced (it raises if the
+    bucketed layout stops satisfying the join's distribution)."""
+    from udacity_data_engineering_spark.operators.physical import q_bucketed_join
+
+    rows = q_bucketed_join(spark, sf_dir).collect()
+    assert len(rows) == 5
+    assert all(r["n_orders"] > 0 for r in rows)

@@ -24,6 +24,7 @@ def write_bucketed(
     bucket_cols: list[str],
     num_buckets: int = 8,
     sort_cols: list[str] | None = None,
+    path: str | None = None,
 ) -> None:
     """Persist as a bucketed (and optionally sort-ordered) catalog table.
 
@@ -31,6 +32,10 @@ def write_bucketed(
     same bucket count need NO exchange at read time — the shuffle was
     paid once at write. This is the canonical layout for a fact table
     joined on the same key by every downstream query.
+
+    ``path`` makes the table EXTERNAL at that location — required under
+    a stock driver session whose ``spark.sql.warehouse.dir`` (static
+    conf, unchangeable post-JVM) points at a cwd we may not own.
     """
     df.sparkSession.sql(f"DROP TABLE IF EXISTS {table_name}")
     writer = df.write.mode("overwrite").format("parquet").bucketBy(
@@ -38,6 +43,8 @@ def write_bucketed(
     )
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
+    if path is not None:
+        writer = writer.option("path", path)
     writer.saveAsTable(table_name)
 
 
@@ -446,3 +453,69 @@ def skew_report(
 )
 def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skew_report(table(spark, sf_dir, "documents"), "lang")
+
+
+@register(
+    "q_bucketed_join",
+    oracle="""
+        SELECT c_mktsegment,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """,
+    doc="Shuffle-free co-located join via BUCKETED catalog tables (the "
+    "100 TB layout lever SURVEY §2B calls out): orders and customer are "
+    "written bucketBy(8) on the customer key as external tables, and "
+    "the re-read join — with broadcast disabled so co-partitioning must "
+    "come from layout alone — plans ZERO Exchange nodes (enforced in "
+    "the query with a RuntimeError, plan-pinned in tests/"
+    "test_physical.py too). The shuffle was paid once at write time; "
+    "every downstream join on that key rides for free. Result "
+    "hash-proven against the plain join+aggregate oracle.",
+    tags=("E7", "physical", "sources"),
+)
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import uuid
+
+    from udacity_data_engineering_spark.sources.parquet_source import scratch_dir
+
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    run = uuid.uuid4().hex[:8]
+    root = scratch_dir("bucketed_join")
+    ob_name, cb_name = f"orders_bkt_{run}", f"cust_bkt_{run}"
+    write_bucketed(
+        orders, ob_name, ["o_custkey"], 8,
+        sort_cols=["o_custkey"], path=os.path.join(root, ob_name),
+    )
+    write_bucketed(
+        customer, cb_name, ["c_custkey"], 8,
+        sort_cols=["c_custkey"], path=os.path.join(root, cb_name),
+    )
+    ob, cb = spark.table(ob_name), spark.table(cb_name)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = ob.join(cb, ob.o_custkey == cb.c_custkey)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        if "Exchange" in plan:
+            # not assert: the co-location invariant must hold under -O
+            raise RuntimeError(
+                "bucketed join planned an Exchange — bucket co-location "
+                "was not honored:\n" + plan
+            )
+        out = (
+            joined.groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            )
+            .localCheckpoint(eager=True)  # runs under the no-broadcast conf
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    spark.sql(f"DROP TABLE IF EXISTS {ob_name}")
+    spark.sql(f"DROP TABLE IF EXISTS {cb_name}")
+    return out

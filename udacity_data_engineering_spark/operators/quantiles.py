@@ -211,3 +211,36 @@ def q_quantile_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantile_estimates(
         sk, _QS, _LO, _HI, _BINS, group_cols=("o_orderstatus",)
     )
+
+
+@register(
+    "q_quantile_sketch_merged",
+    oracle=f"""
+        WITH cells AS ({_CELLS_SQL})
+        SELECT o_orderstatus, bin, count(*) AS cnt
+        FROM cells
+        GROUP BY o_orderstatus, bin
+    """,
+    doc="Sketch MERGE as a driver-proven fact, not just a pytest: the "
+    "orders table is split into four disjoint ingest slices (orderkey "
+    "mod 4 — the per-batch/per-day shape a warehouse actually sees), "
+    "each slice sketched independently, the four sketches merged by "
+    "elementwise cell sum — and the merged sketch hash-matches the same "
+    "oracle as the whole-table sketch. This is the property that lets a "
+    "100 TB deployment keep per-partition summaries and never rescan.",
+    tags=("E1", "E2", "llm-pipeline", "sketch"),
+)
+def q_quantile_sketch_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    slices = [
+        quantile_sketch(
+            orders.filter(F.pmod(F.col("o_orderkey"), F.lit(4)) == i),
+            "o_totalprice",
+            _LO,
+            _HI,
+            _BINS,
+            group_cols=("o_orderstatus",),
+        )
+        for i in range(4)
+    ]
+    return merge_quantile_sketches(*slices)
