@@ -327,6 +327,8 @@ def main() -> None:
         "q_streaming_stateful_totals_tws",
         "q_bucketed_join",
         "q_table_fingerprint",
+        "q_scd2_point_in_time",
+        "q_interval_join",
     ):
         times = []
         for _ in range(REPS):  # 3 reps, matching BASELINE.md methodology

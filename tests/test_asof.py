@@ -64,3 +64,51 @@ def test_resample_step_validation():
         _step_unit("30 minutes")
     with _pt.raises(ValueError, match="unsupported resample unit"):
         _step_unit("1 fortnight")
+
+
+def test_interval_join_equals_naive_and_emits_once(spark):
+    """Binned overlap join == naive crossJoin+filter, with each pair
+    emitted exactly once even when intervals span many cells."""
+    import random
+
+    from udacity_data_engineering_spark.operators.asof import (
+        interval_join_binned,
+    )
+
+    rng = random.Random(13)
+    lrows = []
+    for i in range(60):
+        s = rng.randrange(0, 200)
+        lrows.append((i, s, s + rng.randrange(0, 25)))  # some span >> cell
+    rrows = []
+    for j in range(40):
+        s = rng.randrange(0, 200)
+        rrows.append((j, s, s + rng.randrange(0, 12)))
+    left = spark.createDataFrame(lrows, "lid long, ls long, le long")
+    right = spark.createDataFrame(rrows, "rid long, rs long, re long")
+
+    got = sorted(
+        (r["lid"], r["rid"])
+        for r in interval_join_binned(
+            left, right, "ls", "le", "rs", "re", cell=5
+        ).collect()
+    )
+    want = sorted(
+        (lr[0], rr[0])
+        for lr in lrows
+        for rr in rrows
+        if lr[1] <= rr[2] and rr[1] <= lr[2]
+    )
+    assert got == want  # equality implies no duplicate emissions
+
+
+def test_interval_join_rejects_bad_cell(spark):
+    import pytest
+
+    from udacity_data_engineering_spark.operators.asof import (
+        interval_join_binned,
+    )
+
+    df = spark.createDataFrame([(1, 2)], "s long, e long")
+    with pytest.raises(ValueError):
+        interval_join_binned(df, df, "s", "e", "s", "e", cell=0)

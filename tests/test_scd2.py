@@ -82,3 +82,46 @@ def test_apply_leaves_unchanged_keys_untouched_and_inserts_new(spark):
     assert (2, 21, _t(3), None, True) in got  # untouched current stays open
     assert (9, 90, _t(9), None, True) in got  # new key inserted current
     assert len(got) == 3
+
+
+def test_point_in_time_interval_semantics(spark):
+    """PIT == explicit interval join for contiguous SCD2 intervals,
+    including zero-width supersession and pre-history facts."""
+    from udacity_data_engineering_spark.operators.scd import (
+        scd2_build,
+        scd2_point_in_time,
+    )
+
+    changes = spark.createDataFrame(
+        [
+            # user 1: versions at t=10 (e1), t=20 (e2); duplicate instant
+            # at t=20 (e3 supersedes e2 — zero-width interval for e2)
+            (1, 10, 1, "a"),
+            (1, 20, 2, "b"),
+            (1, 20, 3, "c"),
+            # user 2: single version at t=100
+            (2, 100, 4, "d"),
+        ],
+        "user_id long, ts long, event_id long, attr string",
+    )
+    dim = scd2_build(changes)
+    facts = spark.createDataFrame(
+        [
+            (1, 5, 100),   # before history -> NULL
+            (1, 10, 101),  # exactly first valid_from -> e1
+            (1, 15, 102),  # inside [10, 20) -> e1
+            (1, 20, 103),  # at the duplicate instant -> e3 (supersedes e2)
+            (1, 99, 104),  # open interval -> e3
+            (2, 99, 105),  # before user 2's history -> NULL
+            (2, 100, 106), # at valid_from -> e4
+        ],
+        "user_id long, ts long, fact_id long",
+    )
+    out = scd2_point_in_time(
+        facts,
+        dim.select("user_id", "valid_from", "event_id", "attr"),
+        attrs=("event_id", "attr"),
+        tiebreak="event_id",
+    )
+    got = {r["fact_id"]: r["event_id_matched"] for r in out.collect()}
+    assert got == {100: None, 101: 1, 102: 1, 103: 3, 104: 3, 105: None, 106: 4}

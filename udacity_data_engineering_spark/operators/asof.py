@@ -502,3 +502,117 @@ def q_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resample_interp(
         ev, key="user_id", ts_col="ts", value_col="value", tiebreak="event_id"
     )
+
+
+def interval_join_binned(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    cell: int,
+) -> DataFrame:
+    """Interval OVERLAP join (closed intervals: ``l_start <= r_end AND
+    r_start <= l_end``) without a cartesian plan — the interval×interval
+    generalization of :func:`range_join_binned`'s point-in-band shape.
+
+    Both sides explode onto a fixed grid of ``cell``-width cells (an
+    interval covers ``len/cell + 1`` cells — pick ``cell`` near the
+    typical interval length so the blow-up is ~2x rows); pairs meet via
+    ONE hash equi-join on the cell id. A pair overlapping several cells
+    would be emitted once per shared cell, so each pair is claimed by
+    exactly one cell — the one containing ``greatest(l_start, r_start)``
+    (both intervals provably cover it) — which makes the output
+    duplicate-free with NO post-join dedup shuffle.
+
+    Shuffle cost: sum of exploded cell rows, never |L|x|R|. Catalyst
+    alone can only plan the overlap predicate as a nested-loop cartesian
+    — the 100 TB cliff this operator exists to avoid.
+    """
+    if cell < 1:
+        raise ValueError(f"cell width must be >= 1, got {cell}")
+
+    def cells(s: str, e: str) -> F.Column:
+        return F.explode(
+            F.sequence(
+                F.floor(F.col(s) / cell).cast("long"),
+                F.floor(F.col(e) / cell).cast("long"),
+            )
+        )
+
+    lcell = left.withColumn("__cell", cells(l_start, l_end))
+    rcell = right.withColumn("__cell", cells(r_start, r_end))
+    overlap = (F.col(l_start) <= F.col(r_end)) & (
+        F.col(r_start) <= F.col(l_end)
+    )
+    claimed = (
+        F.floor(F.greatest(F.col(l_start), F.col(r_start)) / cell).cast("long")
+        == F.col("__cell")
+    )
+    return lcell.join(rcell, "__cell").filter(overlap & claimed).drop("__cell")
+
+
+@register(
+    "q_interval_join",
+    oracle="""
+        WITH l AS (
+            SELECT ld AS ls, ld + 2 AS le, n, qty FROM (
+                SELECT date_diff('day', DATE '1970-01-01',
+                                 CAST(l_shipdate AS DATE)) AS ld,
+                       count(*) AS n,
+                       sum(l_quantity) AS qty
+                FROM lineitem GROUP BY 1
+            )
+        ), o AS (
+            SELECT o_orderpriority,
+                   date_diff('day', DATE '1970-01-01',
+                             CAST(o_orderdate AS DATE)) AS os,
+                   date_diff('day', DATE '1970-01-01',
+                             CAST(o_orderdate AS DATE)) + 3 AS oe
+            FROM orders
+        )
+        SELECT o_orderpriority,
+               CAST(sum(n) AS BIGINT) AS n_pairs,
+               round(sum(qty), 2) AS sum_qty
+        FROM l JOIN o ON l.ls <= o.oe AND o.os <= l.le
+        GROUP BY o_orderpriority
+    """,
+    doc="E8+: interval OVERLAP join — every (ship-window, order-window) "
+    "pair whose closed day intervals intersect ([ship, ship+2] vs "
+    "[order, order+3]), no key equality anywhere. Grid-binned with "
+    "exactly-once pair emission (each pair claimed by the cell holding "
+    "greatest(starts)) — one hash equi-join on the cell, shuffle linear "
+    "in exploded rows, never |L|x|R|; the fact side is pre-aggregated "
+    "per ship day below the join (the q_range_join_binned pushdown). "
+    "Hash-proven against DuckDB's native IEJoin evaluation of the same "
+    "overlap predicate.",
+    tags=("E8", "E7"),
+)
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    epoch = F.to_date(F.lit("1970-01-01"))
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select(
+            "l_quantity",
+            F.datediff(F.to_date("l_shipdate"), epoch).alias("ld"),
+        )
+        .groupBy("ld")
+        .agg(F.count(F.lit(1)).alias("__n"), F.sum("l_quantity").alias("__qty"))
+        .select(
+            F.col("ld").alias("ls"),
+            (F.col("ld") + 2).alias("le"),
+            "__n",
+            "__qty",
+        )
+    )
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.datediff(F.to_date("o_orderdate"), epoch).alias("os"),
+        (F.datediff(F.to_date("o_orderdate"), epoch) + 3).alias("oe"),
+    )
+    joined = interval_join_binned(li, orders, "ls", "le", "os", "oe", cell=4)
+    return joined.groupBy("o_orderpriority").agg(
+        F.sum("__n").alias("n_pairs"),
+        F.round(F.sum("__qty"), 2).alias("sum_qty"),
+    )

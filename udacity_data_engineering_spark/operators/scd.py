@@ -144,3 +144,99 @@ def q_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = scd2_build(ev.filter(F.col("ts") < cutoff))
     out = scd2_apply(dim, ev.filter(F.col("ts") >= cutoff))
     return out.select(*_SCD2_COLS)
+
+
+def scd2_point_in_time(
+    facts: DataFrame,
+    dim: DataFrame,
+    key: str = "user_id",
+    fact_ts: str = "ts",
+    attrs: tuple[str, ...] = (),
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Point-in-time (PIT) join: attach to each fact row the dim version
+    that was current at the fact's timestamp — the correctness backbone
+    of every feature-store / training-set build (joining TODAY's dim
+    onto historical facts leaks the future).
+
+    Contract: ``dim`` comes from :func:`scd2_build` / :func:`scd2_apply`
+    — versions per key are CONTIGUOUS (each ``valid_to`` equals the next
+    ``valid_from``, last one open). Under that contract
+    ``valid_from <= fact_ts < valid_to`` is exactly the backward as-of
+    join on ``valid_from``, so the implementation rides
+    operators/asof.py's union-merge: one shuffle on the key + one
+    window, regardless of how many facts each version covers. The naive
+    interval non-equi join explodes to O(facts x versions) pairs per
+    key before pruning — the plan shape this operator exists to avoid.
+
+    Facts earlier than the key's first version match nothing (NULL
+    attrs); ``tiebreak`` resolves same-instant versions to the same
+    winner the interval semantics pick (the superseding version — its
+    predecessor's interval is zero-width and covers no timestamps).
+    """
+    from udacity_data_engineering_spark.operators.asof import asof_join
+
+    return asof_join(
+        facts,
+        dim,
+        on=key,
+        left_ts=fact_ts,
+        right_ts="valid_from",
+        right_cols=attrs,
+        right_tiebreak=tiebreak,
+    )
+
+
+@register(
+    "q_scd2_point_in_time",
+    oracle="""
+        WITH dim AS (
+            SELECT user_id, event_id, round(value, 4) AS value,
+                   ts AS valid_from,
+                   lead(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS valid_to
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT e.event_id, e.user_id, e.ts,
+               d.event_id AS version_event_id,
+               d.value AS version_value
+        FROM events e
+        LEFT JOIN dim d
+          ON e.user_id = d.user_id
+         AND d.valid_from <= e.ts
+         AND (e.ts < d.valid_to OR d.valid_to IS NULL)
+    """,
+    doc="Point-in-time join of every event against the SCD2 purchase "
+    "dimension: each fact gets the version current AT ITS OWN timestamp "
+    "(valid_from <= ts < valid_to), the leak-free way to build training "
+    "features from a versioned dim. The oracle states the INTERVAL "
+    "semantics explicitly; the Spark plan is the backward as-of on "
+    "valid_from (one shuffle + one window, no interval non-equi "
+    "explosion) — hash-equality proves the two are the same thing for "
+    "contiguous SCD2 intervals, including same-instant version "
+    "supersession (zero-width intervals match nothing) and pre-history "
+    "facts (NULL attrs).",
+    tags=("E5", "E8", "sql-surface", "llm-pipeline"),
+)
+def q_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    facts = ev.select("user_id", "ts", "event_id")
+    dim = scd2_build(
+        ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", "event_id", F.round("value", 4).alias("value")
+        )
+    )
+    out = scd2_point_in_time(
+        facts,
+        dim.select("user_id", "valid_from", "event_id", "value"),
+        attrs=("event_id", "value"),
+        tiebreak="event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("event_id_matched").alias("version_event_id"),
+        F.col("value_matched").alias("version_value"),
+    )
