@@ -81,10 +81,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_range_join_binned",  # E7+E8 family anchor
     "q_json_extract",  # E9 family anchor
     "q_asof_join",  # E8 family anchor
-    "q_window_rank",  # E5 family anchor
+    "q_stratified_fixed_k",  # sampling family anchor (E5 is covered
+    # by q_edge_lake_time_travel/vacuum in the rotation block below)
     "q_session_window",  # E13 family anchor
     "q_doc_dedup",  # E11 family anchor
-    "q_cosine_topk",  # E12 family anchor
+    "q_cluster_centroids",  # E12 + embeddings family anchor
     "q_multimodal_decode",  # E15 family anchor
     # Four NEW r13 operators: first driver proofs (E14 + W+/lake + the
     # sketch-warehouse quantile legs land their family coverage here)
