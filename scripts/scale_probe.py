@@ -301,6 +301,69 @@ def main() -> None:
                 value_col="value", tiebreak="event_id",
             )
             .count(),
+            # round 13: the sketch/fingerprint family — both must be
+            # scan-bound with CONSTANT-size outputs (cells / accumulator
+            # triples), so the time ratio per row must stay ~flat at Nx
+            "quantile_sketch": lambda: __import__(
+                "udacity_data_engineering_spark.operators.quantiles",
+                fromlist=["quantile_sketch"],
+            )
+            .quantile_sketch(
+                t["orders"], "o_totalprice", 0.0, 512000.0, 64,
+                group_cols=("o_orderstatus",),
+            )
+            # collect, not count: count() lets Catalyst prune the agg
+            # expressions (the q_dsir_mix bench lesson) — output is
+            # <= 192 cells, safe to collect
+            .collect(),
+            "table_fingerprint": lambda: __import__(
+                "udacity_data_engineering_spark.operators.integrity",
+                fromlist=["table_fingerprint"],
+            )
+            .table_fingerprint(
+                t["orders"],
+                ["o_orderkey", "o_custkey", "o_orderstatus"],
+                group_cols=("o_orderstatus",),
+            )
+            .collect(),  # count() would prune the hash fold entirely
+            # round 13: interval overlap join with the per-day pushdown —
+            # same scaling contract as range_join_day_agg (rollup scan
+            # linear, join bounded by days x cells, never |L| x |R|)
+            "interval_join": lambda: __import__(
+                "udacity_data_engineering_spark.operators.asof",
+                fromlist=["interval_join_binned"],
+            )
+            .interval_join_binned(
+                t["lineitem"]
+                .select(
+                    "l_quantity",
+                    F.datediff(
+                        F.to_date("l_shipdate"), F.to_date(F.lit("1970-01-01"))
+                    ).alias("ld"),
+                )
+                .groupBy("ld")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .select(
+                    F.col("ld").alias("ls"), (F.col("ld") + 2).alias("le"), "n"
+                ),
+                t["orders"].select(
+                    "o_orderpriority",
+                    F.datediff(
+                        F.to_date("o_orderdate"), F.to_date(F.lit("1970-01-01"))
+                    ).alias("os"),
+                    (
+                        F.datediff(
+                            F.to_date("o_orderdate"),
+                            F.to_date(F.lit("1970-01-01")),
+                        )
+                        + 3
+                    ).alias("oe"),
+                ),
+                "ls", "le", "os", "oe", cell=4,
+            )
+            .groupBy("o_orderpriority")
+            .agg(F.sum("n"))
+            .collect(),
         }
 
     def pipeline_shapes(docs, emb, k_clusters, nd_index_dir, nd_batch):
