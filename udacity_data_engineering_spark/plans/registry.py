@@ -124,10 +124,16 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_streaming_stateful_totals",
     "q_edge_lake_time_travel",
 )
-# Round-14 rotation queue (computed at the start of round 13): EMPTY —
-# this window clears the never-driver-checked ledger entirely. Any
-# SQL-oracled query added during round 13 AFTER this window was fixed
-# joins the r14 queue; rows-only names stay sweep+pytest-verified by
+# Round-14 rotation queue: the window above cleared the r12 ledger
+# entirely; the only never-driver-checked SQL-oracled names are the
+# seven registered during round 13 AFTER this window was fixed —
+# q_bucketed_join, q_quantile_sketch_merged, q_table_fingerprint,
+# q_scd2_point_in_time, q_interval_join, plus the two swapped-out r13
+# anchors q_window_rank and q_cosine_topk (both driver-green in many
+# prior rounds, so not debt in the r10 sense — only the five NEW names
+# are). All seven are sweep-verified at three scales and locally
+# DuckDB-verified at sf0.01; one r14 rotation covers them with ~40
+# spine slots to spare. Rows-only names stay sweep+pytest-verified by
 # design.
 
 
