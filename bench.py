@@ -329,6 +329,10 @@ def main() -> None:
         "q_table_fingerprint",
         "q_scd2_point_in_time",
         "q_interval_join",
+        "q_table_diff",
+        "q_triangle_count",
+        "q_attribution",
+        "q_edge_lake_changes",
     ):
         times = []
         for _ in range(REPS):  # 3 reps, matching BASELINE.md methodology

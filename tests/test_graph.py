@@ -316,3 +316,49 @@ def test_vacuum_rejects_regressing_horizon(spark, sf_dir, tmp_path):
         read_click_edges_asof(spark, lake, 3).orderBy("src", "dst").collect()
         == head
     )
+
+
+def test_cdc_changes_and_horizon_guard(spark, sf_dir, tmp_path):
+    from udacity_data_engineering_spark.operators.graph import (
+        read_click_edge_changes,
+    )
+
+    _, lake, _ = _tt_lake(spark, sf_dir, tmp_path)
+    # changes (1, 3] + as-of 1 must reconstruct as-of 3
+    asof1 = {
+        (r.src, r.dst): r.n_transitions
+        for r in read_click_edges_asof(spark, lake, 1).collect()
+    }
+    changes = {
+        (r.src, r.dst): r.n_transitions
+        for r in read_click_edge_changes(spark, lake, 1, 3).collect()
+    }
+    merged = dict(asof1)
+    for k, v in changes.items():
+        merged[k] = merged.get(k, 0) + v
+    asof3 = {
+        (r.src, r.dst): r.n_transitions
+        for r in read_click_edges_asof(spark, lake, 3).collect()
+    }
+    assert merged == asof3
+    # after vacuuming below batch 2, change reads from batch 1 must raise
+    vacuum_edge_lake(spark, lake, horizon=2)
+    with pytest.raises(RuntimeError, match="vacuum horizon"):
+        read_click_edge_changes(spark, lake, 1, 3)
+    # from the horizon onward they still work (pure deltas)
+    assert read_click_edge_changes(spark, lake, 2, 3).count() > 0
+
+
+def test_triangle_count_hand_graph(spark):
+    from udacity_data_engineering_spark.operators.graph import triangle_count
+
+    # K4 on {1,2,3,4} (4 triangles) + a pendant edge + a reverse dup +
+    # a self-loop; directed multigraph input
+    edges = spark.createDataFrame(
+        [(a, b, 1) for a in (1, 2, 3, 4) for b in (1, 2, 3, 4) if a != b]
+        + [(5, 1, 1), (1, 5, 3), (2, 2, 9)],
+        "src long, dst long, n_transitions long",
+    )
+    got = {r.a: r.n_triangles for r in triangle_count(edges).collect()}
+    # triangles of K4 grouped by smallest vertex: (1,2,3),(1,2,4),(1,3,4) -> 1; (2,3,4) -> 2
+    assert got == {1: 3, 2: 1}

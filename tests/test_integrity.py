@@ -88,3 +88,19 @@ def test_grouped_fingerprint_rows(spark, sf_dir):
     rows = q_table_fingerprint(spark, sf_dir).collect()
     assert len(rows) == 3  # one per order status
     assert sum(r["n_rows"] for r in rows) > 0
+
+
+def test_keyed_diff_labels_and_silence(spark):
+    from udacity_data_engineering_spark.operators.integrity import (
+        keyed_table_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", None), (3, "c", 3.0)], "k long, v string, x double"
+    )
+    new = spark.createDataFrame(
+        [(2, "b", None), (3, "C", 3.0), (4, "d", 4.0)], "k long, v string, x double"
+    )
+    got = {r.k: r.diff for r in keyed_table_diff(old, new, ["k"], ["v", "x"]).collect()}
+    # 1 removed, 2 identical incl. NULL==NULL (silent), 3 changed, 4 added
+    assert got == {1: "removed", 3: "changed", 4: "added"}

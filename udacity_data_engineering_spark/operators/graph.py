@@ -837,3 +837,164 @@ def q_edge_lake_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+def undirected_edges(edges: DataFrame) -> DataFrame:
+    """Distinct undirected edge set from a directed multigraph:
+    self-loops dropped, endpoints normalized to (a < b), parallel and
+    reverse edges collapsed. One distinct on the normalized pair."""
+    return (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts (node = the triangle's SMALLEST vertex),
+    via the compact-forward algorithm: with edges normalized a < b, a
+    triangle a < b < c is exactly one (a,b) edge, one (b,c) edge, and an
+    (a,c) closing edge — two hash equi-joins, each triangle enumerated
+    EXACTLY once (no 3!/duplicate correction, no cross join).
+
+    Scale shape: wedge generation joins on the shared vertex, so cost is
+    Σ deg(b)² over b's forward-neighborhoods — the standard bound; on a
+    degree-skewed 100 TB graph, orient edges low-degree → high-degree
+    first (one degree aggregate + a re-orient select) to cap the hub
+    term before this join; the click graph's page keyspace is bounded,
+    so the plain normalized orientation suffices here.
+    """
+    e = undirected_edges(edges)
+    ab = e.select(F.col("a"), F.col("b"))
+    bc = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    ac = e.select(F.col("a").alias("a2"), F.col("b").alias("c2"))
+    wedges = ab.join(bc, "b")
+    tris = wedges.join(
+        ac, (F.col("a") == F.col("a2")) & (F.col("c") == F.col("c2"))
+    )
+    return tris.groupBy("a").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+@register(
+    "q_triangle_count",
+    oracle="""
+        WITH ev AS (
+            SELECT user_id, ts, event_id,
+                   CAST(props ->> 'k' AS BIGINT) AS page
+            FROM events
+        ), raw AS (
+            SELECT lag(page) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS src,
+                   page AS dst
+            FROM ev
+        ), e AS (
+            SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+            FROM raw WHERE src IS NOT NULL AND src <> dst
+        )
+        SELECT e1.a, count(*) AS n_triangles
+        FROM e e1
+        JOIN e e2 ON e2.a = e1.b
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        GROUP BY e1.a
+    """,
+    doc="Triangle counting over the undirected session click graph "
+    "(compact-forward: normalized a<b<c ordering makes every triangle "
+    "one (a,b)+(b,c) wedge closed by an (a,c) edge — two equi-joins, "
+    "exactly-once enumeration, no cross join, no overcount correction). "
+    "Triangle density is the clustering-coefficient backbone for "
+    "community/quality scoring on link graphs. Grouped per smallest "
+    "vertex for a value-rich hash; DuckDB replays the identical "
+    "edge normalization and joins.",
+    tags=("E5", "analytics", "graph", "llm-pipeline"),
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = click_edges(table(spark, sf_dir, "events"))
+    return triangle_count(edges)
+
+
+def read_click_edge_changes(
+    spark: SparkSession, lake_dir: str, from_batch: int, to_batch: int
+) -> DataFrame:
+    """CDC read over the versioned edge lake: the NET edge-count change
+    between ingest batch ``from_batch`` (exclusive) and ``to_batch``
+    (inclusive) — sum of exactly the delta partitions in that range,
+    partition-pruned to ``to_batch - from_batch`` directories. The
+    incremental-consumer primitive time travel implies: a downstream
+    job that processed up to M reads only what M+1..N added, never the
+    merged lake.
+
+    Post-vacuum, ``batch_id = horizon`` holds the FOLDED checkpoint (a
+    merge, not a delta), so a change read reaching into it would count
+    all pre-horizon history as 'new' — reads with ``from_batch`` below
+    the horizon fail loudly instead.
+    """
+    if from_batch > to_batch:
+        raise ValueError(f"from_batch {from_batch} > to_batch {to_batch}")
+    horizon = read_vacuum_horizon(spark, lake_dir)
+    if from_batch < horizon:
+        raise RuntimeError(
+            f"change read from batch {from_batch} crosses the vacuum "
+            f"horizon {horizon}: pre-horizon deltas were folded into a "
+            "checkpoint and are no longer attributable to batches"
+        )
+    return (
+        spark.read.schema("src long, dst long, n_transitions long, batch_id int")
+        .parquet(lake_dir)
+        .filter(
+            (F.col("batch_id") > from_batch) & (F.col("batch_id") <= to_batch)
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("n_transitions").alias("n_transitions"))
+    )
+
+
+@register(
+    "q_edge_lake_changes",
+    oracle="""
+        WITH ev AS (
+            SELECT user_id, ts, event_id,
+                   CAST(props ->> 'k' AS BIGINT) AS page
+            FROM events
+            WHERE user_id % 4 IN (2, 3)
+        ), raw AS (
+            SELECT lag(page) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS src,
+                   page AS dst
+            FROM ev
+        )
+        SELECT src, dst, count(*) AS n_transitions
+        FROM raw WHERE src IS NOT NULL
+        GROUP BY src, dst
+    """,
+    doc="CDC read over the versioned click-edge lake: the net change "
+    "between ingest batch 1 (exclusive) and 3 (inclusive) — exactly the "
+    "deltas of batches 2 and 3, partition-pruned to two directories, "
+    "never the merged lake. Edges never cross users, so the change set "
+    "equals the edges of exactly those batches' users — hash-proven. "
+    "Reads crossing the vacuum horizon raise (the folded checkpoint is "
+    "a merge, not a delta; pinned in tests/test_graph.py).",
+    tags=("E5", "graph", "sources", "physical"),
+)
+def q_edge_lake_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    ev = table(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix=f"edge_cdc_{uuid.uuid4().hex[:12]}_")
+    lake = os.path.join(tmp, "lake")
+    batches = [ev.filter(F.pmod(F.col("user_id"), F.lit(4)) == i) for i in range(4)]
+    click_edge_lake_versioned(spark, lake, batches)
+    out = (
+        read_click_edge_changes(spark, lake, 1, 3)
+        .orderBy("src", "dst")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out

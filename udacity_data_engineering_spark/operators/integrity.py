@@ -139,3 +139,92 @@ def q_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         group_cols=("o_orderstatus",),
     )
+
+
+def keyed_table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    compare: Sequence[str],
+) -> DataFrame:
+    """Row-level reconciliation between two table versions: one output
+    row per differing key, labeled ``added`` (key only in ``new``),
+    ``removed`` (only in ``old``) or ``changed`` (present in both, any
+    compared column differing — NULL-safe). Identical rows produce
+    NOTHING, so output size tracks the CHANGE volume, not the table.
+
+    This is the drill-down behind :func:`table_fingerprint`: fingerprints
+    answer "are they identical" with O(1) state; when they differ, this
+    answers "where" with ONE full outer join on the key — shuffle both
+    sides once, no driver-side anything. At 100 TB run it per partition
+    after a partition-level fingerprint pass has narrowed the scope
+    (sources/lake.py's snapshot diff is that pruning layer for lakes).
+    """
+    k = list(keys)
+    ostruct = F.struct(*[F.col(c) for c in compare]).alias("__o")
+    nstruct = F.struct(*[F.col(c) for c in compare]).alias("__n")
+    o = old.select(*k, ostruct, F.lit(True).alias("__in_o"))
+    n = new.select(*k, nstruct, F.lit(True).alias("__in_n"))
+    joined = o.join(n, k, "full_outer")
+    status = (
+        F.when(F.col("__in_o").isNull(), F.lit("added"))
+        .when(F.col("__in_n").isNull(), F.lit("removed"))
+        .when(~F.col("__o").eqNullSafe(F.col("__n")), F.lit("changed"))
+    )
+    return (
+        joined.withColumn("diff", status)
+        .filter(F.col("diff").isNotNull())
+        .select(*k, "diff")
+    )
+
+
+@register(
+    "q_table_diff",
+    oracle="""
+        WITH old AS (
+            SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+            WHERE o_orderkey % 10 <> 3
+        ), new AS (
+            SELECT o_orderkey, o_orderstatus,
+                   CASE WHEN o_orderkey % 10 = 7
+                        THEN o_totalprice + 1 ELSE o_totalprice END
+                       AS o_totalprice
+            FROM orders
+            WHERE o_orderkey % 10 <> 5
+        )
+        SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+               CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                    WHEN n.o_orderkey IS NULL THEN 'removed'
+                    WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                      OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                    THEN 'changed' END AS diff
+        FROM old o FULL OUTER JOIN new n USING (o_orderkey)
+        WHERE CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                   WHEN n.o_orderkey IS NULL THEN 'removed'
+                   WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                     OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                   THEN 'changed' END IS NOT NULL
+    """,
+    doc="Row-level table reconciliation (the drill-down behind the "
+    "fingerprint): two synthetic versions of orders — keys ending in 3 "
+    "added, ending in 5 removed, ending in 7 value-changed — diffed "
+    "with ONE full outer join on the key; unchanged rows emit nothing, "
+    "so output tracks change volume, not table size. NULL-safe struct "
+    "comparison on the compared columns (IS DISTINCT FROM on both "
+    "engines). Hash-proven per key+label.",
+    tags=("E1", "E7", "sources", "physical"),
+)
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    old = orders.filter(F.col("o_orderkey") % 10 != 3)
+    new = orders.filter(F.col("o_orderkey") % 10 != 5).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 10 == 7, F.col("o_totalprice") + 1
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return keyed_table_diff(
+        old, new, keys=["o_orderkey"], compare=["o_orderstatus", "o_totalprice"]
+    )

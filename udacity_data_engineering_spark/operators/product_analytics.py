@@ -11,7 +11,7 @@ them, so the events fact streams through exactly once per phase.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from udacity_data_engineering_spark.plans.registry import register
@@ -104,4 +104,83 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("week_offset"),
         )
         .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+def attribute_touches(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    key: str = "user_id",
+    ts: str = "ts",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """Per-conversion first/last-touch attribution: every conversion
+    event gets the FIRST and the most recent (LAST) non-conversion
+    event type strictly before it in the user's (ts, tiebreak) stream —
+    the two canonical marketing-attribution models. Conversions with no
+    prior touch attribute to NULL ('direct').
+
+    One window per user with a [unbounded, -1] frame carrying
+    first/last non-conversion types forward — the same single-shuffle
+    cost class as sessionization; never a self-join of conversions
+    against touches (O(conversions x touches) per user).
+    """
+    w = (
+        Window.partitionBy(key)
+        .orderBy(ts, tiebreak)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(F.col("event_type") != conversion_type, F.col("event_type"))
+    with_touches = events.select(
+        key,
+        ts,
+        tiebreak,
+        "event_type",
+        "value",
+        F.first(touch, ignorenulls=True).over(w).alias("first_touch"),
+        F.last(touch, ignorenulls=True).over(w).alias("last_touch"),
+    )
+    return with_touches.filter(F.col("event_type") == conversion_type)
+
+
+@register(
+    "q_attribution",
+    oracle="""
+        WITH t AS (
+            SELECT event_type, value,
+                   first_value(CASE WHEN event_type <> 'purchase'
+                                    THEN event_type END IGNORE NULLS)
+                       OVER w AS first_touch,
+                   last_value(CASE WHEN event_type <> 'purchase'
+                                   THEN event_type END IGNORE NULLS)
+                       OVER w AS last_touch
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        )
+        SELECT coalesce(first_touch, 'direct') AS first_touch,
+               coalesce(last_touch, 'direct') AS last_touch,
+               count(*) AS n_conversions,
+               round(sum(value), 2) AS revenue
+        FROM t WHERE event_type = 'purchase'
+        GROUP BY 1, 2
+    """,
+    doc="First/last-touch conversion attribution: each purchase is "
+    "credited to the first and the most recent non-purchase event type "
+    "strictly before it in the user's stream (no prior touch = "
+    "'direct'), rolled up to (first_touch, last_touch) conversion "
+    "counts and revenue. One per-user window with an [unbounded, -1] "
+    "frame — single shuffle, never a conversions x touches self-join. "
+    "Both engines evaluate the identical IGNORE NULLS frame.",
+    tags=("E5", "analytics", "llm-pipeline"),
+)
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    conv = attribute_touches(ev)
+    return conv.groupBy(
+        F.coalesce("first_touch", F.lit("direct")).alias("first_touch"),
+        F.coalesce("last_touch", F.lit("direct")).alias("last_touch"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        F.round(F.sum("value"), 2).alias("revenue"),
     )

@@ -126,15 +126,15 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 )
 # Round-14 rotation queue: the window above cleared the r12 ledger
 # entirely; the only never-driver-checked SQL-oracled names are the
-# seven registered during round 13 AFTER this window was fixed —
+# NINE registered during round 13 AFTER this window was fixed —
 # q_bucketed_join, q_quantile_sketch_merged, q_table_fingerprint,
-# q_scd2_point_in_time, q_interval_join, plus the two swapped-out r13
-# anchors q_window_rank and q_cosine_topk (both driver-green in many
-# prior rounds, so not debt in the r10 sense — only the five NEW names
-# are). All seven are sweep-verified at three scales and locally
-# DuckDB-verified at sf0.01; one r14 rotation covers them with ~40
-# spine slots to spare. Rows-only names stay sweep+pytest-verified by
-# design.
+# q_scd2_point_in_time, q_interval_join, q_table_diff,
+# q_triangle_count, q_attribution, q_edge_lake_changes. (The two
+# swapped-out r13 anchors q_window_rank and q_cosine_topk are
+# driver-green in many prior rounds — not debt.) All nine are
+# sweep-verified at three scales and locally DuckDB-verified at
+# sf0.01; one r14 rotation covers them with ~35 spine slots to spare.
+# Rows-only names stay sweep+pytest-verified by design.
 
 
 def all_queries() -> dict[str, Query]:
