@@ -362,3 +362,35 @@ def test_triangle_count_hand_graph(spark):
     got = {r.a: r.n_triangles for r in triangle_count(edges).collect()}
     # triangles of K4 grouped by smallest vertex: (1,2,3),(1,2,4),(1,3,4) -> 1; (2,3,4) -> 2
     assert got == {1: 3, 2: 1}
+
+
+def test_vacuum_resumes_from_completed_staging(spark, sf_dir, tmp_path):
+    """Crash protocol: if a previous vacuum died AFTER staging committed
+    (_SUCCESS present) but BEFORE the expired directories were fully
+    removed, the re-run must REUSE the staged merge — recomputing from
+    the partially-deleted source partitions would silently drop the
+    already-deleted batch's edges."""
+    import shutil
+
+    from udacity_data_engineering_spark.operators.graph import _EDGE_SCHEMA
+
+    _, lake, _ = _tt_lake(spark, sf_dir, tmp_path)
+    want = read_click_edges_asof(spark, lake, 2).orderBy("src", "dst").collect()
+
+    # stage the horizon-1 merge exactly as vacuum step 1 would
+    merged = (
+        spark.read.schema(_EDGE_SCHEMA)
+        .parquet(lake)
+        .filter(F.col("batch_id") <= 1)
+        .groupBy("src", "dst")
+        .agg(F.sum("n_transitions").alias("n_transitions"))
+        .localCheckpoint(eager=True)
+    )
+    merged.write.mode("overwrite").parquet(os.path.join(lake, "_vacuum_staging"))
+    # simulate the crash mid-step-2: batch 0 already deleted, batch 1 not
+    shutil.rmtree(os.path.join(lake, "batch_id=0"))
+
+    # re-run: must NOT recompute staging from the damaged source
+    assert vacuum_edge_lake(spark, lake, horizon=1) == []  # batch 0 gone already
+    got = read_click_edges_asof(spark, lake, 2).orderBy("src", "dst").collect()
+    assert got == want
