@@ -364,33 +364,92 @@ def test_triangle_count_hand_graph(spark):
     assert got == {1: 3, 2: 1}
 
 
+def _stage_crashed_vacuum(spark, lake, horizon):
+    """Reproduce a vacuum that crashed mid-step-4: in-progress marker
+    persisted, horizon-tagged staging complete, batch 0 already deleted,
+    later pre-horizon batches not yet."""
+    import shutil
+
+    from udacity_data_engineering_spark.operators.graph import (
+        _EDGE_SCHEMA,
+        VACUUM_INPROGRESS_MARKER,
+        _write_int_marker,
+    )
+
+    want_next = (
+        read_click_edges_asof(spark, lake, horizon + 1)
+        .orderBy("src", "dst")
+        .collect()
+    )
+    merged = (
+        spark.read.schema(_EDGE_SCHEMA)
+        .parquet(lake)
+        .filter(F.col("batch_id") <= horizon)
+        .groupBy("src", "dst")
+        .agg(F.sum("n_transitions").alias("n_transitions"))
+        .localCheckpoint(eager=True)
+    )
+    _write_int_marker(spark, lake, VACUUM_INPROGRESS_MARKER, horizon)
+    merged.write.mode("overwrite").parquet(
+        os.path.join(lake, f"_vacuum_staging_h{horizon}")
+    )
+    shutil.rmtree(os.path.join(lake, "batch_id=0"))
+    return want_next
+
+
 def test_vacuum_resumes_from_completed_staging(spark, sf_dir, tmp_path):
     """Crash protocol: if a previous vacuum died AFTER staging committed
     (_SUCCESS present) but BEFORE the expired directories were fully
     removed, the re-run must REUSE the staged merge — recomputing from
     the partially-deleted source partitions would silently drop the
     already-deleted batch's edges."""
-    import shutil
-
-    from udacity_data_engineering_spark.operators.graph import _EDGE_SCHEMA
-
     _, lake, _ = _tt_lake(spark, sf_dir, tmp_path)
-    want = read_click_edges_asof(spark, lake, 2).orderBy("src", "dst").collect()
-
-    # stage the horizon-1 merge exactly as vacuum step 1 would
-    merged = (
-        spark.read.schema(_EDGE_SCHEMA)
-        .parquet(lake)
-        .filter(F.col("batch_id") <= 1)
-        .groupBy("src", "dst")
-        .agg(F.sum("n_transitions").alias("n_transitions"))
-        .localCheckpoint(eager=True)
-    )
-    merged.write.mode("overwrite").parquet(os.path.join(lake, "_vacuum_staging"))
-    # simulate the crash mid-step-2: batch 0 already deleted, batch 1 not
-    shutil.rmtree(os.path.join(lake, "batch_id=0"))
+    want = _stage_crashed_vacuum(spark, lake, horizon=1)
 
     # re-run: must NOT recompute staging from the damaged source
     assert vacuum_edge_lake(spark, lake, horizon=1) == []  # batch 0 gone already
     got = read_click_edges_asof(spark, lake, 2).orderBy("src", "dst").collect()
     assert got == want
+
+
+def test_vacuum_crash_resume_rejects_different_horizon(spark, sf_dir, tmp_path):
+    """ADVICE r13: a vacuum that crashed while targeting horizon 2 must
+    NOT be resumable at horizon 1 — renaming the 0..2 fold to batch_id=1
+    would leave batch 2's delta alive alongside a fold that already
+    contains it, double-counting batch 2 on every later as-of read."""
+    _, lake, _ = _tt_lake(spark, sf_dir, tmp_path)
+    want3 = _stage_crashed_vacuum(spark, lake, horizon=2)
+
+    with pytest.raises(RuntimeError, match="resumed at that horizon"):
+        vacuum_edge_lake(spark, lake, horizon=1)
+    # resuming at the RECORDED horizon completes and stays exact
+    assert vacuum_edge_lake(spark, lake, horizon=2) == [1]  # 0 was pre-deleted
+    got3 = read_click_edges_asof(spark, lake, 3).orderBy("src", "dst").collect()
+    assert got3 == want3
+
+
+def test_vacuum_midcrash_reads_fail_closed(spark, sf_dir, tmp_path):
+    """ADVICE r13: between the partition deletes and the commit rename a
+    crashed lake used to ANSWER as-of reads with a partial merge (as-of-1
+    returned 0 rows vs thousands true). With the in-progress marker
+    persisted before any delete, every read in that window raises; after
+    the resume completes, reads are exact again."""
+    from udacity_data_engineering_spark.operators.graph import (
+        read_click_edge_changes,
+    )
+
+    _, lake, _ = _tt_lake(spark, sf_dir, tmp_path)
+    want2 = _stage_crashed_vacuum(spark, lake, horizon=1)
+
+    for upto in (1, 2, 3):  # ALL as-of reads span the mid-delete range
+        with pytest.raises(RuntimeError, match="in progress"):
+            read_click_edges_asof(spark, lake, upto)
+    # change reads at/below the in-progress horizon raise too...
+    with pytest.raises(RuntimeError, match="in-progress vacuum"):
+        read_click_edge_changes(spark, lake, 0, 3)
+    # ...but strictly above it they touch only untouched partitions
+    assert read_click_edge_changes(spark, lake, 1, 3).count() > 0
+
+    vacuum_edge_lake(spark, lake, horizon=1)
+    got2 = read_click_edges_asof(spark, lake, 2).orderBy("src", "dst").collect()
+    assert got2 == want2

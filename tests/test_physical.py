@@ -341,3 +341,22 @@ def test_q_bucketed_join_registered_and_exchange_free(spark, sf_dir):
     rows = q_bucketed_join(spark, sf_dir).collect()
     assert len(rows) == 5
     assert all(r["n_orders"] > 0 for r in rows)
+
+
+def test_q_bucketed_join_does_not_accumulate_scratch_copies(spark, sf_dir):
+    """ADVICE r13: uuid-per-invocation external tables survived their
+    DROP TABLE (external files are kept), so 3 bench reps accumulated 6
+    full table copies. Fixed per-process names must rewrite the same two
+    directories in place across invocations."""
+    import os
+
+    from udacity_data_engineering_spark.operators.physical import q_bucketed_join
+    from udacity_data_engineering_spark.sources.parquet_source import scratch_dir
+
+    root = scratch_dir("bucketed_join")
+    q_bucketed_join(spark, sf_dir).collect()
+    first = sorted(os.listdir(root))
+    q_bucketed_join(spark, sf_dir).collect()
+    second = sorted(os.listdir(root))
+    assert first == second  # same dirs rewritten, nothing accumulated
+    assert len(second) == 2  # exactly one orders copy + one customer copy

@@ -605,7 +605,12 @@ def read_click_edges_asof(
     If the lake has been vacuumed (see :func:`vacuum_edge_lake`), reads
     into the expired range fail LOUDLY: below the horizon the deltas are
     gone and the folded checkpoint would silently answer for a later
-    point in time — the one wrong answer time travel must never give."""
+    point in time — the one wrong answer time travel must never give.
+    While a vacuum is IN PROGRESS (or crashed before its commit), every
+    as-of read raises — any as-of spans the pre-horizon directories the
+    vacuum is mid-way through deleting/renaming, so no point in time is
+    answerable exactly until the commit completes."""
+    _require_no_inprogress_vacuum(spark, lake_dir)
     horizon = read_vacuum_horizon(spark, lake_dir)
     if upto_batch < horizon:
         raise RuntimeError(
@@ -686,6 +691,13 @@ def q_edge_lake_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Hidden from parquet discovery (leading underscore), read by
 #: read_click_edges_asof to reject time travel into expired history.
 VACUUM_MARKER = "_vacuum_horizon"
+#: lake-root marker present from BEFORE the first destructive step of a
+#: vacuum until after its commit rename + horizon record. While present,
+#: partition directories at or below its recorded horizon may be
+#: partially deleted or mid-rename, so reads fail loudly instead of
+#: silently returning a partial merge (a crashed mid-vacuum lake used to
+#: answer as-of reads with 0 rows where the true answer had thousands).
+VACUUM_INPROGRESS_MARKER = "_vacuum_inprogress"
 
 _EDGE_SCHEMA = "src long, dst long, n_transitions long, batch_id int"
 
@@ -696,14 +708,11 @@ def _lake_fs(spark: SparkSession, lake_dir: str):
     return jvm, jroot.getFileSystem(spark._jsc.hadoopConfiguration()), jroot
 
 
-def read_vacuum_horizon(spark: SparkSession, lake_dir: str) -> int:
-    """The oldest as-of batch the lake can still answer exactly (0 when
-    never vacuumed). Hadoop-FS API throughout, so the marker works on
-    any scheme the lake itself works on."""
-    jvm, fs, jroot = _lake_fs(spark, lake_dir)
-    marker = jvm.org.apache.hadoop.fs.Path(lake_dir, VACUUM_MARKER)
+def _read_int_marker(spark: SparkSession, lake_dir: str, name: str) -> int | None:
+    jvm, fs, _ = _lake_fs(spark, lake_dir)
+    marker = jvm.org.apache.hadoop.fs.Path(lake_dir, name)
     if not fs.exists(marker):
-        return 0
+        return None
     reader = jvm.java.io.BufferedReader(
         jvm.java.io.InputStreamReader(fs.open(marker))
     )
@@ -713,14 +722,41 @@ def read_vacuum_horizon(spark: SparkSession, lake_dir: str) -> int:
         reader.close()
 
 
-def _write_vacuum_horizon(spark: SparkSession, lake_dir: str, horizon: int) -> None:
+def _write_int_marker(
+    spark: SparkSession, lake_dir: str, name: str, value: int
+) -> None:
     jvm, fs, _ = _lake_fs(spark, lake_dir)
-    marker = jvm.org.apache.hadoop.fs.Path(lake_dir, VACUUM_MARKER)
+    marker = jvm.org.apache.hadoop.fs.Path(lake_dir, name)
     out = fs.create(marker, True)
     try:
-        out.write(bytearray(f"{horizon}\n".encode()))
+        out.write(bytearray(f"{value}\n".encode()))
     finally:
         out.close()
+
+
+def read_vacuum_horizon(spark: SparkSession, lake_dir: str) -> int:
+    """The oldest as-of batch the lake can still answer exactly (0 when
+    never vacuumed). Hadoop-FS API throughout, so the marker works on
+    any scheme the lake itself works on."""
+    v = _read_int_marker(spark, lake_dir, VACUUM_MARKER)
+    return 0 if v is None else v
+
+
+def read_vacuum_inprogress(spark: SparkSession, lake_dir: str) -> int | None:
+    """The target horizon of an in-flight (or crashed-uncommitted)
+    vacuum, None when no vacuum is in progress."""
+    return _read_int_marker(spark, lake_dir, VACUUM_INPROGRESS_MARKER)
+
+
+def _require_no_inprogress_vacuum(spark: SparkSession, lake_dir: str) -> None:
+    inprog = read_vacuum_inprogress(spark, lake_dir)
+    if inprog is not None:
+        raise RuntimeError(
+            f"a vacuum to horizon {inprog} is in progress (or crashed "
+            "before its commit): partitions at or below that horizon may "
+            "be partially deleted — resume vacuum_edge_lake(horizon="
+            f"{inprog}) to completion before reading"
+        )
 
 
 def vacuum_edge_lake(
@@ -728,24 +764,39 @@ def vacuum_edge_lake(
 ) -> list[int]:
     """Fold every batch with ``batch_id <= horizon`` into ONE checkpoint
     partition at ``batch_id=horizon`` and drop the older directories.
-    Returns the expired batch ids. Idempotent staging protocol (crash at
-    any step leaves a resumable lake, never a double-counting one):
+    Returns the expired batch ids. Fail-closed staging protocol (a crash
+    at any step leaves a resumable lake that never double-counts and
+    never silently answers with a partial merge):
 
-    1. merge batch_id <= horizon into ``_vacuum_staging`` (overwrite) —
-       unless staging already holds a completed merge from a crashed
-       run, in which case recomputing from the possibly-partially-
-       deleted source partitions would be WRONG and the stage is reused;
-    2. delete every batch_id <= horizon partition directory;
-    3. rename staging to ``batch_id=horizon`` (the staged files carry no
+    1. validate the horizon: it must not precede the committed horizon,
+       and a crashed vacuum must be resumed at ITS recorded horizon —
+       resuming at any other horizon raises (a horizon-2 staging renamed
+       as batch_id=1 would leave batch 2's delta alive alongside a fold
+       that already contains it, double-counting batch 2 on every
+       subsequent as-of read);
+    2. persist the in-progress marker (the target horizon) BEFORE any
+       destructive step — from here until step 6, reads fail loudly via
+       :func:`read_click_edges_asof` / :func:`read_click_edge_changes`;
+    3. merge batch_id <= horizon into ``_vacuum_staging_h{horizon}``
+       (overwrite) — unless that horizon-tagged staging already holds a
+       completed merge from a crashed run, in which case recomputing
+       from the possibly-partially-deleted source partitions would be
+       WRONG and the stage is reused (the horizon tag in the directory
+       name is what makes reuse safe: a stage for a DIFFERENT horizon is
+       unreachable here because step 1 pins the resume horizon);
+    4. delete every batch_id <= horizon partition directory;
+    5. rename staging to ``batch_id=horizon`` (the staged files carry no
        batch_id column — hive layout derives it from the directory);
-    4. record the horizon marker, enforced by read_click_edges_asof.
+    6. record the committed horizon marker, then clear the in-progress
+       marker — reads are exact again from this point.
     """
     import os
 
     jvm, fs, jroot = _lake_fs(spark, lake_dir)
-    staging = jvm.org.apache.hadoop.fs.Path(lake_dir, "_vacuum_staging")
+    staging_name = f"_vacuum_staging_h{horizon}"
+    staging = jvm.org.apache.hadoop.fs.Path(lake_dir, staging_name)
     staging_done = jvm.org.apache.hadoop.fs.Path(
-        os.path.join(lake_dir, "_vacuum_staging", "_SUCCESS")
+        os.path.join(lake_dir, staging_name, "_SUCCESS")
     )
     prev_horizon = read_vacuum_horizon(spark, lake_dir)
     if horizon < prev_horizon:
@@ -753,6 +804,15 @@ def vacuum_edge_lake(
             f"vacuum horizon {horizon} precedes already-expired history "
             f"(current horizon {prev_horizon})"
         )
+    inprog = read_vacuum_inprogress(spark, lake_dir)
+    if inprog is not None and inprog != horizon:
+        raise RuntimeError(
+            f"a crashed vacuum to horizon {inprog} must be resumed at "
+            f"that horizon, not {horizon}: its partitions may be "
+            "partially deleted and its staged fold covers exactly "
+            f"batch_id <= {inprog}"
+        )
+    _write_int_marker(spark, lake_dir, VACUUM_INPROGRESS_MARKER, horizon)
 
     if not (fs.exists(staging) and fs.exists(staging_done)):
         merged = (
@@ -766,7 +826,7 @@ def vacuum_edge_lake(
             .localCheckpoint(eager=True)
         )
         merged.write.mode("overwrite").parquet(
-            os.path.join(lake_dir, "_vacuum_staging")
+            os.path.join(lake_dir, staging_name)
         )
 
     from udacity_data_engineering_spark.sources.lake import retention_expire
@@ -777,7 +837,10 @@ def vacuum_edge_lake(
     target = jvm.org.apache.hadoop.fs.Path(lake_dir, f"batch_id={horizon}")
     if not fs.rename(staging, target):
         raise RuntimeError(f"vacuum commit rename failed: {staging} -> {target}")
-    _write_vacuum_horizon(spark, lake_dir, horizon)
+    _write_int_marker(spark, lake_dir, VACUUM_MARKER, horizon)
+    fs.delete(
+        jvm.org.apache.hadoop.fs.Path(lake_dir, VACUUM_INPROGRESS_MARKER), False
+    )
     # the horizon partition was deleted-then-recreated as the checkpoint,
     # so only ids strictly below it are truly expired history
     return sorted(int(v) for v in expired if int(v) < horizon)
@@ -934,6 +997,16 @@ def read_click_edge_changes(
     """
     if from_batch > to_batch:
         raise ValueError(f"from_batch {from_batch} > to_batch {to_batch}")
+    inprog = read_vacuum_inprogress(spark, lake_dir)
+    if inprog is not None and from_batch < inprog:
+        # a change read strictly above the in-progress horizon touches
+        # only partitions the vacuum never mutates, so it stays exact;
+        # one reaching at/below it would read mid-delete directories
+        raise RuntimeError(
+            f"change read from batch {from_batch} reaches at or below "
+            f"the in-progress vacuum horizon {inprog}: resume "
+            f"vacuum_edge_lake(horizon={inprog}) to completion first"
+        )
     horizon = read_vacuum_horizon(spark, lake_dir)
     if from_batch < horizon:
         raise RuntimeError(

@@ -477,15 +477,19 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
-    import uuid
 
     from udacity_data_engineering_spark.sources.parquet_source import scratch_dir
 
     orders = table(spark, sf_dir, "orders")
     customer = table(spark, sf_dir, "customer")
-    run = uuid.uuid4().hex[:8]
     root = scratch_dir("bucketed_join")
-    ob_name, cb_name = f"orders_bkt_{run}", f"cust_bkt_{run}"
+    # FIXED per-process names/paths (ADVICE r13): a uuid per invocation
+    # left the previous invocation's external files behind (DROP TABLE
+    # on an external table keeps the files), accumulating 2 full table
+    # copies per run until interpreter exit — the exact mkdtemp leak
+    # ADVICE r1 removed from the other sinks. With fixed names the
+    # overwrite-mode saveAsTable rewrites the same directories in place.
+    ob_name, cb_name = f"orders_bkt_p{os.getpid()}", f"cust_bkt_p{os.getpid()}"
     write_bucketed(
         orders, ob_name, ["o_custkey"], 8,
         sort_cols=["o_custkey"], path=os.path.join(root, ob_name),

@@ -58,16 +58,14 @@ def register(
 # after these. A name listed here but not registered is a hard error (catches
 # renames going stale).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # Round-13 rotation: 18 spine slots + 4 new r13 provables + ALL 28
-    # names from the r12-computed never-driver-checked queue — this
-    # window zeroes the driver-proof debt (VERDICT r12 item 1): after it
-    # runs, every SQL-oracled query in the registry has appeared in at
-    # least one driver correctness window. The spine: six §2A parity
-    # anchors plus twelve single-slot family anchors so every §2B family
-    # keeps a same-round driver proof (q_parts_supplier_cnt doubles
-    # E2+E7, q_range_join_binned doubles E7+E8; E14 and W+/lake are
-    # covered by the new provables below). Every rotated-out name
-    # remains sweep-verified at three scales.
+    # Round-14 rotation: 18 spine slots + the NINE never-driver-checked
+    # round-13 names (the entire residual proof debt, VERDICT r13 item 2
+    # — after this window every SQL-oracled query registered before r14
+    # has a driver hash) + new r14 provables + the stalest re-proofs
+    # (the TPC-H analytics batch last driver-checked in round 1; all
+    # remain sweep-verified at three scales, this refreshes their driver
+    # hash). The spine: six §2A parity anchors plus family anchors so
+    # every §2B extension family keeps a same-round driver proof.
     "q_scan_count",  # 2A.6 parquet scan + 2A.22 count
     "q_dateparts",  # 2A.14/11/13 datetime parts + events nanos shim
     "q_join_multikey",  # 2A.17 3-key composite equi-join
@@ -78,63 +76,61 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_rollup",  # E3 family anchor
     "q_topn",  # E4 + 2A.21 family anchor
     "q_setops",  # E6 family anchor
-    "q_range_join_binned",  # E7+E8 family anchor
     "q_json_extract",  # E9 family anchor
     "q_asof_join",  # E8 family anchor
-    "q_stratified_fixed_k",  # sampling family anchor (E5 is covered
-    # by q_edge_lake_time_travel/vacuum in the rotation block below)
+    "q_window_rank",  # E5 family anchor (back in after r13 swap-out)
+    "q_stratified_fixed_k",  # sampling family anchor
     "q_session_window",  # E13 family anchor
     "q_doc_dedup",  # E11 family anchor
     "q_cluster_centroids",  # E12 + embeddings family anchor
     "q_multimodal_decode",  # E15 family anchor
-    # Four NEW r13 operators: first driver proofs (E14 + W+/lake + the
-    # sketch-warehouse quantile legs land their family coverage here)
-    "q_quantile_sketch",  # NEW r13: mergeable fixed-grid histogram cells
-    "q_quantile_estimates",  # NEW r13: percentiles from the sketch alone
-    "q_edge_lake_vacuum",  # NEW r13: history folding, as-of reads exact
-    "q_streaming_stateful_totals_tws",  # NEW r13: transformWithState leg
-    # --- all 28 never-driver-checked rotations (queue computed end of
-    # r12; zero left behind) ---
-    "q_cte",  # sql-surface rotations deferred from r12
-    "q_in_subquery",
-    "q_scalar_subquery",
-    "q_having",
-    "q_string_agg",  # sql-surface trio
-    "q_stats_agg",
-    "q_histogram",
-    "q_doc_stats",  # text/quality tail
-    "q_doc_quality",
-    "q_lang_dist",
-    "q_token_count_regex",
-    "q_token_entropy",
-    "q_top_tokens_per_lang",
-    "q_text_normalize",
-    "q_text_scrub",
-    "q_rolling_hash",
-    "q_repetition_filter",
-    "q_length_outliers",
-    "q_profile",
-    "q_group_zscore",
-    "q_charlm_lang_filter",
-    "q_quality_ensemble",
-    "q_doc_chunks_bpe",
-    "q_export_pipeline",  # the five post-window r12 operators
-    "q_cms_sketch",
-    "q_cms_estimates",
-    "q_streaming_stateful_totals",
-    "q_edge_lake_time_travel",
+    "q_streaming_stateful_totals_tws",  # E14 family anchor
+    # --- the nine never-driver-checked r13 names (registered after the
+    # r13 window was fixed; all locally DuckDB-verified at sf0.01) ---
+    "q_bucketed_join",  # zero-Exchange co-located join
+    "q_quantile_sketch_merged",  # sketch-merge associativity leg
+    "q_table_fingerprint",  # O(1)-state replication check
+    "q_scd2_point_in_time",  # leak-free PIT feature join
+    "q_interval_join",  # grid-binned overlap join
+    "q_table_diff",  # keyed NULL-safe diff
+    "q_triangle_count",  # compact-forward wedge join
+    "q_attribution",  # first/last-touch windows
+    "q_edge_lake_changes",  # CDC read, asof+changes==asof
+    # --- new r14 operators: first driver proofs (uncommented as each
+    # lands during the round; a listed-but-unregistered name is a hard
+    # error, so this block trails the implementations) ---
+    # --- stalest re-proofs: last driver-checked round 1 ---
+    "q_shipping_priority",  # TPC-H Q3 shape
+    "q_local_supplier_volume",  # Q5 shape
+    "q_volume_shipping",  # Q7 shape
+    "q_market_share",  # Q8 shape
+    "q_product_profit",  # Q9 shape
+    "q_returned_items",  # Q10 shape
+    "q_important_parts",  # Q11 shape
+    "q_priority_shipclass",  # Q12 shape
+    "q_promo_revenue",  # Q14 shape
+    "q_top_supplier",  # Q15 shape
+    "q_min_cost_supplier",  # Q2 shape
+    "q_order_priority",  # Q4 shape
+    "q_large_orders",  # Q18 shape
+    "q_cust_order_distribution",  # Q13 shape
+    "q_disjunctive_pred",  # Q19 shape
+    "q_excess_share_suppliers",  # Q20 shape
+    "q_forecast_revenue",  # Q6 shape
+    "q_idle_customers",  # Q22 shape
+    "q_join_anti",  # E7 anti join
+    "q_join_outer",  # E7 outer join
+    "q_corpus_pipeline",  # corpus family anchor (end-to-end curation)
+    "q_cosine_topk",  # E12 anchor, swapped out in r13
 )
-# Round-14 rotation queue: the window above cleared the r12 ledger
-# entirely; the only never-driver-checked SQL-oracled names are the
-# NINE registered during round 13 AFTER this window was fixed —
-# q_bucketed_join, q_quantile_sketch_merged, q_table_fingerprint,
-# q_scd2_point_in_time, q_interval_join, q_table_diff,
-# q_triangle_count, q_attribution, q_edge_lake_changes. (The two
-# swapped-out r13 anchors q_window_rank and q_cosine_topk are
-# driver-green in many prior rounds — not debt.) All nine are
-# sweep-verified at three scales and locally DuckDB-verified at
-# sf0.01; one r14 rotation covers them with ~35 spine slots to spare.
-# Rows-only names stay sweep+pytest-verified by design.
+# Rotation ledger after this window: never-driver-checked SQL-oracled
+# names = the r14 registrations not listed above (kept to zero by
+# listing every new oracled query here the round it lands). Rows-only
+# names stay sweep+pytest-verified by design. Stale tail remaining for
+# r15: the round-1 names not re-proven above (q_ngram_jaccard,
+# q_orc_roundtrip, q_csv_roundtrip, q_compact_small_files,
+# q_small_qty_revenue, q_waiting_suppliers) plus the r5/r6 batch —
+# all sweep-verified at three scales every round.
 
 
 def all_queries() -> dict[str, Query]:
