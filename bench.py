@@ -46,6 +46,42 @@ REPS = 3
 #: total and visibly tightens the ratio; the long extensions stay at
 #: best-of-3 (they are 1-10 s each, where jitter is proportionally small).
 HEADLINE_REPS = 5
+#: engine/stock ratio on a quiet host lands in 0.58-0.82 at best-of-5
+#: (SCALE.md, rounds 7-13). A ratio outside the widened trigger band below
+#: is a LOAD signature, not a plan signature — round 13's driver artifact
+#: read 2.62x with a uniform ~2-3x slowdown on every query *including a
+#: bare count(*) whose plan is byte-identical to stock's*, while three
+#: same-box runs read 0.57-0.70x. The A/B design (stock JVM first, engine
+#: JVM after, minutes apart) leaves a window where one-sided host load
+#: skews the ratio; when the ratio exits this band the harness re-runs
+#: BOTH legs once and reports per-query minima across attempts —
+#: contention only ever ADDS wall-clock, so min de-contends both sides
+#: symmetrically. Both attempts + 1-min load averages are recorded in
+#: BENCH_DETAIL.json so a reviewer can adjudicate from the artifact alone.
+VS_STOCK_RETRY_BAND = (0.40, 0.95)
+
+
+def needs_retry(vs_stock: float | None) -> bool:
+    """True when the engine/stock ratio is outside the plausible band and
+    the run should be repeated before the artifact is trusted."""
+    if vs_stock is None:
+        return False
+    lo, hi = VS_STOCK_RETRY_BAND
+    return not (lo <= vs_stock <= hi)
+
+
+def merge_best(*attempts: dict) -> dict:
+    """Per-query minimum across bench attempts (same key set not required:
+    a failed retry contributes nothing). Contention inflates wall-clock
+    monotonically, so the min over attempts is the de-contended estimate —
+    the same reasoning as best-of-N within one attempt, applied across
+    attempts."""
+    merged: dict = {}
+    for att in attempts:
+        for name, sec in (att or {}).items():
+            if name not in merged or sec < merged[name]:
+                merged[name] = sec
+    return merged
 
 
 def measure_stock() -> dict | None:
@@ -84,7 +120,8 @@ def slim_output(out: dict) -> dict:
     BENCH_DETAIL.json), with the extension total kept inline so
     extension regressions still move a driver-visible number."""
     slim = {
-        k: v for k, v in out.items() if k not in ("extensions", "extensions_median")
+        k: v for k, v in out.items()
+        if k not in ("extensions", "extensions_median", "bench_attempts")
     }
     ext = out.get("extensions", {})
     slim["extensions_total"] = round(sum(ext.values()), 3)
@@ -199,14 +236,51 @@ def main() -> None:
     t["lineitem"].count()
     t["events"].count()
 
-    results = {}
-    for name, fn in benches.items():
-        best = float("inf")
-        for _ in range(HEADLINE_REPS):
-            t0 = time.perf_counter()
-            fn()
-            best = min(best, time.perf_counter() - t0)
-        results[name] = round(best, 3)
+    def run_headlines() -> dict:
+        out = {}
+        for name, fn in benches.items():
+            best = float("inf")
+            for _ in range(HEADLINE_REPS):
+                t0 = time.perf_counter()
+                fn()
+                best = min(best, time.perf_counter() - t0)
+            out[name] = round(best, 3)
+        return out
+
+    def loadavg1() -> float | None:
+        try:
+            return round(os.getloadavg()[0], 2)
+        except OSError:
+            return None
+
+    results = run_headlines()
+    attempts = [{
+        "queries": results,
+        "stock_queries": (stock or {}).get("queries"),
+        "loadavg_after_engine_leg": loadavg1(),
+    }]
+    contention_retry = False
+    if stock is not None:
+        ratio = sum(results.values()) / stock["total"] if stock["total"] else None
+        if needs_retry(ratio):
+            # one-leg contention suspected (VERDICT r13): re-run BOTH legs
+            # once — stock subprocess first (same never-concurrent design),
+            # then the engine headlines in this warm session — and take
+            # per-query minima across attempts on each side independently.
+            contention_retry = True
+            stock2 = measure_stock()
+            results2 = run_headlines()
+            attempts.append({
+                "queries": results2,
+                "stock_queries": (stock2 or {}).get("queries"),
+                "loadavg_after_engine_leg": loadavg1(),
+                "first_attempt_vs_stock": round(ratio, 3),
+            })
+            results = merge_best(results, results2)
+            merged_stock = merge_best(stock["queries"],
+                                      (stock2 or {}).get("queries"))
+            stock = {"queries": merged_stock,
+                     "total": round(sum(merged_stock.values()), 3)}
 
     # engine-extension headliners (no BASELINE counterpart — reported
     # separately so the headline metric stays comparable to BASELINE.md)
@@ -365,6 +439,8 @@ def main() -> None:
         "extensions_median": extensions_median,
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
         "cpus": CPUS,
+        "contention_retry": contention_retry,
+        "bench_attempts": attempts,
     }
     if stock is not None:
         out["stock_queries"] = stock["queries"]
