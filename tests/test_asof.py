@@ -112,3 +112,65 @@ def test_interval_join_rejects_bad_cell(spark):
     df = spark.createDataFrame([(1, 2)], "s long, e long")
     with pytest.raises(ValueError):
         interval_join_binned(df, df, "s", "e", "s", "e", cell=0)
+    with pytest.raises(ValueError, match="max_cells_per_interval"):
+        interval_join_binned(
+            df, df, "s", "e", "s", "e", cell=5, max_cells_per_interval=1
+        )
+
+
+def test_interval_join_cell_explosion_fails_loudly(spark):
+    """ADVICE/VERDICT r13: a `cell` far below the real interval lengths
+    used to silently blow each interval into k+1 rows; now any interval
+    exploding past max_cells_per_interval fails the job with the
+    offending cell count, the in_cap_groups/fail_on_drops discipline."""
+    import pytest
+
+    from udacity_data_engineering_spark.operators.asof import (
+        interval_join_binned,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 0, 5), (2, 10, 10_000)], "lid long, ls long, le long"
+    )
+    right = spark.createDataFrame([(1, 3, 7)], "rid long, rs long, re long")
+    with pytest.raises(Exception, match="explodes into .* grid cells"):
+        interval_join_binned(
+            left, right, "ls", "le", "rs", "re", cell=5,
+            max_cells_per_interval=64,
+        ).collect()
+    # raising the cap deliberately lets the same data through
+    got = interval_join_binned(
+        left, right, "ls", "le", "rs", "re", cell=5,
+        max_cells_per_interval=4096,
+    ).count()
+    assert got == 1  # only (lid=1, rid=1) overlaps
+
+
+def test_interval_join_derives_cell_from_lengths(spark):
+    """cell=None derives the grid from the p90 interval length, so the
+    typical interval explodes into <= 2 cells and the adversarial caller
+    who can't guess a width gets a safe default instead of a blow-up."""
+    from udacity_data_engineering_spark.operators.asof import (
+        derive_interval_cell,
+        interval_join_binned,
+    )
+
+    lrows = [(i, 10 * i, 10 * i + 20) for i in range(50)]
+    rrows = [(j, 10 * j + 5, 10 * j + 28) for j in range(50)]
+    left = spark.createDataFrame(lrows, "lid long, ls long, le long")
+    right = spark.createDataFrame(rrows, "rid long, rs long, re long")
+    cell = derive_interval_cell(left, right, "ls", "le", "rs", "re")
+    assert 20 <= cell <= 30  # ~p90 of the 20/23-length mix, +1
+    got = sorted(
+        (r["lid"], r["rid"])
+        for r in interval_join_binned(
+            left, right, "ls", "le", "rs", "re", cell=None
+        ).collect()
+    )
+    want = sorted(
+        (lr[0], rr[0])
+        for lr in lrows
+        for rr in rrows
+        if lr[1] <= rr[2] and rr[1] <= lr[2]
+    )
+    assert got == want

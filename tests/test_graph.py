@@ -362,6 +362,65 @@ def test_triangle_count_hand_graph(spark):
     got = {r.a: r.n_triangles for r in triangle_count(edges).collect()}
     # triangles of K4 grouped by smallest vertex: (1,2,3),(1,2,4),(1,3,4) -> 1; (2,3,4) -> 2
     assert got == {1: 3, 2: 1}
+    # orientation-invariance: id orientation reports identical counts
+    got_id = {
+        r.a: r.n_triangles
+        for r in triangle_count(edges, orient="id").collect()
+    }
+    assert got_id == got
+    with pytest.raises(ValueError, match="orient"):
+        triangle_count(edges, orient="random")
+
+
+def test_triangle_degree_orientation_caps_hub_wedges(spark):
+    """VERDICT r13 task 3: one celebrity node of degree ~sqrt(E) must not
+    make the wedge join quadratic in its degree. Probe: a star hub with a
+    MID-RANGE id (so id orientation gives it both in- and out-edges)
+    plus a triangle ring. Under id orientation the hub generates
+    ~ (d/2)^2 wedges; under degree orientation the hub's out-degree
+    drops to ~0 and the wedge count collapses to the oriented bound."""
+    from udacity_data_engineering_spark.operators.graph import (
+        degree_oriented,
+        triangle_count,
+        undirected_edges,
+    )
+
+    d = 200
+    hub = d // 2  # mid-range id: ~d/2 neighbors below, ~d/2 above
+    star = [(hub, i, 1) for i in range(d + 1) if i != hub]
+    # a few genuine triangles away from the hub (ids above the star)
+    ring = []
+    for k in range(5):
+        x = 1000 + 3 * k
+        ring += [(x, x + 1, 1), (x + 1, x + 2, 1), (x, x + 2, 1)]
+    edges = spark.createDataFrame(
+        star + ring, "src long, dst long, n_transitions long"
+    )
+    e = undirected_edges(edges)
+
+    def wedge_count(oriented):
+        vw = oriented.select(
+            F.col("u").alias("v"), F.col("v").alias("w")
+        )
+        return oriented.join(vw, "v").count()
+
+    id_oriented = e.select(F.col("a").alias("u"), F.col("b").alias("v"))
+    deg_oriented = degree_oriented(e)
+    id_wedges = wedge_count(id_oriented)
+    deg_wedges = wedge_count(deg_oriented)
+    assert id_wedges >= (d // 2) ** 2  # the quadratic hub term is real
+    # degree orientation: hub out-degree ~0, leaf out-degree <= 2, so the
+    # wedge count is linear in E (comfortably under 4E), not deg(hub)^2
+    n_edges = e.count()
+    assert deg_wedges <= 4 * n_edges, (deg_wedges, n_edges)
+
+    # and the counts themselves are identical under both orientations
+    got = {r.a: r.n_triangles for r in triangle_count(edges).collect()}
+    got_id = {
+        r.a: r.n_triangles
+        for r in triangle_count(edges, orient="id").collect()
+    }
+    assert got == got_id == {1000 + 3 * k: 1 for k in range(5)}
 
 
 def _stage_crashed_vacuum(spark, lake, horizon):

@@ -504,6 +504,33 @@ def q_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def derive_interval_cell(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    q: float = 0.9,
+) -> int:
+    """Derive a grid cell width for :func:`interval_join_binned` from the
+    data: the ``q``-quantile of interval lengths across BOTH sides (one
+    tiny approx aggregate, driver state = one float). With cell ≈ the
+    typical interval length, a typical interval explodes into ≤ 2 cells
+    — the ~2x row blow-up the operator is designed around — instead of
+    the silent k+1-row blow-up a caller gets from guessing ``cell`` far
+    below the real lengths (ADVICE r13)."""
+    lens = left.select(
+        (F.col(l_end) - F.col(l_start)).cast("double").alias("__len")
+    ).unionAll(
+        right.select(
+            (F.col(r_end) - F.col(r_start)).cast("double").alias("__len")
+        )
+    )
+    p = lens.approxQuantile("__len", [q], 0.01)
+    return max(1, int(p[0]) + 1) if p else 1
+
+
 def interval_join_binned(
     left: DataFrame,
     right: DataFrame,
@@ -511,7 +538,8 @@ def interval_join_binned(
     l_end: str,
     r_start: str,
     r_end: str,
-    cell: int,
+    cell: int | None,
+    max_cells_per_interval: int = 64,
 ) -> DataFrame:
     """Interval OVERLAP join (closed intervals: ``l_start <= r_end AND
     r_start <= l_end``) without a cartesian plan — the interval×interval
@@ -519,27 +547,58 @@ def interval_join_binned(
 
     Both sides explode onto a fixed grid of ``cell``-width cells (an
     interval covers ``len/cell + 1`` cells — pick ``cell`` near the
-    typical interval length so the blow-up is ~2x rows); pairs meet via
-    ONE hash equi-join on the cell id. A pair overlapping several cells
-    would be emitted once per shared cell, so each pair is claimed by
-    exactly one cell — the one containing ``greatest(l_start, r_start)``
-    (both intervals provably cover it) — which makes the output
-    duplicate-free with NO post-join dedup shuffle.
+    typical interval length so the blow-up is ~2x rows, or pass
+    ``cell=None`` to derive it from the p90 interval length via
+    :func:`derive_interval_cell`); pairs meet via ONE hash equi-join on
+    the cell id. A pair overlapping several cells would be emitted once
+    per shared cell, so each pair is claimed by exactly one cell — the
+    one containing ``greatest(l_start, r_start)`` (both intervals
+    provably cover it) — which makes the output duplicate-free with NO
+    post-join dedup shuffle.
+
+    The explosion is CAPPED, not contract-only (the in_cap_groups /
+    fail_on_drops discipline): any single interval that would explode
+    into more than ``max_cells_per_interval`` grid rows fails the job
+    loudly with the offending cell count — a mis-sized ``cell`` surfaces
+    as a diagnosable error, never as a silent row blow-up.
 
     Shuffle cost: sum of exploded cell rows, never |L|x|R|. Catalyst
     alone can only plan the overlap predicate as a nested-loop cartesian
     — the 100 TB cliff this operator exists to avoid.
     """
+    if cell is None:
+        cell = derive_interval_cell(
+            left, right, l_start, l_end, r_start, r_end
+        )
     if cell < 1:
         raise ValueError(f"cell width must be >= 1, got {cell}")
+    if max_cells_per_interval < 2:
+        raise ValueError(
+            f"max_cells_per_interval must be >= 2, got {max_cells_per_interval}"
+        )
 
     def cells(s: str, e: str) -> F.Column:
-        return F.explode(
-            F.sequence(
-                F.floor(F.col(s) / cell).cast("long"),
-                F.floor(F.col(e) / cell).cast("long"),
+        lo = F.floor(F.col(s) / cell).cast("long")
+        hi = F.floor(F.col(e) / cell).cast("long")
+        n = hi - lo + 1
+        # the guard lives INSIDE the sequence bound so Catalyst cannot
+        # prune it away with an unused assert column
+        hi_guarded = F.when(n <= max_cells_per_interval, hi).otherwise(
+            F.raise_error(
+                F.format_string(
+                    "interval [%s] explodes into %d grid cells at cell "
+                    f"width {cell} (cap {max_cells_per_interval}): raise "
+                    "`cell` (or pass cell=None to derive it from the p90 "
+                    "interval length), or raise max_cells_per_interval "
+                    "deliberately",
+                    F.concat_ws(
+                        ", ", F.col(s).cast("string"), F.col(e).cast("string")
+                    ),
+                    n,
+                )
             )
         )
+        return F.explode(F.sequence(lo, hi_guarded))
 
     lcell = left.withColumn("__cell", cells(l_start, l_end))
     rcell = right.withColumn("__cell", cells(r_start, r_end))

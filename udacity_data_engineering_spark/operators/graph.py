@@ -916,29 +916,80 @@ def undirected_edges(edges: DataFrame) -> DataFrame:
     )
 
 
-def triangle_count(edges: DataFrame) -> DataFrame:
-    """Per-node triangle counts (node = the triangle's SMALLEST vertex),
-    via the compact-forward algorithm: with edges normalized a < b, a
-    triangle a < b < c is exactly one (a,b) edge, one (b,c) edge, and an
-    (a,c) closing edge — two hash equi-joins, each triangle enumerated
-    EXACTLY once (no 3!/duplicate correction, no cross join).
+def degree_oriented(undirected: DataFrame) -> DataFrame:
+    """Re-orient a normalized undirected edge set (a < b) so every edge
+    points lower-degree → higher-degree endpoint, ties broken on id —
+    an acyclic orientation under the total order (deg(x), x). Returns
+    (u, v) with u ≺ v.
 
-    Scale shape: wedge generation joins on the shared vertex, so cost is
-    Σ deg(b)² over b's forward-neighborhoods — the standard bound; on a
-    degree-skewed 100 TB graph, orient edges low-degree → high-degree
-    first (one degree aggregate + a re-orient select) to cap the hub
-    term before this join; the click graph's page keyspace is bounded,
-    so the plain normalized orientation suffices here.
+    This is THE skew lever for triangle counting: the wedge join's cost
+    at a middle vertex m is in-deg(m)·out-deg(m) under the orientation,
+    and degree orientation caps every out-degree at O(√E) (each
+    out-neighbor has degree ≥ deg(u), so out-deg(u) ≤ 2E/deg(u) and
+    out-deg(u) ≤ deg(u) — their min is ≤ √(2E)). A celebrity hub keeps
+    a huge IN-degree but near-zero OUT-degree, so the Σ in·out hub term
+    collapses from deg²(hub) to ~deg(hub) — pinned by the skew probe in
+    tests/test_graph.py. Cost: one degree aggregate + two equi-joins on
+    node id, all linear in E.
+    """
+    deg = (
+        undirected.select(F.col("a").alias("node"))
+        .unionAll(undirected.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    e = (
+        undirected.join(
+            deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a")),
+            "a",
+        ).join(
+            deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b")),
+            "b",
+        )
+    )
+    a_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    return e.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+    )
+
+
+def triangle_count(edges: DataFrame, orient: str = "degree") -> DataFrame:
+    """Per-node triangle counts (node = the triangle's smallest-by-id
+    vertex), via the compact-forward algorithm: under an acyclic
+    orientation ≺, a triangle u ≺ v ≺ w is exactly one (u,v) edge, one
+    (v,w) edge, and a (u,w) closing edge — two hash equi-joins, each
+    triangle enumerated EXACTLY once (no 3!/duplicate correction, no
+    cross join). The reported counts are orientation-invariant: rows
+    group on the least node ID of each triangle, so the same oracle
+    verifies both orientations.
+
+    ``orient="degree"`` (default) re-orients edges low-degree →
+    high-degree first (:func:`degree_oriented`), capping the wedge
+    join's Σ in·out hub term at O(E^1.5) on arbitrarily skewed graphs —
+    one celebrity node no longer makes the join quadratic in its
+    degree. ``orient="id"`` keeps the plain a < b normalization (fine
+    when the keyspace is bounded and near-uniform).
     """
     e = undirected_edges(edges)
-    ab = e.select(F.col("a"), F.col("b"))
-    bc = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
-    ac = e.select(F.col("a").alias("a2"), F.col("b").alias("c2"))
-    wedges = ab.join(bc, "b")
+    if orient == "degree":
+        e = degree_oriented(e)
+    elif orient == "id":
+        e = e.select(F.col("a").alias("u"), F.col("b").alias("v"))
+    else:
+        raise ValueError(f"orient must be 'degree' or 'id', got {orient!r}")
+    uv = e
+    vw = e.select(F.col("u").alias("v"), F.col("v").alias("w"))
+    uw = e.select(F.col("u").alias("u2"), F.col("v").alias("w2"))
+    wedges = uv.join(vw, "v")
     tris = wedges.join(
-        ac, (F.col("a") == F.col("a2")) & (F.col("c") == F.col("c2"))
+        uw, (F.col("u") == F.col("u2")) & (F.col("w") == F.col("w2"))
     )
-    return tris.groupBy("a").agg(F.count(F.lit(1)).alias("n_triangles"))
+    return tris.groupBy(F.least("u", "v", "w").alias("a")).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
 
 
 @register(
@@ -965,13 +1016,15 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         GROUP BY e1.a
     """,
     doc="Triangle counting over the undirected session click graph "
-    "(compact-forward: normalized a<b<c ordering makes every triangle "
-    "one (a,b)+(b,c) wedge closed by an (a,c) edge — two equi-joins, "
-    "exactly-once enumeration, no cross join, no overcount correction). "
-    "Triangle density is the clustering-coefficient backbone for "
-    "community/quality scoring on link graphs. Grouped per smallest "
-    "vertex for a value-rich hash; DuckDB replays the identical "
-    "edge normalization and joins.",
+    "(compact-forward under a DEGREE orientation: edges point "
+    "low-degree -> high-degree, so every triangle is one (u,v)+(v,w) "
+    "wedge closed by a (u,w) edge — two equi-joins, exactly-once "
+    "enumeration, no cross join, no overcount correction, and the "
+    "wedge join's hub term is capped at O(E^1.5) on skewed graphs "
+    "instead of deg(hub)^2). Triangle density is the clustering-"
+    "coefficient backbone for community/quality scoring on link "
+    "graphs. Grouped per smallest vertex ID — orientation-invariant, "
+    "so DuckDB verifies via the plain id-ordered joins.",
     tags=("E5", "analytics", "graph", "llm-pipeline"),
 )
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
