@@ -14,10 +14,18 @@ given sf_dir, renders ``explain('formatted')``, and flags:
   queries legitimately read everything).
 
 Exit code 1 if any NEW hazard appears outside the committed allowlist.
-Streaming queries (tagged 'streaming') are skipped: their plan is the
-per-batch plan, and explain() on the composed query would execute the
-stream. Queries that EXECUTE work at build time (lake builders) still
-run; their returned frame's plan is what ships to the driver.
+Streaming queries (tagged 'streaming') EXECUTE under a micro-batch plan
+capture (event_stream.capture_streaming_plans): every stream the query
+runs records its last trigger's physical plan via explainInternal, and
+those plans are audited with the same hazard markers alongside the
+returned batch frame's plan (VERDICT r13 item 5 — previously the only
+registry corner no machine audit covered). foreachBatch gate BODIES are
+not separately captured: each gate composes already-audited batch
+operators (lake_upsert -> q_merge_upsert, dq monitor -> q_dq_checks,
+edge lake -> q_click_edges + append, stateful sinks ->
+write_stream_parquet/merge per-batch twins) — the documented waiver.
+Queries that EXECUTE work at build time (lake builders) still run;
+their returned frame's plan is what ships to the driver.
 
 Usage: python scripts/plan_audit.py [--sf /root/testdata/sf0.01] [-q a,b]
 """
@@ -130,14 +138,22 @@ def main() -> int:
         manifest if args.all else DRIVER_PRIORITY
     )
 
+    from udacity_data_engineering_spark.streaming.event_stream import (
+        capture_streaming_plans,
+    )
+
     flagged: dict[str, list[str]] = {}
+    n_micro_batch_plans = 0
     for name in wanted:
         q = manifest[name]
-        if "streaming" in q.tags:
-            print(f"skip {name}: streaming (per-batch plan)")
-            continue
+        streaming = "streaming" in q.tags
+        micro_plans: list[tuple[str, str]] = []
         try:
-            df = q.fn(spark, args.sf)
+            if streaming:
+                with capture_streaming_plans() as micro_plans:
+                    df = q.fn(spark, args.sf)
+            else:
+                df = q.fn(spark, args.sf)
             plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
                 df._jdf.queryExecution(), "formatted"
             )
@@ -146,13 +162,24 @@ def main() -> int:
             print(f"ERR  {name}: {flagged[name][0]}")
             continue
         hazards = audit_plan(name, plan)
+        shown = [plan] if hazards else []
+        for label, splan in micro_plans:
+            n_micro_batch_plans += 1
+            micro_hazards = audit_plan(name, splan)
+            if micro_hazards:
+                shown.append(splan)
+            hazards += [f"{h} (micro-batch {label})" for h in micro_hazards]
         if hazards:
             flagged[name] = hazards
             print(f"FLAG {name}: {', '.join(hazards)}")
             if args.show:
-                print(plan)
+                for p in shown:
+                    print(p)
         else:
-            print(f"ok   {name}")
+            suffix = (
+                f" (+{len(micro_plans)} micro-batch plans)" if streaming else ""
+            )
+            print(f"ok   {name}{suffix}")
 
     print(f"\n{len(flagged)} flagged" + (f": {sorted(flagged)}" if flagged else ""))
     if args.all and not args.queries and not flagged:
@@ -165,9 +192,11 @@ def main() -> int:
             "names_sha256": hashlib.sha256("\n".join(names).encode()).hexdigest(),
             "sf": args.sf,
             "audited": len(wanted),
-            "skipped_streaming": sum(
+            "skipped_streaming": 0,
+            "streaming_audited": sum(
                 1 for n in wanted if "streaming" in manifest[n].tags
             ),
+            "micro_batch_plans": n_micro_batch_plans,
             "flagged": 0,
         }
         out = Path(__file__).resolve().parents[1] / "PLAN_AUDIT.json"

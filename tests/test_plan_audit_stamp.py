@@ -35,3 +35,9 @@ def test_plan_audit_stamp_matches_live_registry():
         "— a query was renamed/added/removed since the last full audit"
     )
     assert stamp["flagged"] == 0
+    # r14: streaming queries are no longer a skipped corner — every one
+    # executes under micro-batch plan capture and its last-trigger plan
+    # is audited with the same hazard markers
+    assert stamp["skipped_streaming"] == 0
+    assert stamp["streaming_audited"] >= 10
+    assert stamp["micro_batch_plans"] >= stamp["streaming_audited"]

@@ -21,6 +21,37 @@ from pyspark.sql import types as T
 
 from udacity_data_engineering_spark.session import configure
 
+#: When set (scripts/plan_audit.py, via capture_streaming_plans), every
+#: executed streaming query records its last micro-batch physical plan
+#: here as (label, explainInternal) — the hook that lets the registry-
+#: wide plan audit cover streaming queries instead of skipping them
+#: (VERDICT r13 item 5). None in normal operation: zero overhead.
+_STREAM_PLAN_CAPTURE: list[tuple[str, str]] | None = None
+
+
+def record_streaming_plan(label: str, query) -> None:
+    """Record a (terminated or running) StreamingQuery's most recent
+    micro-batch plan when plan capture is active. explainInternal works
+    after termination — the query object retains its lastExecution."""
+    if _STREAM_PLAN_CAPTURE is not None:
+        _STREAM_PLAN_CAPTURE.append((label, query._jsq.explainInternal(True)))
+
+
+class capture_streaming_plans:
+    """Context manager enabling micro-batch plan capture; yields the
+    list the plans land in."""
+
+    def __enter__(self) -> list[tuple[str, str]]:
+        global _STREAM_PLAN_CAPTURE
+        self._prev = _STREAM_PLAN_CAPTURE
+        _STREAM_PLAN_CAPTURE = []
+        return _STREAM_PLAN_CAPTURE
+
+    def __exit__(self, *exc) -> None:
+        global _STREAM_PLAN_CAPTURE
+        _STREAM_PLAN_CAPTURE = self._prev
+
+
 def _events_schema(ts_type: T.DataType) -> T.StructType:
     return T.StructType(
         [
@@ -317,6 +348,7 @@ def run_available_now(
         .start()
     )
     q.awaitTermination()
+    record_streaming_plan(sink_table, q)
 
 
 def deduped_events(events: DataFrame, watermark: str = "2 hours") -> DataFrame:

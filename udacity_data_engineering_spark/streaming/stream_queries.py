@@ -24,6 +24,7 @@ from udacity_data_engineering_spark.plans.registry import register
 from udacity_data_engineering_spark.session import table
 from udacity_data_engineering_spark.streaming.event_stream import (
     deduped_events,
+    record_streaming_plan,
     run_available_now,
     stream_events,
 )
@@ -368,6 +369,7 @@ def q_streaming_lake_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    record_streaming_plan("lake_upsert_stream", q)
 
     # an empty feed never runs a batch, so no lake exists to re-scan —
     # declare the schema from the batch projection instead of inferring
@@ -517,6 +519,7 @@ def q_streaming_dq_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    record_streaming_plan("dq_monitor_stream", q)
 
     out = dq_log_totals(spark, log_dir).localCheckpoint(eager=True)
     shutil.rmtree(tmp, ignore_errors=True)
@@ -601,6 +604,7 @@ def q_streaming_edge_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    record_streaming_plan("edge_lake_stream", q)
 
     lake = spark.read.schema(
         "src long, dst long, n_transitions long, batch_id int"
