@@ -407,6 +407,8 @@ def main() -> None:
         "q_triangle_count",
         "q_attribution",
         "q_edge_lake_changes",
+        # round-14 additions
+        "q_streaming_stateful_ttl",
     ):
         times = []
         for _ in range(REPS):  # 3 reps, matching BASELINE.md methodology

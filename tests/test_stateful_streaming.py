@@ -219,3 +219,151 @@ def test_transform_with_state_matches_batch(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# transformWithState TTL eviction (expiring_user_sessions_tws): event-time
+# timers must close quiet keys' sessions and CLEAR their state
+# ---------------------------------------------------------------------------
+
+
+def _ttl_feed(feed_dir, batches):
+    """Write one parquet file per batch with strictly increasing mtimes
+    so the file stream consumes them in order."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(feed_dir, exist_ok=True)
+    schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("value", pa.float64()),
+            ("props", pa.string()),
+        ]
+    )
+    for i, rows in enumerate(batches):
+        t = pa.Table.from_pylist(
+            [
+                {
+                    "event_id": j,
+                    "ts": pd.Timestamp(ts),
+                    "user_id": u,
+                    "event_type": "x",
+                    "value": v,
+                    "props": "{}",
+                }
+                for j, (ts, u, v) in enumerate(rows)
+            ],
+            schema=schema,
+        )
+        p = os.path.join(feed_dir, f"{i:02d}.parquet")
+        pq.write_table(t, p)
+        os.utime(p, (1_000_000_000 + i, 1_000_000_000 + i))
+
+
+def _run_ttl(spark, feed_dir, ckpt, sink, ttl_seconds=86_400):
+    from udacity_data_engineering_spark.streaming.event_stream import (
+        run_available_now,
+    )
+    from udacity_data_engineering_spark.streaming.stateful import (
+        ROCKSDB_PROVIDER,
+        ensure_tws_runtime,
+        expiring_user_sessions_tws,
+    )
+
+    assert ensure_tws_runtime(spark)
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, ROCKSDB_PROVIDER)
+    try:
+        stream = stream_events(
+            spark, feed_dir, max_files_per_trigger=1
+        ).withWatermark("ts", "0 seconds")
+        run_available_now(
+            expiring_user_sessions_tws(stream, ttl_seconds),
+            sink,
+            ckpt,
+            output_mode="update",
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    rows = sorted(
+        (r.user_id, str(r.session_start), r.n_events, r.sum_value)
+        for r in spark.table(sink).collect()
+    )
+    spark.catalog.dropTempView(sink)
+    return rows
+
+
+def test_ttl_timer_evicts_quiet_key(spark, tmp_path):
+    """User 7 appears ONLY in batch 0 and never again; only the event-time
+    TIMER can emit its session (no later input row for that key exists to
+    trigger the arrival-gap path). User 8's events advance the watermark
+    past 7's expiry across real micro-batches."""
+    feed = str(tmp_path / "feed")
+    _ttl_feed(
+        feed,
+        [
+            [("2024-01-01 00:00:00", 7, 1.0), ("2024-01-01 01:00:00", 7, 2.0)],
+            [("2024-01-01 20:00:00", 8, 5.0)],
+            [("2024-01-02 12:00:00", 8, 5.0)],  # wm passes 7's expiry 01-02 01:00
+        ],
+    )
+    rows = _run_ttl(spark, feed, str(tmp_path / "ck"), "ttl_timer_sink")
+    assert rows == [(7, "2024-01-01 00:00:00", 2, 3.0)]
+
+
+def test_ttl_eviction_clears_state_fresh_session(spark, tmp_path):
+    """After the timer evicts user 7's state, a later event for 7 must
+    start a FRESH session (counts reset) — proving the state was cleared,
+    not merely emitted. A far-future sentinel (user 99) flushes every
+    open session so both of 7's sessions are observable."""
+    feed = str(tmp_path / "feed")
+    _ttl_feed(
+        feed,
+        [
+            [("2024-01-01 00:00:00", 7, 1.0), ("2024-01-01 01:00:00", 7, 2.0)],
+            [("2024-01-02 12:00:00", 8, 5.0)],  # timer fires for 7 here/next
+            [("2024-01-05 00:00:00", 7, 9.0)],  # post-eviction return
+            [("2024-03-01 00:00:00", 99, 0.0)],  # sentinel: flush all
+        ],
+    )
+    rows = _run_ttl(spark, feed, str(tmp_path / "ck"), "ttl_fresh_sink")
+    user7 = [r for r in rows if r[0] == 7]
+    assert user7 == [
+        (7, "2024-01-01 00:00:00", 2, 3.0),  # evicted by timer
+        (7, "2024-01-05 00:00:00", 1, 9.0),  # fresh state afterwards
+    ]
+    # user 8's session flushed by the sentinel too
+    assert (8, "2024-01-02 12:00:00", 1, 5.0) in rows
+
+
+def test_ttl_intra_batch_gap_splits_sessions(spark, tmp_path):
+    """Two sessions arriving in ONE micro-batch must still split on the
+    gap (the kernel sessionizes within the batch, not only across)."""
+    feed = str(tmp_path / "feed")
+    _ttl_feed(
+        feed,
+        [
+            [
+                ("2024-01-01 00:00:00", 7, 1.0),
+                ("2024-01-03 00:00:00", 7, 2.0),  # gap 2d > ttl 1d
+            ],
+            [("2024-02-01 00:00:00", 99, 0.0)],  # sentinel flush
+        ],
+    )
+    rows = _run_ttl(spark, feed, str(tmp_path / "ck"), "ttl_intra_sink")
+    user7 = [r for r in rows if r[0] == 7]
+    assert user7 == [
+        (7, "2024-01-01 00:00:00", 1, 1.0),
+        (7, "2024-01-03 00:00:00", 1, 2.0),
+    ]

@@ -19,6 +19,10 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from udacity_data_engineering_spark.streaming.event_stream import (
+    record_streaming_plan,
+)
+
 OUTPUT_SCHEMA = "user_id long, n_events long, sum_value double"
 STATE_SCHEMA = "n long, s double"
 
@@ -170,6 +174,112 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
     )
 
 
+TTL_OUTPUT_SCHEMA = (
+    "user_id long, session_start timestamp, n_events long, sum_value double"
+)
+TTL_STATE_SCHEMA = "start_us long, last_us long, n long, s double"
+
+
+def expiring_user_sessions_tws(events: DataFrame, ttl_seconds: int) -> DataFrame:
+    """Per-user activity sessions with event-time TTL EVICTION — the
+    state-lifecycle surface transformWithState adds over
+    applyInPandasWithState (VERDICT r13 item 6): named timers on the
+    handle, fired by watermark advance, evicting per-key state for keys
+    that go quiet. Without eviction, per-key arbitrary state grows with
+    the KEYSPACE forever — the difference between "runs this week" and
+    "runs at 100 TB/day with unbounded users".
+
+    Semantics (exactly the gaps-and-islands sessionization, so a batch
+    SQL oracle can hash-prove the stream): a user's events belong to one
+    session while consecutive event-time gaps are <= ttl; a gap > ttl
+    closes the session. A closed session is emitted ONCE as
+    (user_id, session_start, n_events, sum_value) and its state freed:
+
+    - input path: within- and across-batch gap splits are detected on
+      arrival (state keeps (session_start, last_seen, n, sum)); the
+      closed prefix sessions are emitted immediately;
+    - timer path: every update re-registers ONE event-time timer at
+      ceil(last_seen + ttl) ms; when the watermark passes it with no
+      newer events, handleExpiredTimer emits the final session and
+      CLEARS the state — the eviction that bounds state by *currently
+      active* users, not ever-seen users. (ceil, never floor: a
+      truncated timer could fire before a continuation event at gap ==
+      ttl arrives and split a genuine session.)
+
+    Requires a watermark on ``ts`` upstream and timeMode="EventTime".
+    State per key: 4 scalars + 1 timer, constant.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    ttl_us = int(ttl_seconds) * 1_000_000
+
+    def _session_frame(user_id: int, start_us: int, n: int, s: float) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "session_start": [pd.Timestamp(start_us, unit="us")],
+                "n_events": [n],
+                "sum_value": [round(s, 2)],
+            }
+        )
+
+    class SessionProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._sess = handle.getValueState("sess", TTL_STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            pdf = pd.concat(list(rows), ignore_index=True)
+            # event-time order within the batch; ties are gap-0, harmless
+            pdf = pdf.sort_values("ts")
+            ts_us = pdf["ts"].astype("int64") // 1000
+            vals = pdf["value"].astype("float64")
+            if self._sess.exists():
+                start, last, n, s = self._sess.get()
+            else:
+                start = None
+            for t, v in zip(ts_us, vals):
+                t = int(t)
+                if start is None:
+                    start, last, n, s = t, t, 0, 0.0
+                elif t - last > ttl_us:
+                    # gap break detected on arrival: close + emit now
+                    yield _session_frame(key[0], start, n, s)
+                    start, last, n, s = t, t, 0, 0.0
+                n += 1
+                s += float(v)
+                last = max(last, t)
+            self._sess.update((start, last, n, s))
+            # exactly one live inactivity timer per key
+            for old in self._handle.listTimers():
+                self._handle.deleteTimer(old)
+            self._handle.registerTimer(-((last + ttl_us) // -1000))  # ceil ms
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            if not self._sess.exists():
+                return
+            start, last, n, s = self._sess.get()
+            yield _session_frame(key[0], start, n, s)
+            self._sess.clear()  # the eviction: quiet keys hold no state
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=SessionProcessor(),
+            outputStructType=TTL_OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="EventTime",
+        )
+    )
+
+
 def write_stream_parquet(
     stream_df: DataFrame, out_path: str, checkpoint: str
 ) -> None:
@@ -199,6 +309,7 @@ def write_stream_parquet(
         .start()
     )
     q.awaitTermination()
+    record_streaming_plan("write_stream_parquet", q)
 
 
 def stream_merge_into(
@@ -256,3 +367,4 @@ def stream_merge_into(
         .start()
     )
     q.awaitTermination()
+    record_streaming_plan("stream_merge_into", q)
