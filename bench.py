@@ -409,6 +409,7 @@ def main() -> None:
         "q_edge_lake_changes",
         # round-14 additions
         "q_streaming_stateful_ttl",
+        "q_quantile_saturation",
     ):
         times = []
         for _ in range(REPS):  # 3 reps, matching BASELINE.md methodology

@@ -135,3 +135,51 @@ def test_registered_queries_bounded_output(spark, sf_dir):
     est = q_quantile_estimates(spark, sf_dir).collect()
     assert len(est) == 3 * 3  # statuses x quantiles
     assert all(0.0 < r["est"] <= 512000.0 for r in est)
+
+
+def test_derive_domain_and_saturation_repair_loop(spark):
+    """ADVICE r13: out-of-domain values silently saturate into the edge
+    bins. The repair loop: saturation_counts makes the mis-specified
+    domain visible, derive_quantile_domain re-sizes it, the re-sketched
+    estimates regain the one-bin-width error bound."""
+    import pytest
+
+    from udacity_data_engineering_spark.operators.quantiles import (
+        derive_quantile_domain,
+        quantile_estimates,
+        quantile_sketch,
+        saturation_counts,
+    )
+
+    vals = [float(v) for v in range(0, 1000, 3)] + [5000.0, 9000.0]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+
+    # a narrow guess: [0, 100) — most values saturate above
+    sat = saturation_counts(df, "x", 0.0, 100.0).collect()[0]
+    assert sat["n_below"] == 0
+    assert sat["n_above"] == sum(1 for v in vals if v >= 100.0)
+    assert sat["n_total"] == len(vals)
+
+    # derived domain covers everything: zero saturation by construction
+    lo, hi = derive_quantile_domain(df, "x")
+    assert lo == 0.0 and hi > 9000.0
+    sat2 = saturation_counts(df, "x", lo, hi).collect()[0]
+    assert sat2["n_below"] == 0 and sat2["n_above"] == 0
+
+    # and the re-sketched estimates satisfy the one-bin-width bound
+    n_bins = 64
+    width = (hi - lo) / n_bins
+    sk = quantile_sketch(df, "x", lo, hi, n_bins)
+    got = {
+        r["q"]: r["est"]
+        for r in quantile_estimates(sk, (0.5, 0.9, 0.99), lo, hi, n_bins).collect()
+    }
+    svals = sorted(vals)
+    for q, est in got.items():
+        true = svals[min(len(svals) - 1, int(q * len(svals)))]
+        assert abs(est - true) <= width + 1e-9, (q, est, true, width)
+
+    # all-null input fails loudly, not with a NaN grid
+    nulls = spark.createDataFrame([(None,)], "x double")
+    with pytest.raises(ValueError, match="no\\s+non-null"):
+        derive_quantile_domain(nulls, "x")

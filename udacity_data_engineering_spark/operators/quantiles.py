@@ -72,6 +72,57 @@ def quantile_sketch(
     )
 
 
+def derive_quantile_domain(df: DataFrame, value_col: str) -> tuple[float, float]:
+    """Derive a [lo, hi) grid domain covering every non-null value: ONE
+    min/max aggregate (driver state = two floats), hi padded past the max
+    so the maximum lands inside the last bin rather than on the open
+    boundary. The answer to the fixed grid's operational hazard (ADVICE
+    r13): a mis-guessed domain silently saturates out-of-range values
+    into the edge bins; deriving it from the data makes the common case
+    correct by construction (pair with :func:`saturation_counts` when the
+    sketch must outlive the batch that sized it)."""
+    row = df.agg(
+        F.min(F.col(value_col).cast("double")).alias("mn"),
+        F.max(F.col(value_col).cast("double")).alias("mx"),
+    ).first()
+    mn, mx = row["mn"], row["mx"]
+    if mn is None:
+        raise ValueError(
+            f"cannot derive a quantile domain: {value_col} has no "
+            "non-null values"
+        )
+    span = mx - mn
+    pad = span / 1024 if span > 0 else 1.0
+    return float(mn), float(mx + pad)
+
+
+def saturation_counts(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Per-group accounting of values OUTSIDE the grid domain [lo, hi):
+    (group..., n_below, n_above, n_total). Out-of-domain values saturate
+    into the edge bins deterministically (bin_of clamps), which keeps the
+    cells valid but biases edge-bin quantile estimates — this one extra
+    partial aggregate makes a mis-specified domain VISIBLE instead of
+    silent: alert when n_below + n_above exceeds the error budget, then
+    re-derive the domain (:func:`derive_quantile_domain`) and resketch."""
+    v = F.col(value_col)
+    g = list(group_cols)
+    return (
+        df.filter(v.isNotNull())
+        .groupBy(*g)
+        .agg(
+            F.count(F.when(v < F.lit(lo), 1)).alias("n_below"),
+            F.count(F.when(v >= F.lit(hi), 1)).alias("n_above"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+    )
+
+
 def merge_quantile_sketches(*sketches: DataFrame) -> DataFrame:
     """Merge any number of sketches over the SAME grid: union + sum per
     cell. Associative and commutative by construction (integer addition),
@@ -244,3 +295,31 @@ def q_quantile_sketch_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in range(4)
     ]
     return merge_quantile_sketches(*slices)
+
+
+@register(
+    "q_quantile_saturation",
+    oracle="""
+        SELECT o_orderstatus,
+               count(CASE WHEN o_totalprice < 0.0 THEN 1 END) AS n_below,
+               count(CASE WHEN o_totalprice >= 256000.0 THEN 1 END)
+                   AS n_above,
+               count(*) AS n_total
+        FROM orders
+        WHERE o_totalprice IS NOT NULL
+        GROUP BY o_orderstatus
+    """,
+    doc="Sketch-domain saturation accounting (ADVICE r13): per status, "
+    "how many order totals fall OUTSIDE a deliberately-narrow grid "
+    "domain [0, 256000) — the values bin_of would clamp into the edge "
+    "bins. One partial aggregate alongside the sketch; n_above > 0 here "
+    "by construction, demonstrating the mis-specified-domain alarm. The "
+    "repair loop is derive_quantile_domain (one min/max aggregate) + "
+    "resketch, pinned in tests/test_quantiles.py.",
+    tags=("E1", "E2", "llm-pipeline", "sketch"),
+)
+def q_quantile_saturation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    return saturation_counts(
+        orders, "o_totalprice", 0.0, 256000.0, group_cols=("o_orderstatus",)
+    )

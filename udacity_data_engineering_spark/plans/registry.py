@@ -99,6 +99,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # --- new r14 operators: first driver proofs (each swaps out one
     # stale re-proof below to hold the window at exactly 50) ---
     "q_streaming_stateful_ttl",  # TWS event-time TTL eviction
+    "q_quantile_saturation",  # sketch domain saturation accounting
     # --- stalest re-proofs: last driver-checked round 1 ---
     "q_shipping_priority",  # TPC-H Q3 shape
     "q_local_supplier_volume",  # Q5 shape
@@ -118,7 +119,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_excess_share_suppliers",  # Q20 shape
     "q_forecast_revenue",  # Q6 shape
     "q_idle_customers",  # Q22 shape
-    "q_join_outer",  # E7 outer join
     "q_corpus_pipeline",  # corpus family anchor (end-to-end curation)
     "q_cosine_topk",  # E12 anchor, swapped out in r13
 )
