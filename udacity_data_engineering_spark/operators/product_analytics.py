@@ -113,34 +113,42 @@ def attribute_touches(
     key: str = "user_id",
     ts: str = "ts",
     tiebreak: str = "event_id",
+    type_col: str = "event_type",
+    measure_col: str = "value",
 ) -> DataFrame:
     """Per-conversion first/last-touch attribution: every conversion
     event gets the FIRST and the most recent (LAST) non-conversion
-    event type strictly before it in the user's (ts, tiebreak) stream —
+    event type strictly before it in the key's (ts, tiebreak) stream —
     the two canonical marketing-attribution models. Conversions with no
     prior touch attribute to NULL ('direct').
 
-    One window per user with a [unbounded, -1] frame carrying
+    The full column contract is parametric (ADVICE r13 closed the
+    hardcoded event_type/value gap): ``type_col`` names the channel/
+    event-type column, ``measure_col`` the per-conversion measure
+    carried through for downstream revenue rollups — so non-events
+    schemas (orders, ad impressions) attribute without renaming.
+
+    One window per key with a [unbounded, -1] frame carrying
     first/last non-conversion types forward — the same single-shuffle
     cost class as sessionization; never a self-join of conversions
-    against touches (O(conversions x touches) per user).
+    against touches (O(conversions x touches) per key).
     """
     w = (
         Window.partitionBy(key)
         .orderBy(ts, tiebreak)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    touch = F.when(F.col("event_type") != conversion_type, F.col("event_type"))
+    touch = F.when(F.col(type_col) != conversion_type, F.col(type_col))
     with_touches = events.select(
         key,
         ts,
         tiebreak,
-        "event_type",
-        "value",
+        type_col,
+        measure_col,
         F.first(touch, ignorenulls=True).over(w).alias("first_touch"),
         F.last(touch, ignorenulls=True).over(w).alias("last_touch"),
     )
-    return with_touches.filter(F.col("event_type") == conversion_type)
+    return with_touches.filter(F.col(type_col) == conversion_type)
 
 
 @register(
