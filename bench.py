@@ -410,6 +410,8 @@ def main() -> None:
         # round-14 additions
         "q_streaming_stateful_ttl",
         "q_quantile_saturation",
+        "q_bitmap_distinct_cells",
+        "q_bitmap_distinct_rollup",
     ):
         times = []
         for _ in range(REPS):  # 3 reps, matching BASELINE.md methodology

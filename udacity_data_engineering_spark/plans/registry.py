@@ -100,6 +100,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # stale re-proof below to hold the window at exactly 50) ---
     "q_streaming_stateful_ttl",  # TWS event-time TTL eviction
     "q_quantile_saturation",  # sketch domain saturation accounting
+    "q_bitmap_distinct_cells",  # exact-distinct bitmap sketch cells
+    "q_bitmap_distinct_rollup",  # popcount rollup, replay-idempotent
     # --- stalest re-proofs: last driver-checked round 1 ---
     "q_shipping_priority",  # TPC-H Q3 shape
     "q_local_supplier_volume",  # Q5 shape
@@ -111,8 +113,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_priority_shipclass",  # Q12 shape
     "q_promo_revenue",  # Q14 shape
     "q_top_supplier",  # Q15 shape
-    "q_min_cost_supplier",  # Q2 shape
-    "q_order_priority",  # Q4 shape
     "q_large_orders",  # Q18 shape
     "q_cust_order_distribution",  # Q13 shape
     "q_disjunctive_pred",  # Q19 shape
