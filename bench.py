@@ -412,6 +412,7 @@ def main() -> None:
         "q_quantile_saturation",
         "q_bitmap_distinct_cells",
         "q_bitmap_distinct_rollup",
+        "q_weighted_quantiles",
     ):
         times = []
         for _ in range(REPS):  # 3 reps, matching BASELINE.md methodology

@@ -183,3 +183,30 @@ def test_derive_domain_and_saturation_repair_loop(spark):
     nulls = spark.createDataFrame([(None,)], "x double")
     with pytest.raises(ValueError, match="no\\s+non-null"):
         derive_quantile_domain(nulls, "x")
+
+
+def test_weighted_sketch_matches_row_expansion(spark):
+    """A weight-w row must contribute exactly like w copies of the row:
+    the weighted sketch of (value, weight) equals the unweighted sketch
+    of the expanded multiset, cell for cell — and zero/negative/null
+    weights carry no mass."""
+    from udacity_data_engineering_spark.operators.quantiles import (
+        quantile_sketch,
+    )
+
+    rows = [(10.0, 3), (10.0, 2), (55.0, 1), (90.0, 4), (33.0, 0),
+            (44.0, -2), (70.0, None)]
+    df = spark.createDataFrame(rows, "x double, w int")
+    expanded = spark.createDataFrame(
+        [(x,) for x, w in rows if w and w > 0 for _ in range(w)], "x double"
+    )
+    lo, hi, nb = 0.0, 100.0, 10
+    weighted = {
+        (r["bin"],): r["cnt"]
+        for r in quantile_sketch(df, "x", lo, hi, nb, weight_col="w").collect()
+    }
+    plain = {
+        (r["bin"],): r["cnt"]
+        for r in quantile_sketch(expanded, "x", lo, hi, nb).collect()
+    }
+    assert weighted == plain == {(1,): 5, (5,): 1, (9,): 4}

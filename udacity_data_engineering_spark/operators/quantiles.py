@@ -53,22 +53,42 @@ def quantile_sketch(
     hi: float,
     n_bins: int = 64,
     group_cols: Sequence[str] = (),
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Histogram sketch cells (group..., bin, cnt) over the fixed grid —
     at most ``|groups| * n_bins`` rows at any input size. NULL values
     carry no rank information and are excluded. Cells are additive:
     per-partition / per-batch / per-day sketches merge with
-    :func:`merge_quantile_sketches` (elementwise sum)."""
+    :func:`merge_quantile_sketches` (elementwise sum).
+
+    ``weight_col`` makes the sketch WEIGHTED: each row contributes its
+    weight instead of 1, so :func:`quantile_estimates` answers weighted
+    quantiles (token-weighted length percentiles, quantity-weighted
+    price percentiles) with the identical merge algebra. Weights are
+    cast to long — integer sums are order-independent and exactly
+    reproducible across engines, which keeps the sketch hash-provable;
+    quantize fractional weights upstream (e.g. milli-units) rather than
+    summing floats in a different order on every run. Rows with NULL or
+    non-positive weight carry no rank mass and are excluded."""
     if not lo < hi:
         raise ValueError(f"need lo < hi, got [{lo}, {hi})")
     if n_bins < 1:
         raise ValueError(f"n_bins must be >= 1, got {n_bins}")
     g = list(group_cols)
+    src = df.filter(F.col(value_col).isNotNull())
+    if weight_col is None:
+        mass = F.count(F.lit(1))
+    else:
+        src = src.filter(F.col(weight_col) > 0)
+        mass = F.sum(F.col(weight_col).cast("long"))
     return (
-        df.filter(F.col(value_col).isNotNull())
-        .select(*g, bin_of(F.col(value_col), lo, hi, n_bins).alias("bin"))
+        src.select(
+            *g,
+            bin_of(F.col(value_col), lo, hi, n_bins).alias("bin"),
+            *( [F.col(weight_col)] if weight_col else [] ),
+        )
         .groupBy(*g, "bin")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(mass.alias("cnt"))
     )
 
 
@@ -322,4 +342,70 @@ def q_quantile_saturation(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders")
     return saturation_counts(
         orders, "o_totalprice", 0.0, 256000.0, group_cols=("o_orderstatus",)
+    )
+
+
+# Weighted grid for lineitem.l_extendedprice (domain ~[900, 105000)):
+# 64 bins over [0, 131072) gives an exactly-representable width of
+# 2048.0. Weight = l_quantity (integral 1..50 in TPC-H), so the weighted
+# quantile is "the price at which q of the QUANTITY mass clears".
+_WLO, _WHI, _WBINS = 0.0, 131072.0, 64
+_WWIDTH = (_WHI - _WLO) / _WBINS
+
+
+@register(
+    "q_weighted_quantiles",
+    oracle=f"""
+        WITH cells AS (
+            SELECT l_returnflag,
+                   CAST(LEAST(GREATEST(
+                       floor((l_extendedprice - {_WLO}) / {_WWIDTH}), 0),
+                       {_WBINS - 1}) AS INT) AS bin,
+                   CAST(l_quantity AS BIGINT) AS w
+            FROM lineitem
+            WHERE l_extendedprice IS NOT NULL AND l_quantity > 0
+        ),
+        sk AS (
+            SELECT l_returnflag, bin, sum(w) AS cnt
+            FROM cells GROUP BY l_returnflag, bin
+        ),
+        cum AS (
+            SELECT l_returnflag, bin,
+                   sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY bin)
+                       AS c,
+                   sum(cnt) OVER (PARTITION BY l_returnflag) AS n
+            FROM sk
+        )
+        SELECT l_returnflag,
+               CAST(q AS DOUBLE) AS q,
+               {_WLO} + {_WWIDTH} * CAST(
+                   min(CASE WHEN c >= CAST(q AS DOUBLE) * n THEN bin END) + 1
+                   AS DOUBLE) AS est
+        FROM cum
+        CROSS JOIN (VALUES (0.5), (0.9), (0.99)) AS qq(q)
+        GROUP BY l_returnflag, q
+    """,
+    doc="WEIGHTED quantile sketch: p50/p90/p99 of lineitem price per "
+    "return flag, weighted by quantity — 'the price at which q of the "
+    "shipped-unit mass clears', the weighted percentile every "
+    "token-weighted curation metric needs (doc-length percentiles "
+    "weighted by token count are the same shape). Each row contributes "
+    "its integer weight to its bin; same <= groups x 64-cell shuffle, "
+    "same elementwise-sum merge algebra, integer mass so both engines "
+    "sum exactly. Sketch + estimate arithmetic recomputed in DuckDB.",
+    tags=("E1", "E2", "llm-pipeline", "sketch"),
+)
+def q_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    sk = quantile_sketch(
+        li,
+        "l_extendedprice",
+        _WLO,
+        _WHI,
+        _WBINS,
+        group_cols=("l_returnflag",),
+        weight_col="l_quantity",
+    )
+    return quantile_estimates(
+        sk, _QS, _WLO, _WHI, _WBINS, group_cols=("l_returnflag",)
     )

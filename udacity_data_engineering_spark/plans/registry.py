@@ -102,6 +102,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_quantile_saturation",  # sketch domain saturation accounting
     "q_bitmap_distinct_cells",  # exact-distinct bitmap sketch cells
     "q_bitmap_distinct_rollup",  # popcount rollup, replay-idempotent
+    "q_weighted_quantiles",  # weighted sketch estimates
     # --- stalest re-proofs: last driver-checked round 1 ---
     "q_shipping_priority",  # TPC-H Q3 shape
     "q_local_supplier_volume",  # Q5 shape
@@ -112,7 +113,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_important_parts",  # Q11 shape
     "q_priority_shipclass",  # Q12 shape
     "q_promo_revenue",  # Q14 shape
-    "q_top_supplier",  # Q15 shape
     "q_large_orders",  # Q18 shape
     "q_cust_order_distribution",  # Q13 shape
     "q_disjunctive_pred",  # Q19 shape
