@@ -413,6 +413,8 @@ def main() -> None:
         "q_bitmap_distinct_cells",
         "q_bitmap_distinct_rollup",
         "q_weighted_quantiles",
+        "q_funnel_ordered",
+        "q_event_paths",
     ):
         times = []
         for _ in range(REPS):  # 3 reps, matching BASELINE.md methodology

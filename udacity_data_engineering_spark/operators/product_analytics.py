@@ -192,3 +192,153 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_conversions"),
         F.round(F.sum("value"), 2).alias("revenue"),
     )
+
+
+def funnel_ordered(
+    events: DataFrame,
+    steps: list[str],
+    key: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered multi-step funnel: per key, step i+1 counts only when an
+    event of its type occurs STRICTLY AFTER the key's chosen (earliest
+    valid) step-i event — the N-step generalization of q_funnel's
+    signup->purchase pair, and the semantics a naive "has all N types"
+    check gets wrong (purchase BEFORE view must not convert).
+
+    Returns one row per step: (step, n_users), n monotonically
+    non-increasing down the funnel. Plan shape: each step's anchor
+    timestamp is a per-key window aggregate conditioned on the previous
+    anchor — N chained Window operators over the SAME partitioning, so
+    Catalyst plans ONE shuffle on the key for all of them, then a single
+    bounded global rollup (1 row per step). Never a step-vs-step
+    self-join (O(N x events) rescans) and never a per-key collect.
+    """
+    if len(steps) < 2:
+        raise ValueError(f"a funnel needs >= 2 steps, got {steps}")
+    w = Window.partitionBy(key)
+    df = events.select(key, ts, type_col)
+    prev: str | None = None
+    labels = []
+    for i, s in enumerate(steps):
+        c = f"__t{i}"
+        cond = F.col(type_col) == s
+        if prev is not None:
+            cond = cond & (F.col(ts) > F.col(prev))
+        df = df.withColumn(c, F.min(F.when(cond, F.col(ts))).over(w))
+        labels.append((c, f"{i + 1}_{s}"))
+        prev = c
+    per_key = df.groupBy(key).agg(
+        *[F.min(c).alias(c) for c, _ in labels]
+    )
+    counts = per_key.agg(
+        *[F.count(F.col(c)).alias(lab) for c, lab in labels]
+    )
+    return counts.unpivot(
+        [], [lab for _, lab in labels], "step", "n_users"
+    )
+
+
+@register(
+    "q_funnel_ordered",
+    oracle="""
+        WITH t1 AS (
+            SELECT user_id, min(ts) AS ts1
+            FROM events WHERE event_type = 'view' GROUP BY user_id
+        ), t2 AS (
+            SELECT e.user_id, min(e.ts) AS ts2
+            FROM events e JOIN t1 USING (user_id)
+            WHERE e.event_type = 'click' AND e.ts > t1.ts1
+            GROUP BY e.user_id
+        ), t3 AS (
+            SELECT e.user_id, min(e.ts) AS ts3
+            FROM events e JOIN t2 USING (user_id)
+            WHERE e.event_type = 'purchase' AND e.ts > t2.ts2
+            GROUP BY e.user_id
+        )
+        SELECT '1_view' AS step, count(*) AS n_users FROM t1
+        UNION ALL SELECT '2_click', count(*) FROM t2
+        UNION ALL SELECT '3_purchase', count(*) FROM t3
+    """,
+    doc="Ordered 3-step funnel view -> click -> purchase: each step "
+    "counts a user only when it happens strictly after their chosen "
+    "earliest previous-step event (a purchase before the first view "
+    "does NOT convert — the ordering constraint ad-hoc type-set checks "
+    "miss). Chained conditional min-windows over one partitioning = ONE "
+    "shuffle for all steps; DuckDB recomputes via nested anchor CTEs.",
+    tags=("E5", "analytics", "events"),
+)
+def q_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return funnel_ordered(ev, ["view", "click", "purchase"])
+
+
+def event_paths(
+    events: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    tiebreak: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-key ordered event-type PATH: (key, n_events, path) where path
+    is the '->'-joined event-type sequence in (ts, tiebreak) order — the
+    MATCH_RECOGNIZE-lite substrate: any sequence question (did the user
+    ever view->...->purchase? how many error loops?) becomes a regex/
+    string question on one row per key.
+
+    Deterministic by construction: collect_list order is undefined, so
+    the types are collected as (ts, tiebreak, type) structs and
+    sort_array imposes the total order before joining — one hash
+    aggregate, no window, no per-key collect to the driver. Path length
+    is bounded by the per-key event count; for keys with millions of
+    events cap upstream (events are already session-windowed in any
+    real path analysis).
+    """
+    triple = F.struct(
+        F.col(ts).alias("t"), F.col(tiebreak).alias("tb"),
+        F.col(type_col).alias("ty"),
+    )
+    return (
+        events.groupBy(key)
+        .agg(F.sort_array(F.collect_list(triple)).alias("__seq"))
+        .select(
+            key,
+            F.size("__seq").alias("n_events"),
+            F.array_join(
+                F.transform("__seq", lambda s: s["ty"]), "->"
+            ).alias("path"),
+        )
+    )
+
+
+@register(
+    "q_event_paths",
+    oracle="""
+        SELECT user_id,
+               count(*) AS n_events,
+               string_agg(event_type, '->' ORDER BY ts, event_id) AS path,
+               CAST(regexp_matches(
+                   string_agg(event_type, '->' ORDER BY ts, event_id),
+                   'view.*click.*purchase') AS BOOLEAN) AS has_funnel
+        FROM events
+        GROUP BY user_id
+    """,
+    doc="MATCH_RECOGNIZE-lite sequence analysis: each user's full "
+    "event-type path in (ts, event_id) order as one string, plus a "
+    "regex verdict (a view later followed by a click then a purchase, "
+    "any gaps). Order imposed by sort_array over (ts, tiebreak, type) "
+    "structs inside the aggregate — deterministic without a window, "
+    "one shuffle. DuckDB rebuilds the identical paths with ordered "
+    "string_agg and the same regex.",
+    tags=("E5", "E10", "analytics", "events"),
+)
+def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    paths = event_paths(ev)
+    return paths.select(
+        "user_id",
+        F.col("n_events").cast("long").alias("n_events"),
+        "path",
+        F.col("path").rlike("view.*click.*purchase").alias("has_funnel"),
+    )

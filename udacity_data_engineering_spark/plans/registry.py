@@ -103,16 +103,16 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_bitmap_distinct_cells",  # exact-distinct bitmap sketch cells
     "q_bitmap_distinct_rollup",  # popcount rollup, replay-idempotent
     "q_weighted_quantiles",  # weighted sketch estimates
+    "q_funnel_ordered",  # strict-order multi-step funnel
+    "q_event_paths",  # MATCH_RECOGNIZE-lite sequence regex
     # --- stalest re-proofs: last driver-checked round 1 ---
     "q_shipping_priority",  # TPC-H Q3 shape
     "q_local_supplier_volume",  # Q5 shape
     "q_volume_shipping",  # Q7 shape
     "q_market_share",  # Q8 shape
     "q_product_profit",  # Q9 shape
-    "q_returned_items",  # Q10 shape
     "q_important_parts",  # Q11 shape
     "q_priority_shipclass",  # Q12 shape
-    "q_promo_revenue",  # Q14 shape
     "q_large_orders",  # Q18 shape
     "q_cust_order_distribution",  # Q13 shape
     "q_disjunctive_pred",  # Q19 shape
