@@ -415,6 +415,8 @@ def main() -> None:
         "q_weighted_quantiles",
         "q_funnel_ordered",
         "q_event_paths",
+        "q_mode_deterministic",
+        "q_file_skipping",
     ):
         times = []
         for _ in range(REPS):  # 3 reps, matching BASELINE.md methodology

@@ -177,3 +177,65 @@ def q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     daily = sketch_rollup(ev, ["day", "event_type"], "user_id")
     return sketch_merge_estimate(daily, ["event_type"]).orderBy("event_type")
+
+
+def mode_deterministic(
+    df: DataFrame, value_col: str, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Exact per-group MODE with a pinned tie-break (smallest value
+    wins): counts per (group, value), then one window over the distinct
+    values of each group picks (cnt DESC, value ASC) rank 1. SQL's
+    mode()/Spark's F.mode leave ties engine- and partition-order-
+    dependent — useless for replication checks; the explicit tie-break
+    makes the answer a FACT both engines agree on. Window input is the
+    distinct-value frame (bounded by value cardinality), never the raw
+    rows."""
+    from pyspark.sql import Window
+
+    g = list(group_cols or [])
+    counts = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*g, value_col)
+        .agg(F.count(F.lit(1)).alias("mode_count"))
+    )
+    w = Window.partitionBy(*g).orderBy(
+        F.col("mode_count").desc(), F.col(value_col).asc()
+    )
+    return (
+        counts.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(*g, F.col(value_col).alias("mode_value"), "mode_count")
+    )
+
+
+@register(
+    "q_mode_deterministic",
+    oracle="""
+        WITH c AS (
+            SELECT o_orderstatus, o_orderpriority, count(*) AS mode_count
+            FROM orders
+            WHERE o_orderpriority IS NOT NULL
+            GROUP BY o_orderstatus, o_orderpriority
+        ), r AS (
+            SELECT *, row_number() OVER (
+                       PARTITION BY o_orderstatus
+                       ORDER BY mode_count DESC, o_orderpriority ASC
+                   ) AS rn
+            FROM c
+        )
+        SELECT o_orderstatus, o_orderpriority AS mode_value, mode_count
+        FROM r WHERE rn = 1
+    """,
+    doc="Deterministic per-group MODE: the most frequent order priority "
+    "per status, ties broken to the smallest value — the pinned-tie-"
+    "break variant of SQL mode() (whose tie winner is engine-dependent "
+    "and thus unverifiable). One hash aggregate + one window over the "
+    "distinct-value frame (bounded by value cardinality, never rows).",
+    tags=("E1", "sql-surface"),
+)
+def q_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mode_deterministic(
+        table(spark, sf_dir, "orders"),
+        "o_orderpriority",
+        ["o_orderstatus"],
+    )

@@ -8,6 +8,7 @@ from udacity_data_engineering_spark.sources import (  # noqa: F401
     orc_source,
     parquet_source,
     python_datasource,
+    skipping,
     text_source,
     xml_source,
 )
