@@ -74,3 +74,45 @@ def test_skipping_empty_prune_needs_schema(spark, tmp_path):
     )
     assert kept == 0 and total == 8 and out.count() == 0
     assert out.columns == ["k", "v"]
+
+
+def test_refresh_stats_incremental_append_and_vacuum(spark, tmp_path):
+    """Refresh after an append must stat ONLY the new files (manifest is
+    additive over immutable files) and drop rows for vanished files."""
+    import os
+
+    from udacity_data_engineering_spark.sources.skipping import (
+        refresh_file_stats,
+    )
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame([(i,) for i in range(100)], "k long").coalesce(
+        2
+    ).write.mode("overwrite").parquet(path)
+    stats0 = build_file_stats(spark, path, ["k"]).localCheckpoint(eager=True)
+    n0 = stats0.count()
+
+    # append a new file covering a fresh key range
+    spark.createDataFrame([(i,) for i in range(1000, 1100)], "k long").coalesce(
+        1
+    ).write.mode("append").parquet(path)
+    stats1 = refresh_file_stats(spark, path, ["k"], stats0).localCheckpoint(
+        eager=True
+    )
+    assert stats1.count() == n0 + 1
+    # old rows are byte-identical (not re-scanned/reordered semantics)
+    old = {tuple(r) for r in stats0.collect()}
+    assert old <= {tuple(r) for r in stats1.collect()}
+    # and the refreshed manifest prunes the new range to the new file
+    kept, total = prune_files(stats1, "k", 1000, 1099)
+    assert total == n0 + 1 and len(kept) == 1
+
+    # vanish a file (retention/compaction): its manifest row must go
+    victim = [
+        f for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    ][0]
+    os.remove(os.path.join(path, victim))
+    stats2 = refresh_file_stats(spark, path, ["k"], stats1)
+    assert stats2.count() == n0
+    assert not any(victim in r["file"] for r in stats2.collect())

@@ -51,6 +51,61 @@ def build_file_stats(
     return df.groupBy(F.input_file_name().alias("file")).agg(*aggs)
 
 
+def refresh_file_stats(
+    spark: SparkSession, path: str, cols: Sequence[str], stats: DataFrame
+) -> DataFrame:
+    """Incremental manifest refresh after an APPEND: stat only the files
+    the manifest hasn't seen (files are immutable once committed, so old
+    rows never change — the manifest is additive). The new-file discovery
+    is a DIRECTORY LISTING (Hadoop FS, one round per directory level),
+    never a table scan; only genuinely-new files are read. Rows for files
+    that vanished (compaction, retention) are dropped so the manifest
+    never names unreadable files. File identities compare on normalized
+    URIs — input_file_name and FS listings spell the scheme differently
+    (file:/// vs file:/)."""
+
+    def _norm(p: str) -> str:
+        if p.startswith("file:"):
+            p = p[5:]
+            while p.startswith("//"):
+                p = p[1:]
+        return p
+
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    listed: dict[str, str] = {}
+    stack = [jpath]
+    while stack:
+        for s in fs.listStatus(stack.pop()):
+            name = s.getPath().getName()
+            if name.startswith(("_", ".")):
+                continue
+            if s.isFile():
+                if name.endswith(".parquet"):
+                    full = s.getPath().toString()
+                    listed[_norm(full)] = full
+            else:
+                stack.append(s.getPath())
+    known = {_norm(r["file"]): r["file"] for r in stats.select("file").collect()}
+    new = sorted(listed[k] for k in listed.keys() - known.keys())
+    kept = stats.filter(
+        F.col("file").isin([known[k] for k in known.keys() & listed.keys()])
+    )
+    if not new:
+        return kept
+    df = spark.read.parquet(*new)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.min(c).alias(f"min_{c}"),
+            F.max(c).alias(f"max_{c}"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"nulls_{c}"),
+        ]
+    fresh = df.groupBy(F.input_file_name().alias("file")).agg(*aggs)
+    return kept.unionByName(fresh)
+
+
 def prune_files(
     stats: DataFrame, col: str, lo, hi
 ) -> tuple[list[str], int]:
