@@ -133,13 +133,16 @@ def read_with_skipping(
     col: str,
     lo,
     hi,
-    schema: str | None = None,
+    schema=None,
 ) -> tuple[DataFrame, int, int]:
     """Range read through the manifest: prune the file list, read ONLY
     the kept files, and re-apply the predicate exactly (stats prune at
     file granularity; rows inside a kept file still need the filter).
     Returns (frame, kept_files, total_files) so callers can assert the
-    index actually pruned."""
+    index actually pruned. ``schema`` (DDL string or StructType) is
+    REQUIRED to build the empty frame when the predicate prunes every
+    file — a pruned-to-zero read is routine (a range past the newest
+    data), not an error."""
     kept, total = prune_files(stats, col, lo, hi)
     if not kept:
         if schema is None:
@@ -200,7 +203,11 @@ def q_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     import datetime
     lo = datetime.date(1996, 1, 1)
     hi = datetime.date(1996, 6, 30)
-    df, kept, total = read_with_skipping(spark, stats, "o_orderdate", lo, hi)
+    # schema makes the everything-pruned case (an EMPTY orders table
+    # writes one row-less file whose stats prune) a valid empty result
+    df, kept, total = read_with_skipping(
+        spark, stats, "o_orderdate", lo, hi, schema=orders.schema
+    )
     if total >= 4 and not kept < total:
         # not assert: the skipping invariant must hold under -O too
         raise RuntimeError(
