@@ -148,11 +148,13 @@ def main() -> None:
     spark = build_session(app_name="scale-probe", cpus=32)
     build_replica(spark)
     small = {n: table(spark, SF_DIR, n) for n in ("lineitem", "orders", "events", "customer")}
+    small["orders_path"] = f"{SF_DIR}/orders.parquet"
     big = {
         "lineitem": spark.read.parquet(f"{BASE}/lineitem"),
         "orders": spark.read.parquet(f"{BASE}/orders"),
         "events": spark.read.parquet(f"{BASE}/events"),
         "customer": small["customer"],  # dims stay dim-sized
+        "orders_path": f"{BASE}/orders",
     }
 
     def shapes(t):
@@ -363,6 +365,45 @@ def main() -> None:
             )
             .groupBy("o_orderpriority")
             .agg(F.sum("n"))
+            .collect(),
+            # round 14: the bitmap sketch must stay scan-bound with an
+            # output bounded by the id DOMAIN (replication keeps the
+            # custkey domain fixed, so output size is CONSTANT at any N)
+            "bitmap_distinct": lambda: __import__(
+                "udacity_data_engineering_spark.operators.bitmap",
+                fromlist=["bitmap_distinct_sketch"],
+            )
+            .bitmap_distinct_sketch(
+                t["orders"], "o_custkey", group_cols=("o_orderstatus",)
+            )
+            .collect(),  # count() would prune the bit_or itself
+            # round 14: N chained conditional min-windows over one
+            # partitioning — one shuffle regardless of step count
+            "funnel_ordered": lambda: __import__(
+                "udacity_data_engineering_spark.operators.product_analytics",
+                fromlist=["funnel_ordered"],
+            )
+            .funnel_ordered(t["events"], ["view", "click", "purchase"])
+            .collect(),
+            # round 14: one hash aggregate; per-key sort_array cost grows
+            # with per-key events under replication (documented: session-
+            # window upstream for celebrity keys), so expect ~linear time
+            "event_paths": lambda: __import__(
+                "udacity_data_engineering_spark.operators.product_analytics",
+                fromlist=["event_paths"],
+            )
+            .event_paths(t["events"])
+            .count(),  # row count is per-user; the agg can't be pruned
+            # round 14: manifest build is one scan with <= 1 row/file out
+            "file_stats_build": lambda: __import__(
+                "udacity_data_engineering_spark.sources.skipping",
+                fromlist=["build_file_stats"],
+            )
+            .build_file_stats(
+                t["orders"].sparkSession,
+                t["orders_path"],
+                ["o_orderdate"],
+            )
             .collect(),
         }
 
