@@ -417,6 +417,8 @@ def main() -> None:
         "q_event_paths",
         "q_mode_deterministic",
         "q_file_skipping",
+        "q_bloom_file_index",
+        "q_surrogate_keys",
     ):
         times = []
         for _ in range(REPS):  # 3 reps, matching BASELINE.md methodology

@@ -116,3 +116,63 @@ def test_refresh_stats_incremental_append_and_vacuum(spark, tmp_path):
     stats2 = refresh_file_stats(spark, path, ["k"], stats1)
     assert stats2.count() == n0
     assert not any(victim in r["file"] for r in stats2.collect())
+
+
+def test_bloom_index_no_false_negatives_and_prunes(spark, tmp_path):
+    """Every present key's lookup must keep its file (false negatives
+    impossible); most lookups on a hash-clustered layout keep a strict
+    subset of files."""
+    from udacity_data_engineering_spark.sources.skipping import (
+        build_file_blooms,
+        prune_files_bloom,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(k, k % 5) for k in range(400)], "k long, v long"
+    )
+    df.repartition(8, "k").write.mode("overwrite").parquet(path)
+    blooms = build_file_blooms(spark, path, "k")
+    # no false negatives: every key's true file is in the kept list
+    truth = {
+        r["k"]: r["f"]
+        for r in spark.read.parquet(path)
+        .select("k", F.input_file_name().alias("f"))
+        .collect()
+    }
+    pruned_any = False
+    for k in (0, 17, 123, 399):
+        kept, total = prune_files_bloom(
+            spark, blooms, "k", k, value_type="bigint"
+        )
+        assert total == 8
+        assert truth[k] in kept, f"false negative for key {k}"
+        pruned_any = pruned_any or len(kept) < total
+    assert pruned_any  # 8192 bits over ~50 keys/file: fp ~0
+
+
+def test_bloom_index_absent_key_prunes_everything_usually(spark, tmp_path):
+    from udacity_data_engineering_spark.sources.skipping import (
+        build_file_blooms,
+        prune_files_bloom,
+    )
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame([(k,) for k in range(100)], "k long").repartition(
+        4, "k"
+    ).write.mode("overwrite").parquet(path)
+    blooms = build_file_blooms(spark, path, "k")
+    kept, total = prune_files_bloom(
+        spark, blooms, "k", 10_000_000, value_type="bigint"
+    )
+    # false positives are possible in principle but vanishingly unlikely
+    # at this load factor; the invariant that matters: a kept file is a
+    # candidate only, and the exact filter downstream yields 0 rows
+    assert total == 4
+    if kept:
+        got = (
+            spark.read.parquet(*kept)
+            .filter(F.col("k") == 10_000_000)
+            .count()
+        )
+        assert got == 0

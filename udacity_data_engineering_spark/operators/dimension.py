@@ -1,0 +1,136 @@
+"""Stable surrogate-key assignment — the warehouse dimension-key service
+(charter extension, SURVEY.md §2B W+ — the reference's star schema uses
+natural ids from the source JSON, etl.py:65–82; a production dimension
+needs engine-assigned keys that survive ingest batches).
+
+Contract: a value already in the dictionary keeps its key FOREVER; each
+batch's NEW distinct values get ``max_key + 1 ..`` in lexicographic
+order. Both halves make the service deterministic and replay-idempotent:
+re-running a batch assigns nothing (every value anti-joins away), and
+running it on a crashed-midway dictionary converges to the same mapping.
+This is the property bag Delta's IDENTITY columns and every MDM key
+service promise — monotonically growing, never reassigned, stable under
+at-least-once orchestration.
+
+The new-value ranking is DISTRIBUTED: repartitionByRange on the value
+(Spark's sampled range sort — works for any orderable type, strings
+included) + per-partition row_number + cumulative partition offsets.
+The rank is exact and independent of the sampled boundaries, so the
+output is deterministic even though the partitioning isn't. Never a
+single-partition window: dimension churn is usually small, but "usually"
+is not a plan invariant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from udacity_data_engineering_spark.plans.registry import register
+from udacity_data_engineering_spark.session import table
+
+
+def global_rank_orderable(
+    df: DataFrame, col: str, out: str = "rn", buckets: int = 64
+) -> DataFrame:
+    """Exact global ``row_number() OVER (ORDER BY col)`` for ANY
+    orderable type (ranking.exact_global_rank's percentile bucketing
+    needs a numeric key; range partitioning does not). ``col``'s values
+    must be distinct (the surrogate-key path guarantees it upstream).
+    Cost: one range shuffle + a bounded per-partition-count collect."""
+    parts = df.repartitionByRange(buckets, F.col(col)).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    counts = {
+        r["__pid"]: r["cnt"]
+        for r in parts.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    dense: list[int] = []
+    acc = 0
+    for pid in range(max(counts, default=-1) + 1):
+        dense.append(acc)
+        acc += counts.get(pid, 0)
+    if not dense:
+        return df.withColumn(out, F.lit(None).cast("long"))
+    off = F.element_at(
+        F.array(*[F.lit(v).cast("long") for v in dense]), F.col("__pid") + 1
+    )
+    w = Window.partitionBy("__pid").orderBy(F.col(col).asc())
+    return parts.withColumn(out, off + F.row_number().over(w)).drop("__pid")
+
+
+def assign_surrogate_keys(
+    spark: SparkSession,
+    dict_path: str,
+    batch: DataFrame,
+    value_col: str,
+    key_col: str = "sk",
+) -> DataFrame:
+    """Assign keys for one ingest batch and persist the updated
+    dictionary. Existing values keep their keys (anti-join); new distinct
+    non-null values get ``max_key + 1 ..`` in lexicographic order via the
+    distributed rank above; ONLY the new rows are appended (files are
+    immutable — replaying the batch appends nothing). Returns the updated
+    dictionary frame read back from ``dict_path``."""
+    schema = f"{value_col} string, {key_col} long"
+    import os
+
+    if os.path.isdir(dict_path) or "://" in dict_path:
+        existing = spark.read.schema(schema).parquet(dict_path)
+    else:
+        existing = spark.createDataFrame([], schema)
+    new_vals = (
+        batch.select(value_col)
+        .filter(F.col(value_col).isNotNull())
+        .distinct()
+        .join(existing, value_col, "left_anti")
+    )
+    base = existing.agg(F.max(key_col)).first()[0] or 0
+    assigned = global_rank_orderable(new_vals, value_col, out="__rn").select(
+        value_col, (F.lit(base) + F.col("__rn")).cast("long").alias(key_col)
+    )
+    if assigned.limit(1).count() > 0:
+        assigned.write.mode("append").parquet(dict_path)
+    return spark.read.schema(schema).parquet(dict_path)
+
+
+@register(
+    "q_surrogate_keys",
+    oracle="""
+        SELECT c_name AS value,
+               CAST(row_number() OVER (
+                   ORDER BY (c_custkey % 2), c_name
+               ) AS BIGINT) AS sk
+        FROM customer
+    """,
+    doc="Stable surrogate-key assignment across TWO ingest batches "
+    "(custkey parity splits the customer dim), with batch 0 REPLAYED "
+    "once in between — the at-least-once orchestration trial: existing "
+    "values keep their keys forever (replay assigns nothing), each "
+    "batch's new values get max_key+1.. in lexicographic order via a "
+    "distributed range-partition rank (never a single-partition "
+    "window). The final dictionary hash-matches row_number() OVER "
+    "(ORDER BY first_batch, value) — key stability and determinism as "
+    "one driver-checked fact.",
+    tags=("W+", "E1", "physical"),
+)
+def q_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    cust = table(spark, sf_dir, "customer")
+    tmp = tempfile.mkdtemp(prefix=f"sk_dict_{uuid.uuid4().hex[:12]}_")
+    dict_path = os.path.join(tmp, "dict")
+    b0 = cust.filter(F.pmod(F.col("c_custkey"), F.lit(2)) == 0)
+    b1 = cust.filter(F.pmod(F.col("c_custkey"), F.lit(2)) == 1)
+    assign_surrogate_keys(spark, dict_path, b0, "c_name")
+    assign_surrogate_keys(spark, dict_path, b0, "c_name")  # replay: no-op
+    out = (
+        assign_surrogate_keys(spark, dict_path, b1, "c_name")
+        .select(F.col("c_name").alias("value"), "sk")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out

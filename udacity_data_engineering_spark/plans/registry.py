@@ -107,12 +107,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_event_paths",  # MATCH_RECOGNIZE-lite sequence regex
     "q_mode_deterministic",  # pinned-tie-break per-group mode
     "q_file_skipping",  # manifest-based data skipping
+    "q_bloom_file_index",  # per-file bloom point-lookup skipping
+    "q_surrogate_keys",  # stable dimension-key service
     # --- stalest re-proofs: last driver-checked round 1 ---
     "q_shipping_priority",  # TPC-H Q3 shape
     "q_local_supplier_volume",  # Q5 shape
     "q_volume_shipping",  # Q7 shape
-    "q_market_share",  # Q8 shape
-    "q_priority_shipclass",  # Q12 shape
     "q_large_orders",  # Q18 shape
     "q_cust_order_distribution",  # Q13 shape
     "q_disjunctive_pred",  # Q19 shape

@@ -220,3 +220,151 @@ def q_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-file BLOOM index — the point-lookup complement to min/max skipping.
+# Min/max envelopes prune RANGE predicates on clustered/sorted columns;
+# an equality lookup on a high-cardinality column that is merely
+# hash-clustered (every file's min/max spans the whole domain) gets
+# nothing from them. A per-file Bloom filter does: k xxhash64 probes per
+# value, bits packed 64/word as (file, word_idx, bits) manifest cells —
+# the same cell algebra as the bitmap distinct sketch — and a lookup
+# keeps only files whose bloom has ALL k probe bits set (false positives
+# re-filtered exactly by the predicate; false negatives impossible).
+# This is the Parquet/Delta bloom-filter-index mechanic, engine-side.
+# ---------------------------------------------------------------------------
+
+
+def _bloom_positions(col: str, m_bits: int, k: int) -> list:
+    """k deterministic probe positions for each row's value: xxhash64 of
+    (value, probe-index) mod m — salting by a literal second column gives
+    k independent hashes from one function."""
+    return [
+        F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(m_bits)) for i in range(k)
+    ]
+
+
+def build_file_blooms(
+    spark: SparkSession, path: str, col: str, m_bits: int = 8192, k: int = 3
+) -> DataFrame:
+    """Per-file Bloom manifest cells (file, word_idx, bits) over ``col``:
+    one scan; each row contributes k probe bits; cells aggregate with
+    bit_or. Size: at most m_bits/64 cells per FILE regardless of rows.
+    NULLs match no equality predicate and are excluded."""
+    df = spark.read.parquet(path).filter(F.col(col).isNotNull())
+    pos = F.explode(F.array(*_bloom_positions(col, m_bits, k))).alias("pos")
+    cells = df.select(F.input_file_name().alias("file"), pos)
+    word = F.expr("pos div 64")
+    bit = F.expr("shiftleft(1L, cast(pmod(pos, 64) as int))")
+    return cells.groupBy("file", word.alias("word_idx")).agg(
+        F.bit_or(bit).alias("bits")
+    )
+
+
+def prune_files_bloom(
+    spark: SparkSession,
+    blooms: DataFrame,
+    col: str,
+    value,
+    value_type: str = "string",
+    m_bits: int = 8192,
+    k: int = 3,
+) -> tuple[list[str], int]:
+    """Equality-lookup pruning: a file survives only if every one of the
+    value's k probe bits is set in its bloom. The probe positions are
+    computed WITH THE SAME Spark expressions used at build time (one
+    1-row frame — no Python reimplementation of xxhash64 to drift), so
+    ``value_type`` MUST match the indexed column's type: xxhash64 of the
+    long 5 and the string '5' are different bit patterns. The bit check
+    runs on the manifest frame (tiny); only the kept file list is
+    collected."""
+    probe = spark.createDataFrame([(value,)], f"{col}: {value_type}").select(
+        *_bloom_positions(col, m_bits, k)
+    )
+    positions = {int(p) for p in probe.first()}
+    # required mask per word, from the (deduped) probe positions
+    masks: dict[int, int] = {}
+    for p in positions:
+        w, b = p // 64, p % 64
+        masks[w] = masks.get(w, 0) | (1 << b)
+
+    def signed64(x: int) -> int:
+        return x - (1 << 64) if x >= (1 << 63) else x
+
+    total = [r["file"] for r in blooms.select("file").distinct().collect()]
+    cond = None
+    for w, m in masks.items():
+        sm = signed64(m)
+        c = (F.col("word_idx") == w) & (
+            F.col("bits").bitwiseAND(F.lit(sm)) == F.lit(sm)
+        )
+        cond = c if cond is None else cond | c
+    hits = (
+        blooms.filter(cond)
+        .groupBy("file")
+        .agg(F.count(F.lit(1)).alias("n_words"))
+        .filter(F.col("n_words") == len(masks))
+    )
+    kept = sorted(r["file"] for r in hits.collect())
+    return kept, len(total)
+
+
+@register(
+    "q_bloom_file_index",
+    oracle="""
+        SELECT o_orderstatus,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders
+        WHERE o_custkey = (SELECT min(o_custkey) FROM orders)
+        GROUP BY o_orderstatus
+    """,
+    doc="Per-file BLOOM index point lookup: orders hash-clustered on "
+    "o_custkey into 16 files (each key lives in exactly one file, but "
+    "every file's min/max spans the whole domain — range skipping is "
+    "useless here), a per-file bloom manifest (8192 bits, 3 xxhash64 "
+    "probes, <=128 cells/file) built in one scan, then one customer's "
+    "orders are read through the index: only files whose bloom has all "
+    "probe bits set are opened (false positives re-filtered exactly; "
+    "false negatives impossible), enforced in-query to be a strict "
+    "subset. The Parquet/Delta bloom-index mechanic, engine-side; "
+    "hash-proven against the full-scan filter.",
+    tags=("physical", "sources", "W+"),
+)
+def q_bloom_file_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from udacity_data_engineering_spark.sources.parquet_source import (
+        scratch_dir,
+    )
+
+    orders = table(spark, sf_dir, "orders")
+    root = scratch_dir("bloom_index")
+    path = os.path.join(root, "orders_clustered")
+    orders.repartition(16, "o_custkey").write.mode("overwrite").parquet(path)
+
+    # deterministic probe key both engines agree on: the smallest custkey
+    target = orders.agg(F.min("o_custkey").alias("k")).first()["k"]
+    if target is None:
+        return spark.createDataFrame(
+            [], "o_orderstatus string, n_orders long, revenue double"
+        )
+    blooms = build_file_blooms(spark, path, "o_custkey")
+    kept, total = prune_files_bloom(
+        spark, blooms, "o_custkey", int(target), value_type="bigint"
+    )
+    if total >= 4 and not len(kept) < total:
+        raise RuntimeError(
+            f"bloom index kept {len(kept)}/{total} files for a single-key "
+            "lookup over a hash-clustered layout — the index pruned nothing"
+        )
+    df = spark.read.parquet(*kept) if kept else orders.limit(0)
+    return (
+        df.filter(F.col("o_custkey") == target)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
