@@ -91,7 +91,10 @@ def assign_surrogate_keys(
     )
     if assigned.limit(1).count() > 0:
         assigned.write.mode("append").parquet(dict_path)
-    return spark.read.schema(schema).parquet(dict_path)
+    if os.path.isdir(dict_path) or "://" in dict_path:
+        return spark.read.schema(schema).parquet(dict_path)
+    # nothing ever assigned (all-empty batches): a valid empty dictionary
+    return spark.createDataFrame([], schema)
 
 
 @register(
