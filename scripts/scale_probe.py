@@ -405,6 +405,29 @@ def main() -> None:
                 ["o_orderdate"],
             )
             .collect(),
+            # round 14: bloom manifest build — one scan, k probe rows per
+            # input row, <= m_bits/64 cells per FILE out
+            "bloom_index_build": lambda: __import__(
+                "udacity_data_engineering_spark.sources.skipping",
+                fromlist=["build_file_blooms"],
+            )
+            .build_file_blooms(
+                t["orders"].sparkSession, t["orders_path"], "o_custkey"
+            )
+            .collect(),
+            # round 14: the distributed range-partition rank behind the
+            # surrogate-key service — one range shuffle + bounded offsets
+            "global_rank_str": lambda: __import__(
+                "udacity_data_engineering_spark.operators.dimension",
+                fromlist=["global_rank_orderable"],
+            )
+            .global_rank_orderable(
+                t["orders"].select(
+                    F.col("o_orderkey").cast("string").alias("v")
+                ),
+                "v",
+            )
+            .count(),
         }
 
     def pipeline_shapes(docs, emb, k_clusters, nd_index_dir, nd_batch):
