@@ -52,6 +52,13 @@ PINNED = [
     "q_lake_lifecycle",
     "q_pagerank_persisted",
     "q_ivf_topk_exhaustive",
+    # round 14: manifest readers on an empty table (everything prunes —
+    # the declared-schema empty frame) and the surrogate-key service fed
+    # only empty batches (a never-written dictionary directory)
+    "q_file_skipping",
+    "q_bloom_file_index",
+    "q_surrogate_keys",
+    "q_streaming_stateful_ttl",  # empty feed: zero files, zero sessions
 ]
 
 
