@@ -305,3 +305,75 @@ def test_components_match_union_find_property(spark, edges):
         want_groups.setdefault(find(v), []).append(v)
     want = {v: min(g) for g in want_groups.values() for v in g}
     assert got == want
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ids=st.lists(
+        st.integers(min_value=-(2**62), max_value=2**62), min_size=0,
+        max_size=60,
+    ),
+    split=st.integers(min_value=0, max_value=59),
+)
+def test_bitmap_sketch_is_set_union_property(spark, ids, split):
+    """For ANY id multiset and ANY 2-way split: merged slice sketches ==
+    whole sketch, and the popcount == the true distinct count — the
+    merge-is-set-union algebra on arbitrary int64s (sign bit included)."""
+    from udacity_data_engineering_spark.operators.bitmap import (
+        bitmap_distinct_counts,
+        bitmap_distinct_sketch,
+        merge_bitmap_sketches,
+    )
+
+    df = spark.createDataFrame([(i,) for i in ids], "id long")
+    whole = sorted(map(tuple, bitmap_distinct_sketch(df, "id").collect()))
+    a = bitmap_distinct_sketch(
+        spark.createDataFrame([(i,) for i in ids[:split]], "id long"), "id"
+    )
+    b = bitmap_distinct_sketch(
+        spark.createDataFrame([(i,) for i in ids[split:]], "id long"), "id"
+    )
+    merged = sorted(map(tuple, merge_bitmap_sketches(a, b).collect()))
+    assert merged == whole
+    counts = bitmap_distinct_counts(merge_bitmap_sketches(a, b)).collect()
+    got = counts[0]["n_distinct"] if counts else 0
+    assert (got or 0) == len(set(ids))
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.floats(min_value=0.0, max_value=99.999, allow_nan=False),
+        min_size=1, max_size=50,
+    ),
+    split=st.integers(min_value=0, max_value=49),
+)
+def test_quantile_sketch_merge_equals_concat_property(spark, vals, split):
+    """Sketch(A) + Sketch(B) == Sketch(A ++ B) cell-for-cell for any
+    values and any split — the additive-cells warehouse algebra."""
+    from udacity_data_engineering_spark.operators.quantiles import (
+        merge_quantile_sketches,
+        quantile_sketch,
+    )
+
+    lo, hi, nb = 0.0, 100.0, 16
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    whole = sorted(map(tuple, quantile_sketch(df, "x", lo, hi, nb).collect()))
+    a = quantile_sketch(
+        spark.createDataFrame([(v,) for v in vals[:split]], "x double"),
+        "x", lo, hi, nb,
+    )
+    b = quantile_sketch(
+        spark.createDataFrame([(v,) for v in vals[split:]], "x double"),
+        "x", lo, hi, nb,
+    )
+    merged = sorted(map(tuple, merge_quantile_sketches(a, b).collect()))
+    assert merged == whole
