@@ -123,13 +123,20 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_cosine_topk",  # E12 anchor, swapped out in r13
 )
 # Rotation ledger after this window: never-driver-checked SQL-oracled
-# names = the r14 registrations not listed above (kept to zero by
-# listing every new oracled query here the round it lands). Rows-only
-# names stay sweep+pytest-verified by design. Stale tail remaining for
-# r15: the round-1 names not re-proven above (q_ngram_jaccard,
-# q_orc_roundtrip, q_csv_roundtrip, q_compact_small_files,
-# q_small_qty_revenue, q_waiting_suppliers) plus the r5/r6 batch —
-# all sweep-verified at three scales every round.
+# names = 0 (every r14 registration is listed above the same round it
+# landed; several stale fills were swapped out mid-round to hold the
+# window at exactly 50 as new operators arrived). Rows-only names stay
+# sweep+pytest-verified by design. Stale tail remaining for r15 — all
+# last driver-checked in round 1, all sweep-verified at three scales
+# every round since: q_compact_small_files, q_csv_roundtrip,
+# q_important_parts, q_join_anti, q_join_outer, q_market_share,
+# q_min_cost_supplier, q_ngram_jaccard, q_orc_roundtrip,
+# q_order_priority, q_priority_shipclass, q_product_profit,
+# q_promo_revenue, q_returned_items, q_small_qty_revenue,
+# q_top_supplier, q_waiting_suppliers; then the r5 batch
+# (q_dedup_fullrow, q_doc_dedup_survivors, q_doc_fingerprint,
+# q_epoch_to_ts_udf, q_gopher_rules, q_join_semi, q_sparkify_time,
+# q_sparkify_users) and the r6 tail.
 
 
 def all_queries() -> dict[str, Query]:
