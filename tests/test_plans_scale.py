@@ -384,3 +384,72 @@ def test_dsir_model_join_broadcasts(spark, sf_dir):
     word-explode side never shuffles for the model join."""
     plan = plan_of(MANIFEST["q_dsir_mix"].fn(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# Round-14 operators: the plan shapes that make them 100 TB-safe
+# ---------------------------------------------------------------------------
+
+
+def test_funnel_ordered_plans_one_shuffle_for_all_steps(spark, sf_dir):
+    """The N chained conditional min-windows share one partitioning, so
+    the whole per-key stage needs exactly ONE hashpartitioning exchange
+    on the key — never one per step, never a step-vs-step self-join."""
+    from udacity_data_engineering_spark.operators.product_analytics import (
+        funnel_ordered,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    plan = plan_of(funnel_ordered(ev, ["view", "click", "purchase"]))
+    key_exchanges = plan.count("hashpartitioning(user_id")
+    assert key_exchanges == 1, plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_event_paths_plans_no_window(spark, sf_dir):
+    """Path ordering is imposed INSIDE the aggregate (sort_array over
+    structs) — no WindowExec, one partial+final aggregate pair."""
+    from udacity_data_engineering_spark.operators.product_analytics import (
+        event_paths,
+    )
+
+    plan = plan_of(event_paths(table(spark, sf_dir, "events")))
+    assert "Window" not in plan, plan
+    assert plan.count("HashAggregate") >= 2 or "ObjectHashAggregate" in plan
+
+
+def test_bitmap_sketch_plans_partial_aggregation(spark, sf_dir):
+    """The bit_or cells must combine map-side (partial_bit_or before the
+    exchange) so the shuffle carries <= groups x domain/64 cell rows,
+    never the raw rows."""
+    from udacity_data_engineering_spark.operators.bitmap import (
+        bitmap_distinct_sketch,
+    )
+
+    plan = plan_of(
+        bitmap_distinct_sketch(
+            table(spark, sf_dir, "orders"), "o_custkey", ("o_orderstatus",)
+        ),
+        mode="extended",
+    )
+    assert "partial_bit_or" in plan, plan
+
+
+def test_mode_window_runs_over_distinct_value_frame(spark, sf_dir):
+    """The rank-1 window must sit ABOVE the counts aggregate (bounded by
+    value cardinality), never over the raw orders scan."""
+    from udacity_data_engineering_spark.operators.aggregates import (
+        mode_deterministic,
+    )
+
+    plan = plan_of(
+        mode_deterministic(
+            table(spark, sf_dir, "orders"), "o_orderpriority", ["o_orderstatus"]
+        )
+    )
+    # aggregate first, window after: in the formatted plan the Window
+    # node's child chain must contain a HashAggregate
+    win_at = plan.find("Window")
+    agg_at = plan.find("HashAggregate")
+    assert win_at != -1 and agg_at != -1
+    assert "CartesianProduct" not in plan
