@@ -37,9 +37,19 @@ def global_rank_orderable(
     orderable type (ranking.exact_global_rank's percentile bucketing
     needs a numeric key; range partitioning does not). ``col``'s values
     must be distinct (the surrogate-key path guarantees it upstream).
-    Cost: one range shuffle + a bounded per-partition-count collect."""
-    parts = df.repartitionByRange(buckets, F.col(col)).withColumn(
-        "__pid", F.spark_partition_id()
+    Cost: one range shuffle + a bounded per-partition-count collect.
+
+    The range partitioning is PINNED with an eager localCheckpoint
+    before the per-partition counts are collected: repartitionByRange
+    re-samples its boundaries on every execution, so without the pin the
+    counts action and the downstream window action could see DIFFERENT
+    partitionings at scale (partial boundary samples), silently
+    producing duplicate/gapped ranks. The checkpoint makes both actions
+    read the same materialized partitioning (ADVICE r14)."""
+    parts = (
+        df.repartitionByRange(buckets, F.col(col))
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     counts = {
         r["__pid"]: r["cnt"]
@@ -59,6 +69,17 @@ def global_rank_orderable(
     return parts.withColumn(out, off + F.row_number().over(w)).drop("__pid")
 
 
+def _dict_exists(spark: SparkSession, dict_path: str) -> bool:
+    """True iff the dictionary directory exists, resolved through the
+    Hadoop FileSystem API so object-store URIs (s3a://, hdfs://) work on
+    the FIRST call too — inferring existence from the URI scheme made
+    bootstrap impossible on any remote path (ADVICE r14)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(dict_path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(jpath))
+
+
 def assign_surrogate_keys(
     spark: SparkSession,
     dict_path: str,
@@ -73,9 +94,8 @@ def assign_surrogate_keys(
     immutable — replaying the batch appends nothing). Returns the updated
     dictionary frame read back from ``dict_path``."""
     schema = f"{value_col} string, {key_col} long"
-    import os
 
-    if os.path.isdir(dict_path) or "://" in dict_path:
+    if _dict_exists(spark, dict_path):
         existing = spark.read.schema(schema).parquet(dict_path)
     else:
         existing = spark.createDataFrame([], schema)
@@ -91,7 +111,7 @@ def assign_surrogate_keys(
     )
     if assigned.limit(1).count() > 0:
         assigned.write.mode("append").parquet(dict_path)
-    if os.path.isdir(dict_path) or "://" in dict_path:
+    if _dict_exists(spark, dict_path):
         return spark.read.schema(schema).parquet(dict_path)
     # nothing ever assigned (all-empty batches): a valid empty dictionary
     return spark.createDataFrame([], schema)

@@ -294,13 +294,20 @@ def event_paths(
     is bounded by the per-key event count; for keys with millions of
     events cap upstream (events are already session-windowed in any
     real path analysis).
+
+    Rows with a NULL ts or tiebreak are dropped: an event with no
+    ordering key has no defined position in the path, and engines
+    disagree on NULL placement (Spark's sort_array sorts NULL struct
+    fields first, SQL ORDER BY defaults them last), so the contract is
+    made explicit instead of engine-dependent (ADVICE r14).
     """
     triple = F.struct(
         F.col(ts).alias("t"), F.col(tiebreak).alias("tb"),
         F.col(type_col).alias("ty"),
     )
     return (
-        events.groupBy(key)
+        events.filter(F.col(ts).isNotNull() & F.col(tiebreak).isNotNull())
+        .groupBy(key)
         .agg(F.sort_array(F.collect_list(triple)).alias("__seq"))
         .select(
             key,
@@ -322,6 +329,7 @@ def event_paths(
                    string_agg(event_type, '->' ORDER BY ts, event_id),
                    'view.*click.*purchase') AS BOOLEAN) AS has_funnel
         FROM events
+        WHERE ts IS NOT NULL AND event_id IS NOT NULL
         GROUP BY user_id
     """,
     doc="MATCH_RECOGNIZE-lite sequence analysis: each user's full "
