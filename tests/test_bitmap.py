@@ -67,3 +67,40 @@ def test_empty_and_all_null_inputs(spark):
     assert bitmap_distinct_sketch(empty, "id").count() == 0
     nulls = spark.createDataFrame([(None,), (5,)], "id long")
     assert _counts(bitmap_distinct_sketch(nulls, "id")) == {(): 1}
+
+
+def test_sparse_domain_counts_and_replay(spark, tmp_path):
+    """Dictionary-encoded sparse bitmap: popcounts equal exact distinct
+    over the STRING domain, replaying a slice changes nothing, and cells
+    built against the same dictionary in different calls stay mergeable."""
+    from udacity_data_engineering_spark.operators.bitmap import (
+        bitmap_distinct_sparse,
+    )
+    from udacity_data_engineering_spark.operators.dimension import (
+        assign_surrogate_keys,
+    )
+
+    rows = [(f"user-{i % 37:04d}", "g%d" % (i % 3)) for i in range(400)]
+    df = spark.createDataFrame(rows, "name string, grp string")
+    dictionary = assign_surrogate_keys(
+        spark, str(tmp_path / "dict"), df, "name"
+    )
+    whole = bitmap_distinct_sparse(df, dictionary, "name", ("grp",))
+    want = {
+        (r["grp"],): r["n"]
+        for r in df.groupBy("grp")
+        .agg(F.countDistinct("name").alias("n"))
+        .collect()
+    }
+    assert _counts(whole, ("grp",)) == want
+    # slice 0 replayed: OR-merge is idempotent through the encoding too
+    halves = [
+        bitmap_distinct_sparse(
+            df.filter(F.crc32("name") % 2 == i), dictionary, "name", ("grp",)
+        )
+        for i in (0, 1, 0)
+    ]
+    merged = merge_bitmap_sketches(*halves)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )

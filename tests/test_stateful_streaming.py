@@ -367,3 +367,153 @@ def test_ttl_intra_batch_gap_splits_sessions(spark, tmp_path):
         (7, "2024-01-01 00:00:00", 1, 1.0),
         (7, "2024-01-03 00:00:00", 1, 2.0),
     ]
+
+
+# ---------------------------------------------------------------------------
+# transformWithState MAPSTATE (per_type_session_totals_tws): per-key
+# collection state — per-event-type counters in one MapState, drained on
+# session close, cleared by the same event-time timer discipline
+# ---------------------------------------------------------------------------
+
+
+def _map_feed(feed_dir, batches):
+    """Like _ttl_feed but with a caller-chosen event_type per row:
+    batches of (ts, user_id, event_type, value)."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(feed_dir, exist_ok=True)
+    schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("value", pa.float64()),
+            ("props", pa.string()),
+        ]
+    )
+    for i, rows in enumerate(batches):
+        t = pa.Table.from_pylist(
+            [
+                {
+                    "event_id": j,
+                    "ts": pd.Timestamp(ts),
+                    "user_id": u,
+                    "event_type": ty,
+                    "value": v,
+                    "props": "{}",
+                }
+                for j, (ts, u, ty, v) in enumerate(rows)
+            ],
+            schema=schema,
+        )
+        p = os.path.join(feed_dir, f"{i:02d}.parquet")
+        pq.write_table(t, p)
+        os.utime(p, (1_000_000_000 + i, 1_000_000_000 + i))
+
+
+def _run_map(spark, feed_dir, ckpt, sink, ttl_seconds=86_400):
+    from udacity_data_engineering_spark.streaming.event_stream import (
+        run_available_now,
+    )
+    from udacity_data_engineering_spark.streaming.stateful import (
+        ROCKSDB_PROVIDER,
+        ensure_tws_runtime,
+        per_type_session_totals_tws,
+    )
+
+    assert ensure_tws_runtime(spark)
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, ROCKSDB_PROVIDER)
+    try:
+        stream = stream_events(
+            spark, feed_dir, max_files_per_trigger=1
+        ).withWatermark("ts", "0 seconds")
+        run_available_now(
+            per_type_session_totals_tws(stream, ttl_seconds),
+            sink,
+            ckpt,
+            output_mode="update",
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    rows = sorted(
+        (r.user_id, str(r.session_start), r.event_type, r.n_events, r.sum_value)
+        for r in spark.table(sink).collect()
+    )
+    spark.catalog.dropTempView(sink)
+    return rows
+
+
+def test_mapstate_accumulates_per_type_across_batches(spark, tmp_path):
+    """Map entries for a user must carry ACROSS micro-batches (the whole
+    point of MapState) and drain one row per type when the timer fires."""
+    feed = str(tmp_path / "feed")
+    _map_feed(
+        feed,
+        [
+            [("2024-01-01 00:00:00", 7, "view", 1.0),
+             ("2024-01-01 01:00:00", 7, "click", 2.0)],
+            [("2024-01-01 02:00:00", 7, "view", 4.0)],  # same session, +view
+            [("2024-03-01 00:00:00", 99, "x", 0.0)],  # sentinel: flush all
+        ],
+    )
+    rows = _run_map(spark, feed, str(tmp_path / "ck"), "map_acc_sink")
+    user7 = [r for r in rows if r[0] == 7]
+    assert user7 == [
+        (7, "2024-01-01 00:00:00", "click", 1, 2.0),
+        (7, "2024-01-01 00:00:00", "view", 2, 5.0),
+    ]
+
+
+def test_mapstate_eviction_clears_map(spark, tmp_path):
+    """After the timer drains+clears the map, a returning user starts a
+    fresh EMPTY map — counts must not leak from the evicted session."""
+    feed = str(tmp_path / "feed")
+    _map_feed(
+        feed,
+        [
+            [("2024-01-01 00:00:00", 7, "view", 1.0)],
+            [("2024-01-02 12:00:00", 8, "x", 5.0)],  # wm passes 7's expiry
+            [("2024-01-05 00:00:00", 7, "view", 9.0)],  # post-eviction return
+            [("2024-03-01 00:00:00", 99, "x", 0.0)],  # sentinel flush
+        ],
+    )
+    rows = _run_map(spark, feed, str(tmp_path / "ck"), "map_evict_sink")
+    user7 = [r for r in rows if r[0] == 7]
+    assert user7 == [
+        (7, "2024-01-01 00:00:00", "view", 1, 1.0),
+        (7, "2024-01-05 00:00:00", "view", 1, 9.0),
+    ]
+
+
+def test_mapstate_intra_batch_gap_drains_mid_batch(spark, tmp_path):
+    """A gap WITHIN one micro-batch must drain the session's map before
+    the post-gap rows repopulate it."""
+    feed = str(tmp_path / "feed")
+    _map_feed(
+        feed,
+        [
+            [
+                ("2024-01-01 00:00:00", 7, "view", 1.0),
+                ("2024-01-01 00:30:00", 7, "click", 2.0),
+                ("2024-01-03 00:00:00", 7, "view", 8.0),  # gap 2d > ttl 1d
+            ],
+            [("2024-02-01 00:00:00", 99, "x", 0.0)],  # sentinel flush
+        ],
+    )
+    rows = _run_map(spark, feed, str(tmp_path / "ck"), "map_intra_sink")
+    user7 = [r for r in rows if r[0] == 7]
+    assert user7 == [
+        (7, "2024-01-01 00:00:00", "click", 1, 2.0),
+        (7, "2024-01-01 00:00:00", "view", 1, 1.0),
+        (7, "2024-01-03 00:00:00", "view", 1, 8.0),
+    ]

@@ -20,9 +20,13 @@ the final counts (the CMS/quantile provability posture).
 Scale shape: one scan + one partial-aggregating shuffle of at most
 ``groups x ceil(domain/64)`` cells; at 100 TB the shuffle is bounded by
 the ID DOMAIN, not the row count. For sparse giant domains (64-bit
-surrogate keys) the dense word space is the wrong tool — use HLL
-(aggregates.py) or dictionary-encode ids first; this sketch is for the
-bounded keyspaces (customers, pages, SKUs) where exactness matters.
+hashes, strings) the dense word space is the wrong tool RAW — so
+``bitmap_distinct_sparse`` below closes that gap by dictionary-encoding
+the values first (the stable surrogate-key service, dimension.py): the
+dictionary maps any orderable sparse domain onto the dense 1..N key
+space this sketch wants, keys are stable forever, and the composed
+object keeps every bitmap property (exact, mergeable, replay-
+idempotent) for string and 64-bit id domains too.
 """
 
 from __future__ import annotations
@@ -78,6 +82,32 @@ def bitmap_distinct_counts(
     return sketch.groupBy(*g).agg(
         F.sum(F.bit_count("bits")).alias("n_distinct")
     )
+
+
+def bitmap_distinct_sparse(
+    df: DataFrame,
+    dictionary: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    key_col: str = "sk",
+) -> DataFrame:
+    """Bitmap exact-distinct sketch over a SPARSE domain (strings,
+    64-bit hashes): values are dictionary-encoded onto the dense 1..N
+    surrogate-key space first, then sketched. ``dictionary`` is the
+    stable mapping (value_col, key_col) maintained by
+    ``dimension.assign_surrogate_keys`` — keys never change, so cells
+    built in different batches/rounds stay OR-mergeable forever, and the
+    word space is ceil(N/64) regardless of how sparse the raw domain is.
+
+    Cost: the sketch shuffle as before, plus one equi-join against the
+    dictionary (left to AQE: broadcast when the dictionary is small,
+    shuffled hash otherwise — at 100 TB a billion-entry dictionary must
+    not be force-broadcast).
+    """
+    enc = df.filter(F.col(value_col).isNotNull()).join(
+        dictionary.select(value_col, key_col), value_col, "inner"
+    )
+    return bitmap_distinct_sketch(enc, key_col, group_cols)
 
 
 # DuckDB's signed left shift is overflow-CHECKED, so bit 63 (the sign
@@ -152,3 +182,78 @@ def q_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = bitmap_distinct_counts(merged, group_cols=("o_orderstatus",))
     # DuckDB's count(DISTINCT) is BIGINT; Spark's sum(bit_count) is long
     return out.select("o_orderstatus", F.col("n_distinct").cast("long").alias("n_distinct"))
+
+
+@register(
+    "q_bitmap_distinct_sparse",
+    oracle="""
+        WITH dict AS (
+            SELECT c_name AS value,
+                   CAST(row_number() OVER (
+                       ORDER BY (c_custkey % 2), c_name
+                   ) AS BIGINT) AS sk
+            FROM customer
+        ), enc AS (
+            SELECT o.o_orderstatus, d.sk
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN dict d ON c.c_name = d.value
+        )
+        SELECT o_orderstatus,
+               (sk - ((sk % 64) + 64) % 64) // 64 AS word_idx,
+               bit_or(CASE WHEN ((sk % 64) + 64) % 64 = 63
+                           THEN -9223372036854775808
+                           ELSE 1::BIGINT
+                                << CAST(((sk % 64) + 64) % 64 AS INT)
+                      END) AS bits
+        FROM enc
+        GROUP BY o_orderstatus, word_idx
+    """,
+    doc="SPARSE-domain bitmap exact-distinct (VERDICT r14 item 2): "
+    "distinct customer NAMES (a string domain the dense bitmap cannot "
+    "index raw) per order status, via the composed object — the stable "
+    "surrogate-key dictionary (two ingest batches split on custkey "
+    "parity, batch 0 REPLAYED once) maps names onto the dense 1..N key "
+    "space, then the orders fact (split into two slices, slice 0 "
+    "sketched TWICE — the at-least-once trial on the sketch side too) "
+    "is encoded through the dictionary and bitmap-sketched. The "
+    "dictionary assignment is deterministic (lexicographic per batch), "
+    "so DuckDB rebuilds the identical cell BYTES: both the key service "
+    "and the sketch are hash-proven as one fact. Shuffle bounded by "
+    "groups x ceil(N/64) cells; the dictionary join is left to AQE.",
+    tags=("E1", "E2", "W+", "llm-pipeline", "sketch"),
+)
+def q_bitmap_distinct_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from udacity_data_engineering_spark.operators.dimension import (
+        assign_surrogate_keys,
+    )
+
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    tmp = tempfile.mkdtemp(prefix=f"bds_dict_{uuid.uuid4().hex[:12]}_")
+    dict_path = os.path.join(tmp, "dict")
+    b0 = cust.filter(F.pmod(F.col("c_custkey"), F.lit(2)) == 0)
+    b1 = cust.filter(F.pmod(F.col("c_custkey"), F.lit(2)) == 1)
+    assign_surrogate_keys(spark, dict_path, b0, "c_name")
+    assign_surrogate_keys(spark, dict_path, b0, "c_name")  # replay: no-op
+    dictionary = assign_surrogate_keys(spark, dict_path, b1, "c_name")
+    fact = orders.join(cust, orders["o_custkey"] == cust["c_custkey"]).select(
+        "o_orderkey", "o_orderstatus", "c_name"
+    )
+    slices = [
+        bitmap_distinct_sparse(
+            fact.filter(F.pmod(F.col("o_orderkey"), F.lit(2)) == i),
+            dictionary,
+            "c_name",
+            group_cols=("o_orderstatus",),
+        )
+        for i in (0, 1, 0)  # slice 0 replayed: idempotence on trial
+    ]
+    out = merge_bitmap_sketches(*slices).localCheckpoint(eager=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out

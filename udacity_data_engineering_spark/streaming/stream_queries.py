@@ -756,6 +756,57 @@ def q_streaming_stateful_totals_tws(spark: SparkSession, sf_dir: str) -> DataFra
     return out
 
 
+def write_time_ordered_feed(ev: DataFrame, tmp: str, ttl_seconds: int) -> str:
+    """Stage an events frame as strictly TIME-ORDERED micro-batch files:
+    6 equal-width ts buckets, one file per bucket, written sequentially
+    with increasing mtimes (the file stream consumes oldest-mtime first)
+    — so the watermark only ever moves forward and no event is late.
+    Equal timestamps land in the same bucket by construction. The
+    sentinel (user_id=-1, ts = max + ttl + 2 days) pushes the final
+    watermark past every open session's expiry: the availableNow no-data
+    final batch then fires all remaining timers — deterministic full
+    flush. Shared by every event-time-timer TWS query."""
+    feed_dir = os.path.join(tmp, "feed")
+    os.makedirs(feed_dir)
+    stats = ev.agg(
+        F.min(F.unix_micros(F.col("ts").cast("timestamp"))).alias("lo"),
+        F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias("hi"),
+    ).first()
+    if stats["lo"] is None:
+        return feed_dir
+    lo, hi = int(stats["lo"]), int(stats["hi"])
+    span = hi - lo + 1
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    bucketed = ev.withColumn(
+        "__b", F.floor((us - F.lit(lo)) * 6 / F.lit(span)).cast("int")
+    )
+    sentinel_us = hi + ttl_seconds * 1_000_000 + 2 * 86_400 * 1_000_000
+    sentinel = ev.limit(1).select(
+        F.lit(-1).cast("long").alias("event_id"),
+        F.timestamp_micros(F.lit(sentinel_us))
+        .cast("timestamp_ntz")
+        .alias("ts"),
+        F.lit(-1).cast("long").alias("user_id"),
+        F.lit("sentinel").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit(None).cast("string").alias("props"),
+    )
+    staged = os.path.join(tmp, "staged")
+    for i in range(7):
+        part = sentinel if i == 6 else bucketed.filter(
+            F.col("__b") == i
+        ).drop("__b")
+        part.coalesce(1).write.mode("overwrite").parquet(staged)
+        src = next(
+            f for f in sorted(os.listdir(staged))
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+        dst = os.path.join(feed_dir, f"{i:02d}.parquet")
+        os.replace(os.path.join(staged, src), dst)
+        os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+    return feed_dir
+
+
 @register(
     "q_streaming_stateful_ttl",
     oracle="""
@@ -821,54 +872,7 @@ def q_streaming_stateful_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     run_id = uuid.uuid4().hex[:12]
     tmp = tempfile.mkdtemp(prefix=f"stream_ttl_{run_id}_")
-    feed_dir = os.path.join(tmp, "feed")
-    os.makedirs(feed_dir)
-
-    # Strictly TIME-ORDERED micro-batches: 6 equal-width ts buckets, one
-    # file per bucket, written sequentially with increasing mtimes (the
-    # file stream consumes oldest-mtime first) — so the watermark only
-    # ever moves forward and no event is late. Equal timestamps land in
-    # the same bucket by construction. The sentinel (user_id=-1, ts =
-    # max + ttl + 2 days) pushes the final watermark past every open
-    # session's expiry: the availableNow no-data final batch then fires
-    # all remaining timers — deterministic full flush.
-    stats = ev.agg(
-        F.min(F.unix_micros(F.col("ts").cast("timestamp"))).alias("lo"),
-        F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias("hi"),
-    ).first()
-    n_files = 0
-    if stats["lo"] is not None:
-        lo, hi = int(stats["lo"]), int(stats["hi"])
-        span = hi - lo + 1
-        us = F.unix_micros(F.col("ts").cast("timestamp"))
-        bucketed = ev.withColumn(
-            "__b", F.floor((us - F.lit(lo)) * 6 / F.lit(span)).cast("int")
-        )
-        sentinel_us = hi + ttl_seconds * 1_000_000 + 2 * 86_400 * 1_000_000
-        sentinel = ev.limit(1).select(
-            F.lit(-1).cast("long").alias("event_id"),
-            F.timestamp_micros(F.lit(sentinel_us))
-            .cast("timestamp_ntz")
-            .alias("ts"),
-            F.lit(-1).cast("long").alias("user_id"),
-            F.lit("sentinel").alias("event_type"),
-            F.lit(0.0).alias("value"),
-            F.lit(None).cast("string").alias("props"),
-        )
-        staged = os.path.join(tmp, "staged")
-        for i in range(7):
-            part = sentinel if i == 6 else bucketed.filter(
-                F.col("__b") == i
-            ).drop("__b")
-            part.coalesce(1).write.mode("overwrite").parquet(staged)
-            src = next(
-                f for f in sorted(os.listdir(staged))
-                if f.endswith(".parquet") and not f.startswith(("_", "."))
-            )
-            dst = os.path.join(feed_dir, f"{i:02d}.parquet")
-            os.replace(os.path.join(staged, src), dst)
-            os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
-            n_files += 1
+    feed_dir = write_time_ordered_feed(ev, tmp, ttl_seconds)
 
     key = "spark.sql.streaming.stateStore.providerClass"
     prev = spark.conf.get(key, None)
@@ -895,6 +899,114 @@ def q_streaming_stateful_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+        .localCheckpoint(eager=True)
+    )
+    spark.catalog.dropTempView(sink)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+@register(
+    "q_streaming_stateful_mapstate",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, ts, event_type, value,
+                   CASE WHEN ts - lag(ts) OVER (
+                            PARTITION BY user_id ORDER BY ts
+                        ) > INTERVAL 1 DAY THEN 1 ELSE 0 END AS brk
+            FROM events
+            WHERE ts IS NOT NULL AND user_id IS NOT NULL
+                  AND value IS NOT NULL AND event_type IS NOT NULL
+        ), s AS (
+            SELECT user_id, ts, event_type, value,
+                   sum(brk) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS sess
+            FROM e
+        ), g AS (
+            SELECT user_id, sess, event_type,
+                   count(*) AS n_events, round(sum(value), 2) AS sum_value,
+                   min(ts) AS first_ts
+            FROM s GROUP BY user_id, sess, event_type
+        ), ss AS (
+            SELECT user_id, sess, min(first_ts) AS session_start
+            FROM g GROUP BY user_id, sess
+        )
+        SELECT g.user_id, ss.session_start, g.event_type,
+               g.n_events, g.sum_value
+        FROM g JOIN ss ON g.user_id = ss.user_id AND g.sess = ss.sess
+    """,
+    doc="E14: transformWithState MAPSTATE — per-key COLLECTION state "
+    "(VERDICT r14 item 3; ValueState + timers were proven in r13/r14): "
+    "each user's live session holds a MapState of event_type -> "
+    "(count, sum), drained to one row per type when the session closes "
+    "— by arrival gap or by the event-time TTL timer — then cleared, so "
+    "state stays bounded by currently-active users x their in-session "
+    "type sets. Executed as a REAL 7-micro-batch stream (time-ordered "
+    "mtime-sequenced feed + far-future sentinel flushing all timers) "
+    "and hash-proven against the batch gaps-and-islands sessionization "
+    "grouped by (user, session, event_type).",
+    tags=("E14", "streaming", "pandas"),
+)
+def q_streaming_stateful_mapstate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from udacity_data_engineering_spark.streaming.stateful import (
+        ROCKSDB_PROVIDER,
+        ensure_tws_runtime,
+        per_type_session_totals_tws,
+    )
+
+    if not ensure_tws_runtime(spark):
+        raise RuntimeError(
+            "transformWithStateInPandas needs google.protobuf and neither "
+            "a protobuf install nor the vendor/protobuf_shim SDK bridge "
+            "is available in this environment"
+        )
+    ttl_seconds = 86_400  # 1 day of event-time inactivity
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(
+            F.col("ts").isNotNull()
+            & F.col("user_id").isNotNull()
+            & F.col("value").isNotNull()
+            & F.col("event_type").isNotNull()
+        )
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    )
+
+    run_id = uuid.uuid4().hex[:12]
+    tmp = tempfile.mkdtemp(prefix=f"stream_map_{run_id}_")
+    feed_dir = write_time_ordered_feed(ev, tmp, ttl_seconds)
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, ROCKSDB_PROVIDER)
+    sink = f"stream_map_sink_{run_id}"
+    try:
+        stream = stream_events(
+            spark, feed_dir, max_files_per_trigger=1
+        ).withWatermark("ts", "0 seconds")
+        run_available_now(
+            per_type_session_totals_tws(stream, ttl_seconds),
+            sink,
+            os.path.join(tmp, "ckpt"),
+            output_mode="update",
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    out = (
+        spark.table(sink)
+        .filter(F.col("user_id") >= 0)  # drop the sentinel's open session
+        .select(
+            "user_id",
+            F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+            "event_type",
             "n_events",
             "sum_value",
         )
