@@ -103,6 +103,39 @@ ALLOWLIST.update(
     {(n, "BroadcastNestedLoopJoin"): why for n, why in _BOUNDED_STAT_BNLJ.items()}
 )
 
+# Python-worker hops, triaged r15 (the markers' first full-registry run).
+# Every entry is a DELIBERATE Arrow-batched kernel for semantics the
+# builtin functions can't express — never a row expression that drifted
+# into Python. The allowlist names the kernel so a NEW hop in any of
+# these queries' other stages still flags.
+_DELIBERATE_ARROW = {
+    "q_epoch_to_ts_udf": "reference-parity scalar UDF BY DESIGN (etl.py "
+        "epoch->ts shape; Spark 4 runs it Arrow-optimized); the builtin "
+        "twin q_epoch_to_ts is the production path",
+    "q_minhash_candidates": "minhash signature kernel (similarity.py:288 "
+        "pandas_udf) — vectorized 32-perm signatures, no builtin exists",
+    "q_neardup_pipeline": "same minhash signature kernel (composes "
+        "q_minhash_candidates' candidate stage)",
+    "q_incremental_neardup": "same minhash signature kernel, batch side "
+        "fingerprinted once against the persisted band index",
+    "q_embedding_neardup_lsh": "hyperplane-LSH bucket kernel "
+        "(neardup.py:518 pandas_udf) — per-table signed projections",
+    "q_neardup_drop_accounting": "audits the capped frontiers by RUNNING "
+        "the minhash + embedding-LSH legs; inherits both kernels",
+    "q_pq_topk": "PQ encode/ADC kernel (pq.py:116 pandas_udf) — "
+        "subspace-codebook quantization is numpy-shaped by nature",
+    "q_pq_topk_exhaustive": "same PQ kernel, rerank=corpus verification "
+        "knob",
+    "q_ivfpq_topk": "same PQ kernel behind the IVF probe routing",
+}
+ALLOWLIST.update(
+    {(n, "ArrowEvalPython"): why for n, why in _DELIBERATE_ARROW.items()}
+)
+ALLOWLIST[("q_udtf_ngrams", "BatchEvalPython")] = (
+    "Python UDTF surface query BY DESIGN (BatchEvalPythonUDTF node "
+    "contains the BatchEvalPython marker); oracle-proven expansion"
+)
+
 
 def audit_plan(name: str, plan: str) -> list[str]:
     hazards = []
@@ -110,6 +143,13 @@ def audit_plan(name: str, plan: str) -> list[str]:
         "Exchange SinglePartition",
         "CartesianProduct",
         "BroadcastNestedLoopJoin",
+        # Python-worker hops (VERDICT r14 item 5): a row-at-a-time or
+        # scalar-pandas UDF in a hot path is the silent 10-100x tax —
+        # every occurrence must be a DELIBERATE, allowlisted kernel.
+        # (BatchEvalPythonUDTF contains "BatchEvalPython": UDTF sites
+        # allowlist under the same marker.)
+        "BatchEvalPython",
+        "ArrowEvalPython",
     ):
         if marker in plan and (name, marker) not in ALLOWLIST:
             hazards.append(marker)

@@ -144,6 +144,64 @@ def _retention(ev):
     )
 
 
+def _bitmap_sparse_shape(t):
+    from udacity_data_engineering_spark.operators.bitmap import (
+        bitmap_distinct_sparse,
+    )
+    from udacity_data_engineering_spark.operators.dimension import (
+        assign_surrogate_keys,
+    )
+
+    spark = t["customer"].sparkSession
+    key = "sparse_dict"
+    if key not in _MEMO:
+        # one shared dictionary: the replica folds onto the same c_name
+        # domain, so both labels encode through identical state
+        import tempfile
+
+        dict_path = tempfile.mkdtemp(prefix="probe_sparse_dict_") + "/d"
+        assign_surrogate_keys(spark, dict_path, t["customer"], "c_name")
+        _MEMO[key] = spark.read.schema("c_name string, sk long").parquet(
+            dict_path
+        ).localCheckpoint(eager=True)
+    fact = t["orders"].join(
+        t["customer"],
+        t["orders"].o_custkey % 10_000_000 == t["customer"].c_custkey,
+    ).select("o_orderstatus", "c_name")
+    return bitmap_distinct_sparse(
+        fact, _MEMO[key], "c_name", group_cols=("o_orderstatus",)
+    ).collect()  # count() would prune the bit_or itself
+
+
+def _combined_prune_shape(t):
+    from udacity_data_engineering_spark.sources.skipping import (
+        build_file_blooms,
+        build_file_stats,
+        prune_files_combined,
+    )
+
+    spark = t["customer"].sparkSession
+    key = ("combined_manifests", t["orders_path"])
+    if key not in _MEMO:
+        path = t["orders_path"]
+        stats = build_file_stats(spark, path, ["o_orderdate"]).localCheckpoint(
+            eager=True
+        )
+        blooms = build_file_blooms(spark, path, "o_custkey").localCheckpoint(
+            eager=True
+        )
+        lo, hi = (
+            t["orders"].agg(F.min("o_orderdate"), F.max("o_orderdate")).first()
+        )
+        _MEMO[key] = (stats, blooms, lo, hi)
+    stats, blooms, lo, hi = _MEMO[key]
+    kept, total, detail = prune_files_combined(
+        spark, stats, blooms, "o_orderdate", lo, hi,
+        "o_custkey", 1, eq_type="bigint",
+    )
+    return (len(kept), total)
+
+
 def main() -> None:
     spark = build_session(app_name="scale-probe", cpus=32)
     build_replica(spark)
@@ -417,6 +475,9 @@ def main() -> None:
             .collect(),
             # round 14: the distributed range-partition rank behind the
             # surrogate-key service — one range shuffle + bounded offsets
+            # (round 15: the partitioning is now pinned with an eager
+            # localCheckpoint before the counts collect — one extra
+            # materialization pass, still scan-linear)
             "global_rank_str": lambda: __import__(
                 "udacity_data_engineering_spark.operators.dimension",
                 fromlist=["global_rank_orderable"],
@@ -428,6 +489,19 @@ def main() -> None:
                 "v",
             )
             .count(),
+            # round 15: sparse bitmap distinct — the dictionary is
+            # persisted state (built once, memoized outside the timed
+            # region, like the nd indexes); timed = encode join + sketch.
+            # The name domain is FIXED under replication (custkey % 10M
+            # folds replicas onto the 1x customer dim), so output cells
+            # are constant and the shape must stay scan/shuffle-bound
+            "bitmap_distinct_sparse": lambda: _bitmap_sparse_shape(t),
+            # round 15: the unified manifest+bloom prune — a pure
+            # file-list pass over two bounded manifests (memoized builds;
+            # file COUNT is fixed under replication, file size grows), so
+            # prune time must stay ~FLAT at any data volume: that
+            # flatness IS the operator's 100 TB claim
+            "combined_prune": lambda: _combined_prune_shape(t),
         }
 
     def pipeline_shapes(docs, emb, k_clusters, nd_index_dir, nd_batch):

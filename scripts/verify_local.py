@@ -133,16 +133,22 @@ def _stamp_sweep(manifest, sf: str) -> None:
             # a corrupt/half-written stamp must not turn a green sweep
             # into a nonzero exit — start the record over instead
             existing = {}
-    scales = existing.get("scales", {}) if (
+    same_registry = (
         existing.get("registry_count") == record["registry_count"]
         and existing.get("names_sha256") == record["names_sha256"]
-    ) else {}
+    )
+    scales = existing.get("scales", {}) if same_registry else {}
     scale_key = Path(sf).name  # e.g. sf0.01
     scales[scale_key] = {
         "date": datetime.date.today().isoformat(),
         "failures": 0,
     }
     record["scales"] = dict(sorted(scales.items()))
+    # the sf1_subset stanza (scripts/sf1_probe.py) is keyed to the same
+    # names hash: carry it across same-registry re-stamps, drop it (to
+    # be re-proven) when the registry changed
+    if same_registry and "sf1_subset" in existing:
+        record["sf1_subset"] = existing["sf1_subset"]
     stamp_path.write_text(json.dumps(record, indent=2) + "\n")
     print(f"stamped SWEEP.json: {len(names)} queries @ {scale_key}")
 

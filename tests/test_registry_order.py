@@ -28,29 +28,66 @@ def test_window_covers_core_parity_and_extension_families():
         "q_sparkify_songplays_nat",
     ):
         assert name in window, f"§2A parity query {name} fell out of the driver window"
-    # at least one query per §2B family tag (E14 joined in round 5/6)
+    # at least one query per §2B family tag, in the CURRENT window or
+    # hash-proven in the NEWEST recorded window (round 15 relaxation:
+    # the VERDICT r14 rotation queue — never-hash-verified oracles, the
+    # r1/r5 stale tail, and one rows-only record for each of 11
+    # never-windowed names — fills 48 of 50 slots, so same-round family
+    # anchors must yield for one round; a family only counts as covered
+    # via history if its anchor was GREEN there, so coverage can never
+    # silently lapse two windows in a row)
+    import json
+    import re
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parents[1]
+    latest = max(
+        repo.glob("CORRECTNESS_r*.json"),
+        key=lambda p: int(re.search(r"r(\d+)", p.name).group(1)),
+    )
+    recent_green = {
+        n
+        for n, rec in json.loads(latest.read_text()).items()
+        if rec.get("hash_match") or rec.get("rows_match")
+    }
     qs = all_queries()
+    covered = window | recent_green
     for family in ("E1", "E2", "E3", "E4", "E5", "E6", "E7", "E8", "E9",
                    "E10", "E11", "E12", "E13", "E14", "E15", "physical",
                    "sampling", "corpus", "embeddings"):
-        assert any(family in qs[n].tags for n in window), f"no {family} query in window"
+        assert any(family in qs[n].tags for n in covered), (
+            f"no {family} query in the current window OR green in "
+            f"{latest.name} — the family lapsed two windows in a row"
+        )
 
 
 def test_window_oracle_coverage_never_regresses():
-    """ALL 50 driver-window slots are hash-provable as of round 11:
-    the two long-standing err=no_oracle residents (q_ivf_topk,
-    q_embedding_neardup_lsh — 10 and 9 consecutive no-information
-    driver rows) rotated out in favor of provable representatives.
-    Adding a window query without an oracle must be a deliberate
-    decision — not drift."""
+    """Rows-only window slots must be a deliberate decision — not drift.
+    Rounds 11-14 pinned this to the empty set. Round 15 executes VERDICT
+    r14 item 7: the ELEVEN rows-only queries that had never appeared in
+    any driver window get exactly one rows-only record each (runs,
+    plausible rows), then rotate back out — the exception set below IS
+    that decision, spelled name by name so any other rows-only slot
+    still fails here."""
     qs = all_queries()
     no_oracle = {n for n in DRIVER_PRIORITY if not qs[n].oracle}
-    assert no_oracle == set(), (
-        "driver-window oracle coverage changed: rows-only = "
-        f"{sorted(no_oracle)} — as of round 11 EVERY window slot is "
-        "hash-provable (the two err=no_oracle residents rotated out for "
-        "q_ivf_topk_exhaustive, the ANN family's exact-by-construction "
-        "representative)"
+    r15_deliberate = {
+        "q_bpe_tokenize",
+        "q_neardup_ensemble",
+        "q_ensemble_survivors",
+        "q_ivfpq_topk",
+        "q_pq_topk",
+        "q_sample",
+        "q_semantic_dedup",
+        "q_sequence_packing",
+        "q_sketch_rollup",
+        "q_neardup_drop_accounting",
+        "q_sparkify_songplays",
+    }
+    assert no_oracle == r15_deliberate, (
+        "driver-window oracle coverage changed beyond the r15 deliberate "
+        f"set: unexpected rows-only = {sorted(no_oracle - r15_deliberate)}, "
+        f"missing from the scheduled set = {sorted(r15_deliberate - no_oracle)}"
     )
 
 

@@ -176,3 +176,62 @@ def test_bloom_index_absent_key_prunes_everything_usually(spark, tmp_path):
             .count()
         )
         assert got == 0
+
+
+def test_combined_skipping_no_false_negatives_and_beats_each_leg(
+    spark, tmp_path
+):
+    """The conjunctive prune must (a) never lose a matching row, (b) keep
+    a subset of BOTH legs' survivors, (c) with a bucket x range layout,
+    keep strictly fewer files than either leg alone."""
+    from udacity_data_engineering_spark.sources.skipping import (
+        build_file_blooms,
+        build_file_stats,
+        prune_files,
+        prune_files_bloom,
+        read_with_combined_skipping,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(k, v) for k in range(40) for v in range(100)], "k long, v long"
+    )
+    # 16 files clustered on (k%4, v range quartile): both indexes bite
+    df.repartition(
+        16, F.pmod(F.col("k"), F.lit(4)), F.floor(F.col("v") / 25)
+    ).write.mode("overwrite").parquet(path)
+    stats = build_file_stats(spark, path, ["v"])
+    blooms = build_file_blooms(spark, path, "k")
+
+    out, kept, total, detail = read_with_combined_skipping(
+        spark, stats, blooms, "v", 10, 20, "k", 7, eq_type="bigint",
+        schema="k long, v long",
+    )
+    rows = sorted((r.k, r.v) for r in out.collect())
+    assert rows == [(7, v) for v in range(10, 21)]  # no false negatives
+    kept_r, _ = prune_files(stats, "v", 10, 20)
+    kept_b, _ = prune_files_bloom(spark, blooms, "k", 7, value_type="bigint")
+    assert kept <= min(len(kept_r), len(kept_b))
+    assert kept < total
+    # the layout makes the intersection strictly better than either leg
+    assert kept < len(kept_r) and kept < len(kept_b)
+
+
+def test_combined_skipping_empty_result_needs_schema(spark, tmp_path):
+    from udacity_data_engineering_spark.sources.skipping import (
+        build_file_blooms,
+        build_file_stats,
+        read_with_combined_skipping,
+    )
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(k, k) for k in range(50)], "k long, v long"
+    ).repartition(4, "k").write.mode("overwrite").parquet(path)
+    stats = build_file_stats(spark, path, ["v"])
+    blooms = build_file_blooms(spark, path, "k")
+    out, kept, total, _ = read_with_combined_skipping(
+        spark, stats, blooms, "v", 1000, 2000, "k", 7, eq_type="bigint",
+        schema="k long, v long",
+    )
+    assert kept == 0 and total == 4 and out.count() == 0

@@ -58,85 +58,88 @@ def register(
 # after these. A name listed here but not registered is a hard error (catches
 # renames going stale).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # Round-14 rotation: 18 spine slots + the NINE never-driver-checked
-    # round-13 names (the entire residual proof debt, VERDICT r13 item 2
-    # — after this window every SQL-oracled query registered before r14
-    # has a driver hash) + new r14 provables + the stalest re-proofs
-    # (the TPC-H analytics batch last driver-checked in round 1; all
-    # remain sweep-verified at three scales, this refreshes their driver
-    # hash). The spine: six §2A parity anchors plus family anchors so
-    # every §2B extension family keeps a same-round driver proof.
+    # Round-15 rotation (executes the queue recorded in the r14 ledger):
+    # six §2A parity anchors; the THREE new r15 provables; the three
+    # queries whose behavior changed this round (ADVICE fixes / feed
+    # refactor) so their new hashes land the same round; the three
+    # round-trips whose oracles have NEVER been driver-hash-verified
+    # (oracles postdate their r1 rows-only records — VERDICT r14 item 1);
+    # the 14 remaining r1-stale TPC-H shapes + the 8-name r5 batch
+    # (closing the entire "newest driver record predates its oracle"
+    # class); the ELEVEN rows-only queries that have never appeared in
+    # any driver window (VERDICT r14 item 7 — a rows-only record each);
+    # and two family anchors.
     "q_scan_count",  # 2A.6 parquet scan + 2A.22 count
     "q_dateparts",  # 2A.14/11/13 datetime parts + events nanos shim
     "q_join_multikey",  # 2A.17 3-key composite equi-join
     "q_sql_entry",  # 2A.15/16/18 temp view + SQL + aliasing
     "q_parquet_partitioned",  # 2A.20 hive sink + pruned re-read
     "q_sparkify_songplays_nat",  # the reference's whole program, hash-proven
-    "q_parts_supplier_cnt",  # E2+E7 family anchor
-    "q_rollup",  # E3 family anchor
-    "q_topn",  # E4 + 2A.21 family anchor
-    "q_setops",  # E6 family anchor
-    "q_json_extract",  # E9 family anchor
-    "q_asof_join",  # E8 family anchor
-    "q_window_rank",  # E5 family anchor (back in after r13 swap-out)
-    "q_stratified_fixed_k",  # sampling family anchor
-    "q_session_window",  # E13 family anchor
-    "q_doc_dedup",  # E11 family anchor
-    "q_cluster_centroids",  # E12 + embeddings family anchor
-    "q_multimodal_decode",  # E15 family anchor
-    "q_streaming_stateful_totals_tws",  # E14 family anchor
-    # --- the nine never-driver-checked r13 names (registered after the
-    # r13 window was fixed; all locally DuckDB-verified at sf0.01) ---
-    "q_bucketed_join",  # zero-Exchange co-located join
-    "q_quantile_sketch_merged",  # sketch-merge associativity leg
-    "q_table_fingerprint",  # O(1)-state replication check
-    "q_scd2_point_in_time",  # leak-free PIT feature join
-    "q_interval_join",  # grid-binned overlap join
-    "q_table_diff",  # keyed NULL-safe diff
-    "q_triangle_count",  # compact-forward wedge join
-    "q_attribution",  # first/last-touch windows
-    "q_edge_lake_changes",  # CDC read, asof+changes==asof
-    # --- new r14 operators: first driver proofs (each swaps out one
-    # stale re-proof below to hold the window at exactly 50) ---
-    "q_streaming_stateful_ttl",  # TWS event-time TTL eviction
-    "q_quantile_saturation",  # sketch domain saturation accounting
-    "q_bitmap_distinct_cells",  # exact-distinct bitmap sketch cells
-    "q_bitmap_distinct_rollup",  # popcount rollup, replay-idempotent
-    "q_weighted_quantiles",  # weighted sketch estimates
-    "q_funnel_ordered",  # strict-order multi-step funnel
-    "q_event_paths",  # MATCH_RECOGNIZE-lite sequence regex
-    "q_mode_deterministic",  # pinned-tie-break per-group mode
-    "q_file_skipping",  # manifest-based data skipping
-    "q_bloom_file_index",  # per-file bloom point-lookup skipping
-    "q_surrogate_keys",  # stable dimension-key service
+    # --- new r15 operators: first driver proofs ---
+    "q_bitmap_distinct_sparse",  # dictionary-encoded exact distinct
+    "q_streaming_stateful_mapstate",  # TWS per-key collection state
+    "q_file_skipping_combined",  # unified manifest+bloom pruning
+    # --- changed in r15 (ADVICE fixes / shared-feed refactor): re-prove ---
+    "q_event_paths",  # NULL-ordering contract made explicit
+    "q_surrogate_keys",  # pinned range partitioning + FS bootstrap
+    "q_streaming_stateful_ttl",  # feed writer factored out, same plan
+    # --- oracles never driver-hash-verified (r1 rows-only records) ---
+    "q_csv_roundtrip",
+    "q_orc_roundtrip",
+    "q_compact_small_files",
     # --- stalest re-proofs: last driver-checked round 1 ---
-    "q_shipping_priority",  # TPC-H Q3 shape
-    "q_local_supplier_volume",  # Q5 shape
-    "q_volume_shipping",  # Q7 shape
-    "q_large_orders",  # Q18 shape
-    "q_cust_order_distribution",  # Q13 shape
-    "q_disjunctive_pred",  # Q19 shape
-    "q_excess_share_suppliers",  # Q20 shape
-    "q_forecast_revenue",  # Q6 shape
-    "q_idle_customers",  # Q22 shape
-    "q_corpus_pipeline",  # corpus family anchor (end-to-end curation)
-    "q_cosine_topk",  # E12 anchor, swapped out in r13
+    "q_important_parts",  # TPC-H Q11 shape
+    "q_join_anti",  # E7 anti join
+    "q_join_outer",  # E7 outer join
+    "q_market_share",  # Q8 shape
+    "q_min_cost_supplier",  # Q2 shape
+    "q_ngram_jaccard",  # exact near-dup ground truth
+    "q_order_priority",  # Q4 shape
+    "q_priority_shipclass",  # Q12 shape
+    "q_product_profit",  # Q9 shape
+    "q_promo_revenue",  # Q14 shape
+    "q_returned_items",  # Q10 shape
+    "q_small_qty_revenue",  # Q17 shape
+    "q_top_supplier",  # Q15 shape
+    "q_waiting_suppliers",  # Q21 shape
+    # --- the r5 batch: last driver-checked round 5 ---
+    "q_dedup_fullrow",
+    "q_doc_dedup_survivors",
+    "q_doc_fingerprint",
+    "q_epoch_to_ts_udf",
+    "q_gopher_rules",
+    "q_join_semi",
+    "q_sparkify_time",
+    "q_sparkify_users",
+    # --- rows-only, never in any driver window: one record each ---
+    "q_bpe_tokenize",
+    "q_neardup_ensemble",
+    "q_ensemble_survivors",
+    "q_ivfpq_topk",
+    "q_pq_topk",
+    "q_sample",
+    "q_semantic_dedup",
+    "q_sequence_packing",
+    "q_sketch_rollup",
+    "q_neardup_drop_accounting",
+    "q_sparkify_songplays",
+    # --- stalest remaining §2A parity rows (last driver-checked r6) ---
+    "q_scan_glob",  # 2A.3 glob multi-file source
+    "q_parquet_roundtrip",  # 2A.19/2A.6 parquet sink + re-scan
 )
 # Rotation ledger after this window: never-driver-checked SQL-oracled
-# names = 0 (every r14 registration is listed above the same round it
-# landed; several stale fills were swapped out mid-round to hold the
-# window at exactly 50 as new operators arrived). Rows-only names stay
-# sweep+pytest-verified by design. Stale tail remaining for r15 — all
-# last driver-checked in round 1, all sweep-verified at three scales
-# every round since: q_compact_small_files, q_csv_roundtrip,
-# q_important_parts, q_join_anti, q_join_outer, q_market_share,
-# q_min_cost_supplier, q_ngram_jaccard, q_orc_roundtrip,
-# q_order_priority, q_priority_shipclass, q_product_profit,
-# q_promo_revenue, q_returned_items, q_small_qty_revenue,
-# q_top_supplier, q_waiting_suppliers; then the r5 batch
-# (q_dedup_fullrow, q_doc_dedup_survivors, q_doc_fingerprint,
-# q_epoch_to_ts_udf, q_gopher_rules, q_join_semi, q_sparkify_time,
-# q_sparkify_users) and the r6 tail.
+# names = 0 AND no SQL-oracled query's newest driver record predates its
+# oracle (the csv/orc/compact trio was the last of that class) AND
+# never-windowed rows-only names = 0 (all 11 get their first rows-only
+# record this window). Stale tail remaining for r16 — all sweep-verified
+# at three scales every round: the r6 batch (q_scan_glob, q_project,
+# q_project_rename, q_filter_eq, q_limit, q_parquet_roundtrip,
+# q_text_tokens, q_salted_agg, q_tumbling_agg and peers) and the family
+# anchors rotated out this round (q_parts_supplier_cnt, q_rollup,
+# q_topn, q_setops, q_json_extract, q_window_rank, q_stratified_fixed_k,
+# q_session_window, q_doc_dedup, q_cluster_centroids,
+# q_multimodal_decode, q_streaming_stateful_totals_tws — all
+# driver-proven r14).
 
 
 def all_queries() -> dict[str, Query]:
