@@ -360,3 +360,24 @@ def test_q_bucketed_join_does_not_accumulate_scratch_copies(spark, sf_dir):
     second = sorted(os.listdir(root))
     assert first == second  # same dirs rewritten, nothing accumulated
     assert len(second) == 2  # exactly one orders copy + one customer copy
+
+
+def test_bloom_join_equals_plain_join_and_rejects_outer(spark):
+    """The prefilter must be invisible in the answer (zero false
+    negatives; false positives removed by the exact join), and
+    type-preserving joins must be rejected loudly."""
+    import pytest
+
+    from udacity_data_engineering_spark.operators.joins import bloom_join
+
+    fact = spark.createDataFrame(
+        [(i % 50, float(i)) for i in range(2000)], "k long, v double"
+    )
+    dim = spark.createDataFrame([(i,) for i in range(0, 50, 7)], "k long")
+    got = sorted(map(tuple, bloom_join(fact, dim, "k").collect()))
+    want = sorted(map(tuple, fact.join(dim, "k").collect()))
+    assert got == want and got  # non-empty: the join genuinely matched
+    semi = sorted(map(tuple, bloom_join(fact, dim, "k", how="left_semi").collect()))
+    assert semi == sorted(map(tuple, fact.join(dim, "k", "left_semi").collect()))
+    with pytest.raises(ValueError, match="match-only"):
+        bloom_join(fact, dim, "k", how="left_outer")

@@ -210,3 +210,47 @@ def test_weighted_sketch_matches_row_expansion(spark):
         for r in quantile_sketch(expanded, "x", lo, hi, nb).collect()
     }
     assert weighted == plain == {(1,): 5, (5,): 1, (9,): 4}
+
+
+def test_drift_psi_zero_for_identical_and_grows_with_shift(spark):
+    from udacity_data_engineering_spark.operators.quantiles import (
+        quantile_sketch,
+        sketch_drift_psi,
+    )
+
+    base = spark.createDataFrame(
+        [(float(i % 100),) for i in range(5000)], "v double"
+    )
+    shifted = spark.createDataFrame(
+        [(float(i % 100) + 40.0,) for i in range(5000)], "v double"
+    )
+    sk = lambda df: quantile_sketch(df, "v", 0.0, 160.0, 32)
+    same = sketch_drift_psi(sk(base), sk(base), 32).first()["psi"]
+    assert abs(same) < 1e-9  # identical distributions: PSI exactly 0
+    drift = sketch_drift_psi(sk(base), sk(shifted), 32).first()["psi"]
+    assert drift > 0.25  # a 40-unit shift is an action-level drift
+    # symmetry of the statistic: PSI(a,b) == PSI(b,a) (the (p-q)ln(p/q)
+    # form is symmetric under swap)
+    rev = sketch_drift_psi(sk(shifted), sk(base), 32).first()["psi"]
+    assert abs(drift - rev) < 1e-6
+
+
+def test_drift_psi_grouped_and_empty_side(spark):
+    from udacity_data_engineering_spark.operators.quantiles import (
+        quantile_sketch,
+        sketch_drift_psi,
+    )
+
+    df = spark.createDataFrame(
+        [("a", float(i % 10)) for i in range(100)]
+        + [("b", float(i % 10) + 5.0) for i in range(100)],
+        "g string, v double",
+    )
+    sk = lambda d: quantile_sketch(d, "v", 0.0, 16.0, 16, group_cols=("g",))
+    ref, cur = sk(df), sk(df.filter("g = 'a'"))
+    out = {r["g"]: r["psi"] for r in sketch_drift_psi(ref, cur, 16, ("g",)).collect()}
+    assert abs(out["a"]) < 1e-9  # unchanged group: zero drift
+    # group b vanished from current: all its current mass is smoothing —
+    # maximal drift, finite (never NaN/inf thanks to Laplace smoothing)
+    import math
+    assert out["b"] > 1.0 and math.isfinite(out["b"])

@@ -517,3 +517,154 @@ def test_mapstate_intra_batch_gap_drains_mid_batch(spark, tmp_path):
         (7, "2024-01-01 00:00:00", "view", 1, 1.0),
         (7, "2024-01-03 00:00:00", "view", 1, 8.0),
     ]
+
+
+# ---------------------------------------------------------------------------
+# transformWithState LISTSTATE (session_first_k_tws): bounded ordered
+# per-key buffer — the third arbitrary-state type
+# ---------------------------------------------------------------------------
+
+
+def _run_list(spark, feed_dir, ckpt, sink, ttl_seconds=86_400, k=2):
+    from udacity_data_engineering_spark.streaming.event_stream import (
+        run_available_now,
+    )
+    from udacity_data_engineering_spark.streaming.stateful import (
+        ROCKSDB_PROVIDER,
+        ensure_tws_runtime,
+        session_first_k_tws,
+    )
+
+    assert ensure_tws_runtime(spark)
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, ROCKSDB_PROVIDER)
+    try:
+        stream = stream_events(
+            spark, feed_dir, max_files_per_trigger=1
+        ).withWatermark("ts", "0 seconds")
+        run_available_now(
+            session_first_k_tws(stream, ttl_seconds, k=k),
+            sink,
+            ckpt,
+            output_mode="update",
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    rows = sorted(
+        (r.user_id, str(r.session_start), r.pos, r.event_type)
+        for r in spark.table(sink).collect()
+    )
+    spark.catalog.dropTempView(sink)
+    return rows
+
+
+def test_liststate_buffers_prefix_across_batches(spark, tmp_path):
+    """The K-bounded buffer must persist across micro-batches: events 1-2
+    arrive in batch 0, event 3 (beyond K=2) in batch 1 and must NOT be
+    buffered; the timer drains exactly the first two."""
+    feed = str(tmp_path / "feed")
+    _map_feed(
+        feed,
+        [
+            [("2024-01-01 00:00:00", 7, "view", 1.0),
+             ("2024-01-01 01:00:00", 7, "click", 2.0)],
+            [("2024-01-01 02:00:00", 7, "purchase", 3.0)],  # beyond K=2
+            [("2024-03-01 00:00:00", 99, "x", 0.0)],  # sentinel flush
+        ],
+    )
+    rows = _run_list(spark, feed, str(tmp_path / "ck"), "list_prefix_sink")
+    user7 = [r for r in rows if r[0] == 7]
+    assert user7 == [
+        (7, "2024-01-01 00:00:00", 1, "view"),
+        (7, "2024-01-01 00:00:00", 2, "click"),
+    ]
+
+
+def test_liststate_gap_drains_and_rebuffers(spark, tmp_path):
+    """An intra-stream gap must drain the buffer and start a fresh one —
+    the second session's prefix is buffered from scratch."""
+    feed = str(tmp_path / "feed")
+    _map_feed(
+        feed,
+        [
+            [("2024-01-01 00:00:00", 7, "view", 1.0),
+             ("2024-01-01 00:10:00", 7, "click", 2.0),
+             ("2024-01-01 00:20:00", 7, "purchase", 3.0)],  # dropped, K=2
+            [("2024-01-05 00:00:00", 7, "signup", 9.0)],  # gap > ttl
+            [("2024-03-01 00:00:00", 99, "x", 0.0)],  # sentinel flush
+        ],
+    )
+    rows = _run_list(spark, feed, str(tmp_path / "ck"), "list_gap_sink")
+    user7 = [r for r in rows if r[0] == 7]
+    assert user7 == [
+        (7, "2024-01-01 00:00:00", 1, "view"),
+        (7, "2024-01-01 00:00:00", 2, "click"),
+        (7, "2024-01-05 00:00:00", 1, "signup"),
+    ]
+
+
+# ---------------------------------------------------------------------------
+# transformWithState INITIAL STATE (running_user_totals_warmstart_tws):
+# batch-computed state seeds the stream — the lambda-architecture bridge
+# ---------------------------------------------------------------------------
+
+
+def test_warmstart_continues_from_batch_state(spark, tmp_path):
+    """User 7's stream totals must INCLUDE the batch-computed history
+    (n=2, s=3.0) without the stream ever reading those rows; user 8 has
+    no history row and starts cold from zero."""
+    from udacity_data_engineering_spark.streaming.event_stream import (
+        run_available_now,
+    )
+    from udacity_data_engineering_spark.streaming.stateful import (
+        ROCKSDB_PROVIDER,
+        ensure_tws_runtime,
+        running_user_totals_warmstart_tws,
+    )
+
+    assert ensure_tws_runtime(spark)
+    feed = str(tmp_path / "feed")
+    _map_feed(
+        feed,
+        [
+            [("2024-01-01 00:00:00", 7, "x", 10.0)],
+            [("2024-01-01 01:00:00", 7, "x", 0.5),
+             ("2024-01-01 01:00:00", 8, "x", 2.0)],
+        ],
+    )
+    initial = spark.createDataFrame(
+        [(7, 2, 3.0)], "user_id long, n long, s double"
+    )
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, ROCKSDB_PROVIDER)
+    try:
+        run_available_now(
+            running_user_totals_warmstart_tws(
+                stream_events(spark, feed, max_files_per_trigger=1), initial
+            ),
+            "warm_sink",
+            str(tmp_path / "ck"),
+            output_mode="update",
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    final = {
+        r.user_id: (r.n_events, r.sum_value)
+        for r in spark.sql(
+            """SELECT user_id, n_events, sum_value FROM (
+                   SELECT *, row_number() OVER (
+                       PARTITION BY user_id ORDER BY n_events DESC) rn
+                   FROM warm_sink) WHERE rn = 1"""
+        ).collect()
+    }
+    spark.catalog.dropTempView("warm_sink")
+    assert final[7] == (4, 13.5)  # 2 history + 2 live, 3.0 + 10.5
+    assert final[8] == (1, 2.0)  # cold start: no initial row

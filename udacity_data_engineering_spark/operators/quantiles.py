@@ -409,3 +409,144 @@ def q_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantile_estimates(
         sk, _QS, _WLO, _WHI, _WBINS, group_cols=("l_returnflag",)
     )
+
+
+def sketch_drift_psi(
+    ref: DataFrame,
+    cur: DataFrame,
+    n_bins: int,
+    group_cols: Sequence[str] = (),
+    eps: float = 0.5,
+) -> DataFrame:
+    """Population Stability Index between two quantile sketches over the
+    SAME grid — the distribution-drift monitor (the standard ML/feature
+    monitoring statistic: PSI < 0.1 stable, 0.1-0.25 moderate shift,
+    > 0.25 action), answered from the warehouse sketches ALONE: a year
+    of daily sketches gives day-over-day drift for any column with zero
+    raw-data IO, the whole point of keeping mergeable summaries.
+
+    PSI = sum_bins (p_i - q_i) * ln(p_i / q_i), p = current bin share,
+    q = reference share, both Laplace-smoothed (cnt + eps over
+    total + n_bins*eps) so empty bins are defined. The FULL grid is
+    enumerated (groups x sequence(0, n_bins-1)) rather than only
+    observed cells: absent bins still carry smoothing mass, and the
+    enumeration makes the statistic exactly reproducible by any engine
+    — no dependence on which cells happen to exist. Output one row per
+    group: (group..., psi), psi rounded to 6 for bi-engine float parity.
+
+    Cost: two ≤ groups x n_bins cell frames joined on the enumerated
+    grid — bounded by the grid, never by the data the sketches saw.
+    """
+    g = list(group_cols)
+    grid_bins = F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias("bin")
+    if g:
+        groups = ref.select(*g).union(cur.select(*g)).distinct()
+        grid = groups.select(*g, grid_bins).withColumn(
+            "bin", F.col("bin").cast("int")
+        )
+    else:
+        grid = (
+            ref.sparkSession.range(1)
+            .select(grid_bins)
+            .withColumn("bin", F.col("bin").cast("int"))
+        )
+
+    def side(sk: DataFrame, out: str) -> DataFrame:
+        tot = sk.groupBy(*g).agg(F.sum("cnt").alias(f"__tot_{out}"))
+        cells = sk.select(*g, "bin", F.col("cnt").alias(f"__cnt_{out}"))
+        on = [*g, "bin"] if g else ["bin"]
+        j = grid.join(cells, on, "left")
+        if g:
+            j = j.join(tot, g, "left")
+        else:
+            j = j.crossJoin(F.broadcast(tot))
+        return j.select(
+            *g,
+            "bin",
+            (
+                (F.coalesce(F.col(f"__cnt_{out}"), F.lit(0)) + F.lit(eps))
+                / (F.coalesce(F.col(f"__tot_{out}"), F.lit(0)) + F.lit(n_bins * eps))
+            ).alias(out),
+        )
+
+    on = [*g, "bin"] if g else ["bin"]
+    both = side(ref, "q").join(side(cur, "p"), on)
+    term = (F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))
+    return both.groupBy(*g).agg(F.round(F.sum(term), 6).alias("psi"))
+
+
+_PSI_EPS = 0.5
+
+
+@register(
+    "q_drift_psi",
+    oracle=f"""
+        WITH ref_cells AS (
+            SELECT o_orderstatus,
+                   CAST(LEAST(GREATEST(floor((o_totalprice - {_LO}) / {_WIDTH}), 0),
+                              {_BINS - 1}) AS INT) AS bin,
+                   count(*) AS cnt
+            FROM orders
+            WHERE o_totalprice IS NOT NULL AND o_orderdate < DATE '1995-01-01'
+            GROUP BY 1, 2
+        ), cur_cells AS (
+            SELECT o_orderstatus,
+                   CAST(LEAST(GREATEST(floor((o_totalprice - {_LO}) / {_WIDTH}), 0),
+                              {_BINS - 1}) AS INT) AS bin,
+                   count(*) AS cnt
+            FROM orders
+            WHERE o_totalprice IS NOT NULL AND o_orderdate >= DATE '1995-01-01'
+            GROUP BY 1, 2
+        ), groups AS (
+            SELECT DISTINCT o_orderstatus FROM (
+                SELECT o_orderstatus FROM ref_cells
+                UNION ALL SELECT o_orderstatus FROM cur_cells
+            )
+        ), grid AS (
+            SELECT g.o_orderstatus, CAST(b.range AS INT) AS bin
+            FROM groups g CROSS JOIN range({_BINS}) b
+        ), tot AS (
+            SELECT r.o_orderstatus,
+                   (SELECT COALESCE(sum(cnt), 0) FROM ref_cells rc
+                    WHERE rc.o_orderstatus = r.o_orderstatus) AS tot_q,
+                   (SELECT COALESCE(sum(cnt), 0) FROM cur_cells cc
+                    WHERE cc.o_orderstatus = r.o_orderstatus) AS tot_p
+            FROM groups r
+        ), shares AS (
+            SELECT grid.o_orderstatus, grid.bin,
+                   (COALESCE(rc.cnt, 0) + {_PSI_EPS})
+                       / (t.tot_q + {_BINS * _PSI_EPS}) AS q,
+                   (COALESCE(cc.cnt, 0) + {_PSI_EPS})
+                       / (t.tot_p + {_BINS * _PSI_EPS}) AS p
+            FROM grid
+            LEFT JOIN ref_cells rc USING (o_orderstatus, bin)
+            LEFT JOIN cur_cells cc USING (o_orderstatus, bin)
+            JOIN tot t USING (o_orderstatus)
+        )
+        SELECT o_orderstatus, round(sum((p - q) * ln(p / q)), 6) AS psi
+        FROM shares GROUP BY o_orderstatus
+    """,
+    doc="Distribution-DRIFT monitor from the sketch warehouse alone "
+    "(the PSI statistic every feature-monitoring stack reports): order "
+    "totals before 1995 (reference) vs 1995+ (current) sketched "
+    "per status on the shared fixed grid, PSI computed over the FULLY "
+    "ENUMERATED grid with Laplace smoothing — absent bins carry "
+    "smoothing mass, so the statistic is engine-reproducible and the "
+    "driver hash-proves it. Cost bounded by groups x bins cells, zero "
+    "raw-data IO beyond the two sketch builds; in production the "
+    "sketches are yesterday's stored summaries.",
+    tags=("E1", "E2", "stats", "llm-pipeline", "sketch"),
+)
+def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    ref = quantile_sketch(
+        orders.filter(F.col("o_orderdate") < "1995-01-01"),
+        "o_totalprice", _LO, _HI, _BINS, group_cols=("o_orderstatus",),
+    )
+    cur = quantile_sketch(
+        orders.filter(F.col("o_orderdate") >= "1995-01-01"),
+        "o_totalprice", _LO, _HI, _BINS, group_cols=("o_orderstatus",),
+    )
+    return sketch_drift_psi(
+        ref, cur, _BINS, group_cols=("o_orderstatus",), eps=_PSI_EPS
+    )

@@ -79,10 +79,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_bitmap_distinct_sparse",  # dictionary-encoded exact distinct
     "q_streaming_stateful_mapstate",  # TWS per-key collection state
     "q_file_skipping_combined",  # unified manifest+bloom pruning
-    # --- changed in r15 (ADVICE fixes / shared-feed refactor): re-prove ---
+    "q_streaming_stateful_liststate",  # TWS bounded ordered buffer
+    "q_streaming_stateful_warmstart",  # TWS initial-state warm start
+    "q_bloom_join",  # bloom-prefiltered equi-join
+    "q_drift_psi",  # sketch-warehouse drift monitor
+    "q_setops_all",  # bag-semantics INTERSECT/EXCEPT ALL
+    # --- changed in r15 (ADVICE fixes): re-prove ---
     "q_event_paths",  # NULL-ordering contract made explicit
     "q_surrogate_keys",  # pinned range partitioning + FS bootstrap
-    "q_streaming_stateful_ttl",  # feed writer factored out, same plan
     # --- oracles never driver-hash-verified (r1 rows-only records) ---
     "q_csv_roundtrip",
     "q_orc_roundtrip",
@@ -111,35 +115,34 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_join_semi",
     "q_sparkify_time",
     "q_sparkify_users",
-    # --- rows-only, never in any driver window: one record each ---
+    # --- rows-only, never in any driver window: one record each (the
+    # remaining two — q_sample, q_sparkify_songplays — are deferred to
+    # the r16 window; five slots went to the five late-r15 operators
+    # above so no registration leaves this round unscheduled) ---
     "q_bpe_tokenize",
     "q_neardup_ensemble",
     "q_ensemble_survivors",
     "q_ivfpq_topk",
     "q_pq_topk",
-    "q_sample",
     "q_semantic_dedup",
     "q_sequence_packing",
     "q_sketch_rollup",
     "q_neardup_drop_accounting",
-    "q_sparkify_songplays",
-    # --- stalest remaining §2A parity rows (last driver-checked r6) ---
-    "q_scan_glob",  # 2A.3 glob multi-file source
-    "q_parquet_roundtrip",  # 2A.19/2A.6 parquet sink + re-scan
 )
 # Rotation ledger after this window: never-driver-checked SQL-oracled
 # names = 0 AND no SQL-oracled query's newest driver record predates its
 # oracle (the csv/orc/compact trio was the last of that class) AND
-# never-windowed rows-only names = 0 (all 11 get their first rows-only
-# record this window). Stale tail remaining for r16 — all sweep-verified
-# at three scales every round: the r6 batch (q_scan_glob, q_project,
-# q_project_rename, q_filter_eq, q_limit, q_parquet_roundtrip,
-# q_text_tokens, q_salted_agg, q_tumbling_agg and peers) and the family
-# anchors rotated out this round (q_parts_supplier_cnt, q_rollup,
-# q_topn, q_setops, q_json_extract, q_window_rank, q_stratified_fixed_k,
-# q_session_window, q_doc_dedup, q_cluster_centroids,
-# q_multimodal_decode, q_streaming_stateful_totals_tws — all
-# driver-proven r14).
+# never-windowed rows-only names down from 11 to 2. Queue for r16:
+# (a) the two deferred rows-only names q_sample, q_sparkify_songplays;
+# (b) q_streaming_stateful_ttl (its feed writer was factored out in r15
+# — sweep-verified, deserves a fresh driver hash); (c) the r6 batch
+# (q_scan_glob, q_project, q_project_rename, q_filter_eq, q_limit,
+# q_parquet_roundtrip, q_text_tokens, q_salted_agg, q_tumbling_agg and
+# peers); (d) the family anchors rotated out in r15
+# (q_parts_supplier_cnt, q_rollup, q_topn, q_setops, q_json_extract,
+# q_window_rank, q_stratified_fixed_k, q_session_window, q_doc_dedup,
+# q_cluster_centroids, q_multimodal_decode,
+# q_streaming_stateful_totals_tws — all driver-proven r14).
 
 
 def all_queries() -> dict[str, Query]:

@@ -174,6 +174,59 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
     )
 
 
+def running_user_totals_warmstart_tws(
+    events: DataFrame, initial: DataFrame
+) -> DataFrame:
+    """Cumulative per-user totals CONTINUED from batch-computed initial
+    state — transformWithState's initialState surface (the lambda-
+    architecture bridge: backfill computes state once as a batch
+    aggregate, the stream picks up from there instead of replaying
+    history). ``initial`` is one row per user_id with (n, s);
+    handleInitialState seeds the ValueState in the first micro-batch,
+    then the input path is byte-identical to running_user_totals_tws —
+    so the stream's final emission equals the WHOLE-history aggregate
+    while having read only the post-cutoff events. State stays one
+    (long, double) pair per user."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class WarmTotalsProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", STATE_SCHEMA)
+
+        def handleInitialState(self, key, initialState, timerValues) -> None:
+            self._totals.update(
+                (int(initialState["n"].iloc[0]), float(initialState["s"].iloc[0]))
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, s = self._totals.get() if self._totals.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                s += float(pdf["value"].sum())
+            self._totals.update((n, s))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "sum_value": [round(s, 2)]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=WarmTotalsProcessor(),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+            initialState=initial.groupBy("user_id"),
+        )
+    )
+
+
 TTL_OUTPUT_SCHEMA = (
     "user_id long, session_start timestamp, n_events long, sum_value double"
 )
@@ -390,6 +443,110 @@ def per_type_session_totals_tws(events: DataFrame, ttl_seconds: int) -> DataFram
         .transformWithStateInPandas(
             statefulProcessor=TypeMapProcessor(),
             outputStructType=MAP_OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="EventTime",
+        )
+    )
+
+
+LIST_OUTPUT_SCHEMA = (
+    "user_id long, session_start timestamp, pos int, event_type string, "
+    "ts timestamp"
+)
+
+
+def session_first_k_tws(events: DataFrame, ttl_seconds: int, k: int) -> DataFrame:
+    """First-K events of each user session buffered in ListState — the
+    third and last arbitrary-state type (ValueState r13/14, MapState
+    r15, THIS = ListState), completing the transformWithState surface: a
+    bounded ordered buffer per key, the shape behind "first K actions of
+    every session" onboarding/abandonment analyses and any
+    sample-the-prefix telemetry.
+
+    State per key: ONE ListState holding at most ``k`` (ts_us, event_id,
+    event_type) entries plus the session ValueState and one event-time
+    timer — bounded by K, not by stream length. The buffer drains at
+    session close (arrival gap or TTL timer): one output row per entry
+    with its 1-based position, then ListState.clear() frees the key.
+
+    Exactness contract (what makes the stream hash-provable): rows are
+    processed in (ts, event_id) order within each micro-batch, the feed
+    is strictly time-ordered across batches, and equal timestamps land
+    in the same batch by construction (the feed buckets on ts), so the
+    buffered prefix is exactly the SQL ``row_number() OVER (PARTITION BY
+    user, session ORDER BY ts, event_id) <= k``.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    ttl_us = int(ttl_seconds) * 1_000_000
+
+    class FirstKProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._sess = handle.getValueState("sess", MAP_SESS_SCHEMA)
+            self._buf = handle.getListState(
+                "buf", "ts_us long, event_id long, event_type string"
+            )
+
+        def _drain(self, user_id: int, start_us: int) -> pd.DataFrame:
+            entries = list(self._buf.get())  # already in arrival order
+            self._buf.clear()
+            return pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(entries),
+                    "session_start": [pd.Timestamp(start_us, unit="us")]
+                    * len(entries),
+                    "pos": list(range(1, len(entries) + 1)),
+                    "event_type": [e[2] for e in entries],
+                    "ts": [pd.Timestamp(e[0], unit="us") for e in entries],
+                }
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            pdf = pd.concat(list(rows), ignore_index=True).sort_values(
+                ["ts", "event_id"]
+            )
+            ts_us = pdf["ts"].astype("int64") // 1000
+            if self._sess.exists():
+                start, last = self._sess.get()
+                n_buf = sum(1 for _ in self._buf.get())
+            else:
+                start, n_buf = None, 0
+            for t, eid, typ in zip(ts_us, pdf["event_id"], pdf["event_type"]):
+                t = int(t)
+                if start is None:
+                    start, last = t, t
+                elif t - last > ttl_us:
+                    yield self._drain(key[0], start)
+                    start, last, n_buf = t, t, 0
+                if n_buf < k:
+                    self._buf.appendValue((t, int(eid), typ))
+                    n_buf += 1
+                last = max(last, t)
+            self._sess.update((start, last))
+            for old in self._handle.listTimers():
+                self._handle.deleteTimer(old)
+            self._handle.registerTimer(-((last + ttl_us) // -1000))  # ceil ms
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            if not self._sess.exists():
+                return
+            start, _last = self._sess.get()
+            yield self._drain(key[0], start)
+            self._sess.clear()
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=FirstKProcessor(),
+            outputStructType=LIST_OUTPUT_SCHEMA,
             outputMode="Update",
             timeMode="EventTime",
         )

@@ -1015,3 +1015,194 @@ def q_streaming_stateful_mapstate(spark: SparkSession, sf_dir: str) -> DataFrame
     spark.catalog.dropTempView(sink)
     shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+@register(
+    "q_streaming_stateful_liststate",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, ts, event_id, event_type,
+                   CASE WHEN ts - lag(ts) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id
+                        ) > INTERVAL 1 DAY THEN 1 ELSE 0 END AS brk
+            FROM events
+            WHERE ts IS NOT NULL AND user_id IS NOT NULL
+                  AND event_type IS NOT NULL AND event_id IS NOT NULL
+        ), s AS (
+            SELECT user_id, ts, event_id, event_type,
+                   sum(brk) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS sess
+            FROM e
+        ), r AS (
+            SELECT user_id, sess, ts, event_type,
+                   CAST(row_number() OVER (
+                       PARTITION BY user_id, sess ORDER BY ts, event_id
+                   ) AS INT) AS pos,
+                   min(ts) OVER (PARTITION BY user_id, sess) AS session_start
+            FROM s
+        )
+        SELECT user_id, session_start, pos, event_type, ts
+        FROM r WHERE pos <= 3
+    """,
+    doc="E14: transformWithState LISTSTATE — the third and last "
+    "arbitrary-state type (ValueState r13/14, MapState r15): each user "
+    "session buffers its FIRST THREE events in a ListState (bounded by "
+    "K, not stream length), drained with 1-based positions when the "
+    "session closes — by arrival gap or by the event-time TTL timer — "
+    "then cleared. Executed as a REAL 7-micro-batch stream (time-ordered "
+    "mtime-sequenced feed + far-future sentinel) and hash-proven against "
+    "the batch gaps-and-islands row_number()<=3 prefix.",
+    tags=("E14", "streaming", "pandas"),
+)
+def q_streaming_stateful_liststate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from udacity_data_engineering_spark.streaming.stateful import (
+        ROCKSDB_PROVIDER,
+        ensure_tws_runtime,
+        session_first_k_tws,
+    )
+
+    if not ensure_tws_runtime(spark):
+        raise RuntimeError(
+            "transformWithStateInPandas needs google.protobuf and neither "
+            "a protobuf install nor the vendor/protobuf_shim SDK bridge "
+            "is available in this environment"
+        )
+    ttl_seconds = 86_400  # 1 day of event-time inactivity
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(
+            F.col("ts").isNotNull()
+            & F.col("user_id").isNotNull()
+            & F.col("event_type").isNotNull()
+            & F.col("event_id").isNotNull()
+        )
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    )
+
+    run_id = uuid.uuid4().hex[:12]
+    tmp = tempfile.mkdtemp(prefix=f"stream_list_{run_id}_")
+    feed_dir = write_time_ordered_feed(ev, tmp, ttl_seconds)
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, ROCKSDB_PROVIDER)
+    sink = f"stream_list_sink_{run_id}"
+    try:
+        stream = stream_events(
+            spark, feed_dir, max_files_per_trigger=1
+        ).withWatermark("ts", "0 seconds")
+        run_available_now(
+            session_first_k_tws(stream, ttl_seconds, k=3),
+            sink,
+            os.path.join(tmp, "ckpt"),
+            output_mode="update",
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    out = (
+        spark.table(sink)
+        .filter(F.col("user_id") >= 0)  # drop the sentinel's open session
+        .select(
+            "user_id",
+            F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+            "pos",
+            "event_type",
+            F.col("ts").cast("timestamp_ntz").alias("ts"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    spark.catalog.dropTempView(sink)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+@register(
+    "q_streaming_stateful_warmstart",
+    oracle="""
+        SELECT user_id,
+               count(*) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM events
+        WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+          AND user_id IN (
+              SELECT DISTINCT user_id FROM events
+              WHERE event_id % 2 = 1 AND user_id IS NOT NULL
+          )
+        GROUP BY user_id
+    """,
+    doc="E14: transformWithState INITIAL STATE — the lambda-architecture "
+    "bridge: history (even event_ids) is aggregated ONCE as a batch "
+    "(user_id, n, s) frame and handed to the stream as initialState; "
+    "the stream then consumes only the post-cutoff events (odd ids, 4 "
+    "real micro-batches) yet its final per-user emission equals the "
+    "WHOLE-history aggregate — warm-started state instead of replaying "
+    "100 TB of backlog. Hash-proven against the full-history SQL "
+    "aggregate restricted to users the stream actually touched (update "
+    "mode emits only on input).",
+    tags=("E14", "streaming", "pandas"),
+)
+def q_streaming_stateful_warmstart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from udacity_data_engineering_spark.streaming.stateful import (
+        ROCKSDB_PROVIDER,
+        ensure_tws_runtime,
+        running_user_totals_warmstart_tws,
+    )
+
+    if not ensure_tws_runtime(spark):
+        raise RuntimeError(
+            "transformWithStateInPandas needs google.protobuf and neither "
+            "a protobuf install nor the vendor/protobuf_shim SDK bridge "
+            "is available in this environment"
+        )
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("event_id").isNotNull()
+    )
+    history = ev.filter(F.pmod(F.col("event_id"), F.lit(2)) == 0)
+    live = ev.filter(F.pmod(F.col("event_id"), F.lit(2)) == 1)
+    initial = history.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum("value"), F.lit(0.0)).alias("s"),
+    )
+
+    run_id = uuid.uuid4().hex[:12]
+    tmp = tempfile.mkdtemp(prefix=f"stream_warm_{run_id}_")
+    feed_dir = os.path.join(tmp, "feed")
+    live.repartition(4).write.mode("overwrite").parquet(feed_dir)
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, ROCKSDB_PROVIDER)
+    sink = f"stream_warm_sink_{run_id}"
+    try:
+        run_available_now(
+            running_user_totals_warmstart_tws(
+                stream_events(spark, feed_dir, max_files_per_trigger=1),
+                initial,
+            ),
+            sink,
+            os.path.join(tmp, "ckpt"),
+            output_mode="update",
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    # final cumulative emission per user — n_events is strictly monotone
+    out = (
+        spark.table(sink)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("sum_value", "n_events").alias("sum_value"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    spark.catalog.dropTempView(sink)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
