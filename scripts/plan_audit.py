@@ -67,6 +67,10 @@ ALLOWLIST: dict[tuple[str, str], str] = {
         "1-row packed bloom-bitmap frame cross-joined; bounded by m_bits/64",
     ("q_export_pipeline", "BroadcastNestedLoopJoin"):
         "same 1-row packed bloom-bitmap frame (decontaminate_bloom stage)",
+    # bloom_join prefilters through the identical packed-bitmap pattern:
+    # the BNLJ's build side is ONE row of <= m_bits/64 map entries
+    ("q_bloom_join", "BroadcastNestedLoopJoin"):
+        "1-row packed bloom-bitmap frame cross-joined; bounded by m_bits/64",
 }
 
 # Registry-wide audit triage (round 13, the first full-registry run):

