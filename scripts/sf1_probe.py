@@ -53,6 +53,8 @@ SF1_QUERIES = (
     # count-min sketch family
     "q_cms_sketch",
     "q_cms_estimates",
+    # sketch-warehouse drift monitor
+    "q_drift_psi",
     # bitmap exact-distinct family (incl. the sparse/dictionary leg)
     "q_bitmap_distinct_cells",
     "q_bitmap_distinct_rollup",
@@ -72,6 +74,12 @@ SF1_QUERIES = (
 #: per-replica key shift — far above every sf0.1 key domain, so the 10
 #: replicas' key spaces are disjoint and domains genuinely grow 10x
 SHIFT = 100_000_000
+
+#: natural-key string columns suffixed "|r{i}" per replica (i>0): these
+#: are alternate keys whose uniqueness the operators/oracles rely on
+UNIQUE_STR_COLS: dict[str, tuple[str, ...]] = {
+    "customer": ("c_name",),
+}
 
 #: key columns shifted per table (all other columns replicate verbatim)
 KEY_COLS: dict[str, tuple[str, ...]] = {
@@ -109,6 +117,21 @@ def build_sf1(src: str, dst: str) -> str:
                 idx = r.schema.get_field_index(k)
                 shifted = pc.add(r.column(k), pa.scalar(i * SHIFT, r.schema.field(k).type))
                 r = r.set_column(idx, r.schema.field(k), shifted)
+            # natural-key STRING columns must stay unique per replica
+            # too: c_name is customer's alternate key (the surrogate-key
+            # dictionary and its oracle both assume one name per
+            # custkey), so replicas suffix it. Replica 0 keeps the
+            # original bytes.
+            for k in UNIQUE_STR_COLS.get(t, ()):
+                if i == 0:
+                    continue
+                idx = r.schema.get_field_index(k)
+                suffixed = pc.binary_join_element_wise(
+                    pc.cast(r.column(k), pa.string()),
+                    pa.array([f"|r{i}"] * len(r), pa.string()),
+                    "",
+                )
+                r = r.set_column(idx, r.schema.field(k), suffixed)
             reps.append(r)
         pq.write_table(pa.concat_tables(reps), out)
     return dst

@@ -236,6 +236,23 @@ def q_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def size_bloom_bits(
+    n_keys: int, n_files: int, bits_per_key: int = 12
+) -> int:
+    """Size a per-file Bloom filter from the table's key cardinality:
+    ``bits_per_key`` bits for the expected keys-per-file, rounded up to
+    a 64-bit word, floored at 8192. At k=3 probes and 12 bits/key the
+    false-positive rate is ~1%; a FIXED m saturates instead — the sf1
+    probe caught exactly that (150k keys / 16 files x 3 probes into
+    8192 bits sets every bit, and a saturated bloom prunes nothing).
+    Derive m from a countDistinct at build time; the prune side must be
+    called with the same m_bits (it recomputes the same probe
+    positions)."""
+    per_file = max(1, -(-int(n_keys) // max(int(n_files), 1)))
+    m = per_file * bits_per_key
+    return max(8192, ((m + 63) // 64) * 64)
+
+
 def _bloom_positions(col: str, m_bits: int, k: int) -> list:
     """k deterministic probe positions for each row's value: xxhash64 of
     (value, probe-index) mod m — salting by a literal second column gives
@@ -428,18 +445,27 @@ def q_file_skipping_combined(spark: SparkSession, sf_dir: str) -> DataFrame:
         28, F.pmod(F.col("o_custkey"), F.lit(4)), F.year("o_orderdate")
     ).write.mode("overwrite").parquet(path)
 
-    target = orders.agg(F.min("o_custkey").alias("k")).first()["k"]
+    key_stats = orders.agg(
+        F.min("o_custkey").alias("k"),
+        F.count_distinct("o_custkey").alias("n_keys"),
+    ).first()
+    target = key_stats["k"]
     if target is None:
         return spark.createDataFrame(
             [], "order_year int, n_orders long, revenue double"
         )
+    # size the bloom from key cardinality: each custkey lives in ~1/4 of
+    # the 28 files under the (custkey%4, year) clustering, so per-file
+    # keys ~ n_keys/4 — a fixed m saturates at scale (sf1 probe lesson)
+    m_bits = size_bloom_bits(key_stats["n_keys"], 4)
     stats = build_file_stats(spark, path, ["o_orderdate"])
-    blooms = build_file_blooms(spark, path, "o_custkey")
+    blooms = build_file_blooms(spark, path, "o_custkey", m_bits=m_bits)
     lo = datetime.date(1993, 1, 1)
     hi = datetime.date(1995, 12, 31)
     df, kept, total, detail = read_with_combined_skipping(
         spark, stats, blooms, "o_orderdate", lo, hi,
         "o_custkey", int(target), eq_type="bigint", schema=orders.schema,
+        m_bits=m_bits,
     )
     if total >= 8 and not (
         kept < detail["range_kept"] and kept < detail["bloom_kept"]
@@ -471,8 +497,10 @@ def q_file_skipping_combined(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Per-file BLOOM index point lookup: orders hash-clustered on "
     "o_custkey into 16 files (each key lives in exactly one file, but "
     "every file's min/max spans the whole domain — range skipping is "
-    "useless here), a per-file bloom manifest (8192 bits, 3 xxhash64 "
-    "probes, <=128 cells/file) built in one scan, then one customer's "
+    "useless here), a per-file bloom manifest (m SIZED from the key "
+    "cardinality at ~12 bits/key so the filter never saturates at "
+    "scale, 3 xxhash64 probes, <= m/64 cells/file) built in one scan, "
+    "then one customer's "
     "orders are read through the index: only files whose bloom has all "
     "probe bits set are opened (false positives re-filtered exactly; "
     "false negatives impossible), enforced in-query to be a strict "
@@ -492,15 +520,22 @@ def q_bloom_file_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(root, "orders_clustered")
     orders.repartition(16, "o_custkey").write.mode("overwrite").parquet(path)
 
-    # deterministic probe key both engines agree on: the smallest custkey
-    target = orders.agg(F.min("o_custkey").alias("k")).first()["k"]
+    # deterministic probe key both engines agree on (the smallest
+    # custkey) + the key cardinality that sizes the filter — one agg
+    stats = orders.agg(
+        F.min("o_custkey").alias("k"),
+        F.count_distinct("o_custkey").alias("n_keys"),
+    ).first()
+    target = stats["k"]
     if target is None:
         return spark.createDataFrame(
             [], "o_orderstatus string, n_orders long, revenue double"
         )
-    blooms = build_file_blooms(spark, path, "o_custkey")
+    m_bits = size_bloom_bits(stats["n_keys"], 16)
+    blooms = build_file_blooms(spark, path, "o_custkey", m_bits=m_bits)
     kept, total = prune_files_bloom(
-        spark, blooms, "o_custkey", int(target), value_type="bigint"
+        spark, blooms, "o_custkey", int(target), value_type="bigint",
+        m_bits=m_bits,
     )
     if total >= 4 and not len(kept) < total:
         raise RuntimeError(
