@@ -235,3 +235,13 @@ def test_combined_skipping_empty_result_needs_schema(spark, tmp_path):
         schema="k long, v long",
     )
     assert kept == 0 and total == 4 and out.count() == 0
+
+
+def test_size_bloom_bits_scaling_and_floor():
+    from udacity_data_engineering_spark.sources.skipping import size_bloom_bits
+
+    assert size_bloom_bits(1000, 16) == 8192  # small tables: the floor
+    m = size_bloom_bits(150_000, 16)  # the sf1 saturation case
+    assert m >= 150_000 // 16 * 12 and m % 64 == 0
+    assert size_bloom_bits(0, 16) == 8192
+    assert size_bloom_bits(100, 0) >= 100 * 12  # degenerate file count
