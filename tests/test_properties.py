@@ -377,3 +377,76 @@ def test_quantile_sketch_merge_equals_concat_property(spark, vals, split):
     )
     merged = sorted(map(tuple, merge_quantile_sketches(a, b).collect()))
     assert merged == whole
+
+
+# ---------------------------------------------------------------------------
+# Round-15 algebra: bloom join invisibility, PSI identity/symmetry under
+# arbitrary inputs, bloom sizing monotonicity
+# ---------------------------------------------------------------------------
+
+
+@given(
+    fact_keys=st.lists(st.integers(-1000, 1000), min_size=1, max_size=60),
+    dim_keys=st.lists(st.integers(-1000, 1000), min_size=1, max_size=20),
+)
+@SLOW
+def test_bloom_join_invisible_property(spark, fact_keys, dim_keys):
+    """For ANY key multisets (negative keys, dupes, disjoint sets), the
+    bloom-prefiltered join equals the plain join — the prefilter may only
+    drop rows the join would drop anyway."""
+    from udacity_data_engineering_spark.operators.joins import bloom_join
+
+    fact = spark.createDataFrame(
+        [(k, i) for i, k in enumerate(fact_keys)], "k long, rid long"
+    )
+    dim = spark.createDataFrame([(k,) for k in set(dim_keys)], "k long")
+    got = sorted(map(tuple, bloom_join(fact, dim, "k").collect()))
+    want = sorted(map(tuple, fact.join(dim, "k").collect()))
+    assert got == want
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=0.0, max_value=99.0, allow_nan=False),
+        min_size=1,
+        max_size=60,
+    )
+)
+@SLOW
+def test_psi_identity_and_symmetry_property(spark, vals):
+    """PSI(s, s) == 0 for any sketch, and PSI(a, b) == PSI(b, a): the
+    (p-q)ln(p/q) form is symmetric under swap, smoothing included."""
+    from udacity_data_engineering_spark.operators.quantiles import (
+        quantile_sketch,
+        sketch_drift_psi,
+    )
+
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    half_a = df.limit(max(1, len(vals) // 2))
+    sk = quantile_sketch(df, "v", 0.0, 100.0, 16)
+    sk_a = quantile_sketch(half_a, "v", 0.0, 100.0, 16)
+    assert abs(sketch_drift_psi(sk, sk, 16).first()["psi"]) < 1e-9
+    ab = sketch_drift_psi(sk, sk_a, 16).first()["psi"]
+    ba = sketch_drift_psi(sk_a, sk, 16).first()["psi"]
+    assert abs(ab - ba) < 1e-6
+    import math
+
+    assert math.isfinite(ab) and ab >= 0  # PSI is non-negative
+
+
+@given(
+    n_keys=st.integers(0, 10**9),
+    n_files=st.integers(1, 4096),
+)
+@settings(max_examples=50, deadline=None)
+def test_size_bloom_bits_properties(n_keys, n_files):
+    """Word-aligned, floored at 8192, monotone in keys-per-file, and
+    always >= 10 bits per expected key per file (the no-saturation
+    bound)."""
+    from udacity_data_engineering_spark.sources.skipping import size_bloom_bits
+
+    m = size_bloom_bits(n_keys, n_files)
+    assert m % 64 == 0 and m >= 8192
+    per_file = max(1, -(-n_keys // n_files))
+    assert m >= per_file * 10
+    assert size_bloom_bits(n_keys * 2, n_files) >= m
