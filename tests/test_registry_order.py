@@ -78,11 +78,10 @@ def test_window_oracle_coverage_never_regresses():
         "q_ivfpq_topk",
         "q_pq_topk",
         "q_semantic_dedup",
-        "q_sequence_packing",
-        "q_sketch_rollup",
         "q_neardup_drop_accounting",
-        # q_sample / q_sparkify_songplays deferred to the r16 window:
-        # their slots went to the five late-r15 operators
+        # q_sample / q_sparkify_songplays / q_sequence_packing /
+        # q_sketch_rollup deferred to the r16 window: their slots went
+        # to the seven late-r15 operators
     }
     assert no_oracle == r15_deliberate, (
         "driver-window oracle coverage changed beyond the r15 deliberate "

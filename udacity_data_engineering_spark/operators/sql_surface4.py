@@ -185,3 +185,49 @@ def q_union_missing_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nat.unionByName(new, allowMissingColumns=True).select(
         "n_nationkey", "n_name", "iso_code"
     )
+
+
+@register(
+    "q_recursive_cte",
+    oracle="""
+        WITH RECURSIVE h(c_custkey, anc, depth) AS (
+            SELECT c_custkey, c_custkey // 10, 1
+            FROM customer WHERE c_custkey > 0
+            UNION ALL
+            SELECT c_custkey, anc // 10, depth + 1
+            FROM h WHERE anc > 0
+        )
+        SELECT c_custkey,
+               CAST(max(depth) AS INT) AS depth,
+               CAST(count(*) AS BIGINT) AS n_ancestors,
+               CAST(sum(anc) AS BIGINT) AS anc_sum
+        FROM h GROUP BY c_custkey
+    """,
+    doc="RECURSIVE CTE (Spark 4's WITH RECURSIVE): ancestor chains in "
+    "the decimal key hierarchy (parent = key div 10 — a forest rooted "
+    "at 0, strictly decreasing so the recursion provably terminates in "
+    "ceil(log10(max key)) rounds): per customer its hierarchy depth, "
+    "ancestor count, and ancestor-key checksum. Each recursion round is "
+    "one join-free projection over the previous frontier — the "
+    "iterative-frontier shape (org charts, BOM explosions, reachability) "
+    "that previously required driver-side loop unrolling (pagerank's "
+    "pattern); the engine now expresses it declaratively and the same "
+    "recursion runs on DuckDB (// == DIV spelling aside).",
+    tags=("sql-surface", "E1"),
+)
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql("""
+        WITH RECURSIVE h(c_custkey, anc, depth) AS (
+            SELECT c_custkey, c_custkey DIV 10, 1
+            FROM customer WHERE c_custkey > 0
+            UNION ALL
+            SELECT c_custkey, anc DIV 10, depth + 1
+            FROM h WHERE anc > 0
+        )
+        SELECT c_custkey,
+               CAST(max(depth) AS INT) AS depth,
+               count(*) AS n_ancestors,
+               CAST(sum(anc) AS BIGINT) AS anc_sum
+        FROM h GROUP BY c_custkey
+    """)

@@ -84,6 +84,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_bloom_join",  # bloom-prefiltered equi-join
     "q_drift_psi",  # sketch-warehouse drift monitor
     "q_setops_all",  # bag-semantics INTERSECT/EXCEPT ALL
+    "q_streaming_outer_join",  # watermarked stream-stream LEFT OUTER
+    "q_recursive_cte",  # WITH RECURSIVE frontier iteration
     # --- changed in r15 (ADVICE fixes): re-prove ---
     "q_event_paths",  # NULL-ordering contract made explicit
     "q_surrogate_keys",  # pinned range partitioning + FS bootstrap
@@ -115,25 +117,26 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_join_semi",
     "q_sparkify_time",
     "q_sparkify_users",
-    # --- rows-only, never in any driver window: one record each (the
-    # remaining two — q_sample, q_sparkify_songplays — are deferred to
-    # the r16 window; five slots went to the five late-r15 operators
-    # above so no registration leaves this round unscheduled) ---
+    # --- rows-only, never in any driver window: one record each (four
+    # of the original eleven — q_sample, q_sparkify_songplays,
+    # q_sequence_packing, q_sketch_rollup — are deferred to the r16
+    # window per VERDICT r14 item 7's "across r15/r16" allowance; their
+    # slots went to the seven late-r15 operators so no registration
+    # leaves this round unscheduled) ---
     "q_bpe_tokenize",
     "q_neardup_ensemble",
     "q_ensemble_survivors",
     "q_ivfpq_topk",
     "q_pq_topk",
     "q_semantic_dedup",
-    "q_sequence_packing",
-    "q_sketch_rollup",
     "q_neardup_drop_accounting",
 )
 # Rotation ledger after this window: never-driver-checked SQL-oracled
 # names = 0 AND no SQL-oracled query's newest driver record predates its
 # oracle (the csv/orc/compact trio was the last of that class) AND
-# never-windowed rows-only names down from 11 to 2. Queue for r16:
-# (a) the two deferred rows-only names q_sample, q_sparkify_songplays;
+# never-windowed rows-only names down from 11 to 4. Queue for r16:
+# (a) the four deferred rows-only names q_sample, q_sparkify_songplays,
+# q_sequence_packing, q_sketch_rollup;
 # (b) q_streaming_stateful_ttl (its feed writer was factored out in r15
 # — sweep-verified, deserves a fresh driver hash); (c) the r6 batch
 # (q_scan_glob, q_project, q_project_rename, q_filter_eq, q_limit,

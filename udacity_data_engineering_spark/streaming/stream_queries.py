@@ -756,7 +756,12 @@ def q_streaming_stateful_totals_tws(spark: SparkSession, sf_dir: str) -> DataFra
     return out
 
 
-def write_time_ordered_feed(ev: DataFrame, tmp: str, ttl_seconds: int) -> str:
+def write_time_ordered_feed(
+    ev: DataFrame,
+    tmp: str,
+    ttl_seconds: int,
+    sentinel_types: tuple[str, ...] = ("sentinel",),
+) -> str:
     """Stage an events frame as strictly TIME-ORDERED micro-batch files:
     6 equal-width ts buckets, one file per bucket, written sequentially
     with increasing mtimes (the file stream consumes oldest-mtime first)
@@ -781,16 +786,26 @@ def write_time_ordered_feed(ev: DataFrame, tmp: str, ttl_seconds: int) -> str:
         "__b", F.floor((us - F.lit(lo)) * 6 / F.lit(span)).cast("int")
     )
     sentinel_us = hi + ttl_seconds * 1_000_000 + 2 * 86_400 * 1_000_000
-    sentinel = ev.limit(1).select(
-        F.lit(-1).cast("long").alias("event_id"),
-        F.timestamp_micros(F.lit(sentinel_us))
-        .cast("timestamp_ntz")
-        .alias("ts"),
-        F.lit(-1).cast("long").alias("user_id"),
-        F.lit("sentinel").alias("event_type"),
-        F.lit(0.0).alias("value"),
-        F.lit(None).cast("string").alias("props"),
-    )
+    # one far-future row per requested type: operators that split the
+    # stream by event_type (e.g. the signup/purchase stream-stream join)
+    # need EVERY split's watermark pushed — the global watermark is the
+    # min across sides, so a sentinel on only one side flushes nothing
+    parts = [
+        ev.limit(1).select(
+            F.lit(-1 - i).cast("long").alias("event_id"),
+            F.timestamp_micros(F.lit(sentinel_us))
+            .cast("timestamp_ntz")
+            .alias("ts"),
+            F.lit(-1).cast("long").alias("user_id"),
+            F.lit(st).alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit(None).cast("string").alias("props"),
+        )
+        for i, st in enumerate(sentinel_types)
+    ]
+    sentinel = parts[0]
+    for p in parts[1:]:
+        sentinel = sentinel.unionByName(p)
     staged = os.path.join(tmp, "staged")
     for i in range(7):
         part = sentinel if i == 6 else bucketed.filter(
@@ -1200,6 +1215,85 @@ def q_streaming_stateful_warmstart(spark: SparkSession, sf_dir: str) -> DataFram
         .agg(
             F.max("n_events").alias("n_events"),
             F.max_by("sum_value", "n_events").alias("sum_value"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    spark.catalog.dropTempView(sink)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+@register(
+    "q_streaming_outer_join",
+    oracle="""
+        WITH s AS (
+            SELECT user_id, ts AS signup_ts FROM events
+            WHERE event_type = 'signup'
+              AND ts IS NOT NULL AND user_id IS NOT NULL
+        ), p AS (
+            SELECT user_id, ts AS purchase_ts, value FROM events
+            WHERE event_type = 'purchase'
+              AND ts IS NOT NULL AND user_id IS NOT NULL
+        )
+        SELECT s.user_id, s.signup_ts, p.purchase_ts, p.value
+        FROM s LEFT JOIN p
+          ON s.user_id = p.user_id
+         AND p.purchase_ts >= s.signup_ts
+         AND p.purchase_ts <= s.signup_ts + INTERVAL 1 HOUR
+    """,
+    doc="E14: watermarked stream-stream LEFT OUTER join executed as a "
+    "real multi-batch stream (streaming/joins.signups_with_conversion): "
+    "every signup with its first-hour purchases, NULL-padded when the "
+    "user did not convert — the outer emission is the subtle case (a "
+    "no-conversion row may only emit once the GLOBAL watermark, the min "
+    "across both sides, passes signup_ts + window). Determinism comes "
+    "from the time-ordered feed plus far-future sentinels on BOTH event "
+    "types, which push both sides' watermarks past every real signup's "
+    "window so each signup emits exactly once (matched or NULL-padded). "
+    "Hash-proven against the batch interval LEFT JOIN; state bounded by "
+    "the watermark horizon on both sides.",
+    tags=("E14", "E7", "streaming"),
+)
+def q_streaming_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from udacity_data_engineering_spark.streaming.joins import (
+        signups_with_conversion,
+    )
+
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(
+            F.col("ts").isNotNull()
+            & F.col("user_id").isNotNull()
+            & F.col("event_type").isNotNull()
+        )
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    )
+
+    run_id = uuid.uuid4().hex[:12]
+    tmp = tempfile.mkdtemp(prefix=f"stream_oj_{run_id}_")
+    feed_dir = write_time_ordered_feed(
+        ev, tmp, ttl_seconds=3600, sentinel_types=("signup", "purchase")
+    )
+
+    sink = f"stream_oj_sink_{run_id}"
+    run_available_now(
+        signups_with_conversion(
+            stream_events(spark, feed_dir, max_files_per_trigger=1),
+            within="1 hour",
+            watermark="0 seconds",
+        ),
+        sink,
+        os.path.join(tmp, "ckpt"),
+        output_mode="append",
+    )
+    out = (
+        spark.table(sink)
+        .filter(F.col("user_id") >= 0)  # drop the sentinels' own rows
+        .select(
+            "user_id",
+            F.col("signup_ts").cast("timestamp_ntz").alias("signup_ts"),
+            F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+            "value",
         )
         .localCheckpoint(eager=True)
     )
