@@ -538,3 +538,12 @@ def test_setops_all_plan_is_aggregate_shaped(spark, sf_dir):
     plan = plan_of(MANIFEST["q_setops_all"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "Generate" in plan or "Expand" in plan, plan
+
+
+def test_recursive_cte_plans_union_loop(spark, sf_dir):
+    """WITH RECURSIVE must plan Spark 4's UnionLoop iteration — never a
+    cartesian/self-join cascade; each round is a projection over the
+    previous frontier."""
+    plan = plan_of(MANIFEST["q_recursive_cte"].fn(spark, sf_dir))
+    assert "UnionLoop" in plan, plan
+    assert "CartesianProduct" not in plan
