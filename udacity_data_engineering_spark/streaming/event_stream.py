@@ -325,6 +325,71 @@ def sessionized_counts(
     )
 
 
+def feed_state_partitions(
+    spark: SparkSession, feed_dir: str, target_bytes: int = 64 << 20
+) -> int:
+    """Scale-ADAPTIVE shuffle/state partition count for a staged bounded
+    feed (optimization guide §2: derive partitioning from input size, not
+    a constant tuned for either local mode or the cluster).
+
+    Stateful streaming operators pin one state store per shuffle
+    partition at the first micro-batch, and AQE's partition coalescing
+    does NOT apply to stateful streaming plans — so a session default
+    sized for batch work (e.g. one per core) makes every micro-batch
+    open/commit that many state stores (RocksDB instances, Python
+    state-server round-trips for transformWithState) regardless of data
+    volume. This is the streaming analog of AQE's advisory sizing: one
+    partition per ``target_bytes`` of staged feed, floored at 1 and
+    capped at the session's configured ``spark.sql.shuffle.partitions``
+    (a 100 TB feed keeps the cluster's setting; a KB-scale replay gets
+    1). ``SPARK_GRAFT_STREAM_STATE_PARTS`` overrides for operators that
+    know their key cardinality. Remote feed URIs (not os.walk-able)
+    return the session setting unchanged."""
+    import os as _os
+
+    override = _os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTS")
+    cur = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    if override:
+        return max(1, int(override))
+    if "://" in feed_dir or not _os.path.isdir(feed_dir):
+        return cur
+    size = 0
+    for dirpath, _dirnames, filenames in _os.walk(feed_dir):
+        for fn in filenames:
+            if not fn.startswith(("_", ".")):
+                try:
+                    size += _os.path.getsize(_os.path.join(dirpath, fn))
+                except OSError:
+                    pass
+    return max(1, min(cur, -(-size // target_bytes)))
+
+
+class scoped_shuffle_partitions:
+    """Set ``spark.sql.shuffle.partitions`` for the duration of one
+    streaming run and restore it afterwards — the conf is read at query
+    start to size the state-store layout, and these declared queries
+    always start from a fresh checkpoint, so the scoped value never
+    conflicts with a pinned prior layout."""
+
+    KEY = "spark.sql.shuffle.partitions"
+
+    def __init__(self, spark: SparkSession, n: int):
+        self.spark = spark
+        self.n = int(n)
+        self._prev: str | None = None
+
+    def __enter__(self) -> "scoped_shuffle_partitions":
+        self._prev = self.spark.conf.get(self.KEY, None)
+        self.spark.conf.set(self.KEY, str(self.n))
+        return self
+
+    def __exit__(self, *exc) -> None:
+        if self._prev is None:
+            self.spark.conf.unset(self.KEY)
+        else:
+            self.spark.conf.set(self.KEY, self._prev)
+
+
 def run_available_now(
     stream_df: DataFrame,
     sink_table: str,

@@ -24,8 +24,10 @@ from udacity_data_engineering_spark.plans.registry import register
 from udacity_data_engineering_spark.session import table
 from udacity_data_engineering_spark.streaming.event_stream import (
     deduped_events,
+    feed_state_partitions,
     record_streaming_plan,
     run_available_now,
+    scoped_shuffle_partitions,
     stream_events,
 )
 
@@ -65,12 +67,15 @@ def q_streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     feed.coalesce(4).write.mode("overwrite").parquet(feed_dir)
 
     sink = f"stream_dedup_sink_{run_id}"
-    run_available_now(
-        deduped_events(stream_events(spark, feed_dir)),
-        sink,
-        os.path.join(tmp, "ckpt"),
-        output_mode="append",
-    )
+    with scoped_shuffle_partitions(
+        spark, feed_state_partitions(spark, feed_dir)
+    ):
+        run_available_now(
+            deduped_events(stream_events(spark, feed_dir)),
+            sink,
+            os.path.join(tmp, "ckpt"),
+            output_mode="append",
+        )
     # the feed/checkpoint dirs and the uuid-named memory-sink view are
     # per-invocation scratch: materialize the result (localCheckpoint —
     # released by the context cleaner when the DataFrame goes away),
@@ -123,12 +128,15 @@ def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         feed_dir
     )
     sink = f"stream_tumble_sink_{run_id}"
-    run_available_now(
-        windowed_counts(stream_events(spark, feed_dir)),
-        sink,
-        os.path.join(tmp, "ckpt"),
-        output_mode="complete",
-    )
+    with scoped_shuffle_partitions(
+        spark, feed_state_partitions(spark, feed_dir)
+    ):
+        run_available_now(
+            windowed_counts(stream_events(spark, feed_dir)),
+            sink,
+            os.path.join(tmp, "ckpt"),
+            output_mode="complete",
+        )
     out = (
         spark.table(sink)
         .select("window_start", "event_type", "cnt", "sum_value")
@@ -182,12 +190,15 @@ def q_streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         feed_dir
     )
     sink = f"stream_sess_sink_{run_id}"
-    run_available_now(
-        sessionized_counts(stream_events(spark, feed_dir)),
-        sink,
-        os.path.join(tmp, "ckpt"),
-        output_mode="complete",
-    )
+    with scoped_shuffle_partitions(
+        spark, feed_state_partitions(spark, feed_dir)
+    ):
+        run_available_now(
+            sessionized_counts(stream_events(spark, feed_dir)),
+            sink,
+            os.path.join(tmp, "ckpt"),
+            output_mode="complete",
+        )
     out = (
         spark.table(sink)
         .select("user_id", "session_start", "n_events")
@@ -244,9 +255,12 @@ def q_streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 4).alias("value"),
     )
     sink = f"stream_static_sink_{run_id}"
-    run_available_now(
-        enriched, sink, os.path.join(tmp, "ckpt"), output_mode="append"
-    )
+    with scoped_shuffle_partitions(
+        spark, feed_state_partitions(spark, feed_dir)
+    ):
+        run_available_now(
+            enriched, sink, os.path.join(tmp, "ckpt"), output_mode="append"
+        )
     out = spark.table(sink).localCheckpoint(eager=True)
     spark.catalog.dropTempView(sink)
     shutil.rmtree(tmp, ignore_errors=True)
@@ -297,9 +311,12 @@ def q_streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 4).alias("value"),
     )
     sink = f"stream_join_sink_{run_id}"
-    run_available_now(
-        joined, sink, os.path.join(tmp, "ckpt"), output_mode="append"
-    )
+    with scoped_shuffle_partitions(
+        spark, feed_state_partitions(spark, feed_dir)
+    ):
+        run_available_now(
+            joined, sink, os.path.join(tmp, "ckpt"), output_mode="append"
+        )
     out = spark.table(sink).localCheckpoint(eager=True)
     spark.catalog.dropTempView(sink)
     shutil.rmtree(tmp, ignore_errors=True)
@@ -361,15 +378,18 @@ def q_streaming_lake_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     lake_dir = os.path.join(tmp, "lake")
     feed.coalesce(4).write.mode("overwrite").parquet(feed_dir)
 
-    q = (
-        stream_events(spark, feed_dir, max_files_per_trigger=1)
-        .writeStream.foreachBatch(lake_upsert_gate(lake_dir))
-        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    record_streaming_plan("lake_upsert_stream", q)
+    with scoped_shuffle_partitions(
+        spark, feed_state_partitions(spark, feed_dir)
+    ):
+        q = (
+            stream_events(spark, feed_dir, max_files_per_trigger=1)
+            .writeStream.foreachBatch(lake_upsert_gate(lake_dir))
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        record_streaming_plan("lake_upsert_stream", q)
 
     # an empty feed never runs a batch, so no lake exists to re-scan —
     # declare the schema from the batch projection instead of inferring
@@ -511,15 +531,18 @@ def q_streaming_dq_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     gate = dq_log_gate(log_dir, _dq_monitor_predicates())
 
-    q = (
-        stream_events(spark, feed_dir, max_files_per_trigger=1)
-        .writeStream.foreachBatch(gate)
-        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    record_streaming_plan("dq_monitor_stream", q)
+    with scoped_shuffle_partitions(
+        spark, feed_state_partitions(spark, feed_dir)
+    ):
+        q = (
+            stream_events(spark, feed_dir, max_files_per_trigger=1)
+            .writeStream.foreachBatch(gate)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        record_streaming_plan("dq_monitor_stream", q)
 
     out = dq_log_totals(spark, log_dir).localCheckpoint(eager=True)
     shutil.rmtree(tmp, ignore_errors=True)
@@ -596,15 +619,18 @@ def q_streaming_edge_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
         "overwrite"
     ).parquet(feed_dir)
 
-    q = (
-        stream_events(spark, feed_dir, max_files_per_trigger=1)
-        .writeStream.foreachBatch(edge_lake_gate(lake_dir))
-        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    record_streaming_plan("edge_lake_stream", q)
+    with scoped_shuffle_partitions(
+        spark, feed_state_partitions(spark, feed_dir)
+    ):
+        q = (
+            stream_events(spark, feed_dir, max_files_per_trigger=1)
+            .writeStream.foreachBatch(edge_lake_gate(lake_dir))
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        record_streaming_plan("edge_lake_stream", q)
 
     lake = spark.read.schema(
         "src long, dst long, n_transitions long, batch_id int"
@@ -656,6 +682,10 @@ def q_streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev.repartition(6).write.mode("overwrite").parquet(feed_dir)
 
     sink = f"stream_totals_sink_{run_id}"
+    # NOT partition-scoped: per-key pandas kernels (applyInPandasWithState
+    # / transformWithState) pay Python-side work PER KEY GROUP per batch,
+    # so their parallelism must track key count, not feed bytes — scoping
+    # this to 1 partition measured 1.5-2x SLOWER (OPTIMIZATION_r15.md)
     run_available_now(
         running_user_totals(
             stream_events(spark, feed_dir, max_files_per_trigger=1)
@@ -705,8 +735,8 @@ def q_streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_streaming_stateful_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     from udacity_data_engineering_spark.streaming.stateful import (
-        ROCKSDB_PROVIDER,
         ensure_tws_runtime,
+        rocksdb_state_scope,
         running_user_totals_tws,
     )
 
@@ -723,11 +753,12 @@ def q_streaming_stateful_totals_tws(spark: SparkSession, sf_dir: str) -> DataFra
     feed_dir = os.path.join(tmp, "feed")
     ev.repartition(6).write.mode("overwrite").parquet(feed_dir)
 
-    key = "spark.sql.streaming.stateStore.providerClass"
-    prev = spark.conf.get(key, None)
-    spark.conf.set(key, ROCKSDB_PROVIDER)
     sink = f"stream_tws_sink_{run_id}"
-    try:
+    # partition count NOT scoped down: transformWithState accesses state
+    # via per-key RPCs to the Python state server, so key-group
+    # parallelism dominates (1 partition measured 5x slower — see
+    # OPTIMIZATION_r15.md); the session's setting stays in force
+    with rocksdb_state_scope(spark):
         run_available_now(
             running_user_totals_tws(
                 stream_events(spark, feed_dir, max_files_per_trigger=1)
@@ -736,11 +767,6 @@ def q_streaming_stateful_totals_tws(spark: SparkSession, sf_dir: str) -> DataFra
             os.path.join(tmp, "ckpt"),
             output_mode="update",
         )
-    finally:
-        if prev is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, prev)
     # final cumulative emission per user — n_events is strictly monotone
     out = (
         spark.table(sink)
@@ -806,19 +832,38 @@ def write_time_ordered_feed(
     sentinel = parts[0]
     for p in parts[1:]:
         sentinel = sentinel.unionByName(p)
+    # ONE staging job for all six buckets (optimization round 15; was 6
+    # sequential coalesce(1) writes, each re-scanning + re-filtering the
+    # whole input — 7 jobs for 7 files). repartition("__b") hash-
+    # partitions by bucket, so every bucket's rows land in exactly one
+    # task, and partitionBy then writes exactly ONE file per bucket
+    # directory — the one-file-per-bucket contract (a bucket split
+    # across files could late-drop rows: the watermark set by the first
+    # file would precede the second file's older rows).
     staged = os.path.join(tmp, "staged")
-    for i in range(7):
-        part = sentinel if i == 6 else bucketed.filter(
-            F.col("__b") == i
-        ).drop("__b")
-        part.coalesce(1).write.mode("overwrite").parquet(staged)
+    bucketed.repartition("__b").write.partitionBy("__b").mode(
+        "overwrite"
+    ).parquet(staged)
+    for i in range(6):
+        bdir = os.path.join(staged, f"__b={i}")
+        if not os.path.isdir(bdir):
+            continue  # empty time bucket: no file, one fewer micro-batch
         src = next(
-            f for f in sorted(os.listdir(staged))
+            f for f in sorted(os.listdir(bdir))
             if f.endswith(".parquet") and not f.startswith(("_", "."))
         )
         dst = os.path.join(feed_dir, f"{i:02d}.parquet")
-        os.replace(os.path.join(staged, src), dst)
+        os.replace(os.path.join(bdir, src), dst)
         os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+    sent_dir = os.path.join(tmp, "sentinel_staged")
+    sentinel.coalesce(1).write.mode("overwrite").parquet(sent_dir)
+    src = next(
+        f for f in sorted(os.listdir(sent_dir))
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    )
+    dst = os.path.join(feed_dir, "06.parquet")
+    os.replace(os.path.join(sent_dir, src), dst)
+    os.utime(dst, (1_000_000_006, 1_000_000_006))
     return feed_dir
 
 
@@ -863,9 +908,9 @@ def write_time_ordered_feed(
 )
 def q_streaming_stateful_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     from udacity_data_engineering_spark.streaming.stateful import (
-        ROCKSDB_PROVIDER,
         ensure_tws_runtime,
         expiring_user_sessions_tws,
+        rocksdb_state_scope,
     )
 
     if not ensure_tws_runtime(spark):
@@ -889,11 +934,9 @@ def q_streaming_stateful_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix=f"stream_ttl_{run_id}_")
     feed_dir = write_time_ordered_feed(ev, tmp, ttl_seconds)
 
-    key = "spark.sql.streaming.stateStore.providerClass"
-    prev = spark.conf.get(key, None)
-    spark.conf.set(key, ROCKSDB_PROVIDER)
     sink = f"stream_ttl_sink_{run_id}"
-    try:
+    # per-key RPC state access: keep the session's partitioning (above)
+    with rocksdb_state_scope(spark):
         stream = stream_events(
             spark, feed_dir, max_files_per_trigger=1
         ).withWatermark("ts", "0 seconds")
@@ -903,11 +946,6 @@ def q_streaming_stateful_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.path.join(tmp, "ckpt"),
             output_mode="update",
         )
-    finally:
-        if prev is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, prev)
     out = (
         spark.table(sink)
         .filter(F.col("user_id") >= 0)  # drop the sentinel's open session
@@ -969,9 +1007,9 @@ def q_streaming_stateful_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_streaming_stateful_mapstate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from udacity_data_engineering_spark.streaming.stateful import (
-        ROCKSDB_PROVIDER,
         ensure_tws_runtime,
         per_type_session_totals_tws,
+        rocksdb_state_scope,
     )
 
     if not ensure_tws_runtime(spark):
@@ -996,11 +1034,9 @@ def q_streaming_stateful_mapstate(spark: SparkSession, sf_dir: str) -> DataFrame
     tmp = tempfile.mkdtemp(prefix=f"stream_map_{run_id}_")
     feed_dir = write_time_ordered_feed(ev, tmp, ttl_seconds)
 
-    key = "spark.sql.streaming.stateStore.providerClass"
-    prev = spark.conf.get(key, None)
-    spark.conf.set(key, ROCKSDB_PROVIDER)
     sink = f"stream_map_sink_{run_id}"
-    try:
+    # per-key RPC state access: keep the session's partitioning (above)
+    with rocksdb_state_scope(spark):
         stream = stream_events(
             spark, feed_dir, max_files_per_trigger=1
         ).withWatermark("ts", "0 seconds")
@@ -1010,11 +1046,6 @@ def q_streaming_stateful_mapstate(spark: SparkSession, sf_dir: str) -> DataFrame
             os.path.join(tmp, "ckpt"),
             output_mode="update",
         )
-    finally:
-        if prev is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, prev)
     out = (
         spark.table(sink)
         .filter(F.col("user_id") >= 0)  # drop the sentinel's open session
@@ -1073,8 +1104,8 @@ def q_streaming_stateful_mapstate(spark: SparkSession, sf_dir: str) -> DataFrame
 )
 def q_streaming_stateful_liststate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from udacity_data_engineering_spark.streaming.stateful import (
-        ROCKSDB_PROVIDER,
         ensure_tws_runtime,
+        rocksdb_state_scope,
         session_first_k_tws,
     )
 
@@ -1100,11 +1131,9 @@ def q_streaming_stateful_liststate(spark: SparkSession, sf_dir: str) -> DataFram
     tmp = tempfile.mkdtemp(prefix=f"stream_list_{run_id}_")
     feed_dir = write_time_ordered_feed(ev, tmp, ttl_seconds)
 
-    key = "spark.sql.streaming.stateStore.providerClass"
-    prev = spark.conf.get(key, None)
-    spark.conf.set(key, ROCKSDB_PROVIDER)
     sink = f"stream_list_sink_{run_id}"
-    try:
+    # per-key RPC state access: keep the session's partitioning (above)
+    with rocksdb_state_scope(spark):
         stream = stream_events(
             spark, feed_dir, max_files_per_trigger=1
         ).withWatermark("ts", "0 seconds")
@@ -1114,11 +1143,6 @@ def q_streaming_stateful_liststate(spark: SparkSession, sf_dir: str) -> DataFram
             os.path.join(tmp, "ckpt"),
             output_mode="update",
         )
-    finally:
-        if prev is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, prev)
     out = (
         spark.table(sink)
         .filter(F.col("user_id") >= 0)  # drop the sentinel's open session
@@ -1163,8 +1187,8 @@ def q_streaming_stateful_liststate(spark: SparkSession, sf_dir: str) -> DataFram
 )
 def q_streaming_stateful_warmstart(spark: SparkSession, sf_dir: str) -> DataFrame:
     from udacity_data_engineering_spark.streaming.stateful import (
-        ROCKSDB_PROVIDER,
         ensure_tws_runtime,
+        rocksdb_state_scope,
         running_user_totals_warmstart_tws,
     )
 
@@ -1189,11 +1213,9 @@ def q_streaming_stateful_warmstart(spark: SparkSession, sf_dir: str) -> DataFram
     feed_dir = os.path.join(tmp, "feed")
     live.repartition(4).write.mode("overwrite").parquet(feed_dir)
 
-    key = "spark.sql.streaming.stateStore.providerClass"
-    prev = spark.conf.get(key, None)
-    spark.conf.set(key, ROCKSDB_PROVIDER)
     sink = f"stream_warm_sink_{run_id}"
-    try:
+    # per-key RPC state access: keep the session's partitioning (above)
+    with rocksdb_state_scope(spark):
         run_available_now(
             running_user_totals_warmstart_tws(
                 stream_events(spark, feed_dir, max_files_per_trigger=1),
@@ -1203,11 +1225,6 @@ def q_streaming_stateful_warmstart(spark: SparkSession, sf_dir: str) -> DataFram
             os.path.join(tmp, "ckpt"),
             output_mode="update",
         )
-    finally:
-        if prev is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, prev)
     # final cumulative emission per user — n_events is strictly monotone
     out = (
         spark.table(sink)
