@@ -95,7 +95,7 @@ def connected_components(
     # regression: a second lineage execution doubled q_leakage_safe_split).
     sym = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     # every vertex that appears anywhere must come out labeled, even if
     # star collapses remove all its edges (or it only had self-loops);
     # derived lazily from the materialized sym — edge-sized, cheap
@@ -105,13 +105,18 @@ def connected_components(
         .distinct()
         .select(F.col("a").alias("id"))
     )
+    # lazy cuts throughout the loop (round-15 optimization): the very
+    # next driver action on each frame (isEmpty here, the fingerprint
+    # aggregate per round) triggers materialization, so each round
+    # schedules ONE job instead of two (eager checkpoint + separate
+    # aggregate) — same lineage-cut semantics, half the scheduled jobs
     e = (
         sym.filter(F.col("a") != F.col("b"))
         .select(
             F.greatest("a", "b").alias("x"), F.least("a", "b").alias("y")
         )
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     prev = None
     converged = e.isEmpty()
@@ -140,7 +145,7 @@ def connected_components(
             )
             .filter(F.col("x") != F.col("y"))
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         stats = nxt.agg(
             F.count(F.lit(1)).alias("c"),

@@ -157,10 +157,17 @@ def pagerank(
 
     Returns (node, pr) UNROUNDED — query wrappers round to their
     serialization precision. Per-round cost: one edges⋈ranks hash join
-    aggregated by dst, one node-sized left join, one 1-row aggregate;
-    the edge-side join input (weight / out-weight) is precomputed once
-    and localCheckpointed, as is each round's rank vector (lineage cut,
-    components.py:88 discipline).
+    aggregated by dst, one node-sized left join, one 1-row conditional
+    aggregate (dangling mass — the node frame carries a static has_out
+    flag, so no per-round anti-join); the edge-side join input
+    (weight / out-weight) is precomputed once and localCheckpointed.
+    Each round's rank vector is cut with a LAZY localCheckpoint whose
+    materialization is triggered by that round's dangling aggregate, so
+    every round executes exactly once and schedules one job (plus AQE
+    query stages). ``checkpoint_every`` is retained for API
+    compatibility and ignored: per-round lazy cuts strictly dominate a
+    sparser eager cadence, which re-executed un-cut rounds up to three
+    times (round-15 optimization; measurements in OPTIMIZATION_r15.md).
     """
     nodes = nodes.select(F.col(node).alias("page"))
     e = edges.select(
@@ -179,27 +186,54 @@ def pagerank(
     damping = F.lit(float(DAMPING_NUM))
     teleport = F.lit(float(TELEPORT_NUM))
 
-    ranks = nodes.crossJoin(F.broadcast(n_df)).select(
-        "page", (F.lit(1.0) / F.col("n")).alias("pr")
-    ).localCheckpoint()
+    # Optimization round 15 (guide §2.4 — remove shuffles outright): the
+    # dangling-node set is STATIC, so flag it once on the node frame
+    # instead of re-deriving it with a per-round anti-join — one fewer
+    # join + exchange in every iteration, and the per-round dangling
+    # mass becomes a conditional aggregate over the rank vector itself.
+    nodes_f = (
+        nodes.join(
+            outw.select(F.col("src").alias("page"))
+            .withColumn("__has_out", F.lit(True)),
+            "page",
+            "left",
+        )
+        .select(
+            "page",
+            F.coalesce(F.col("__has_out"), F.lit(False)).alias("has_out"),
+        )
+        .localCheckpoint()
+    )
 
-    sources = outw.select(F.col("src").alias("page"))
+    ranks = nodes_f.crossJoin(F.broadcast(n_df)).select(
+        "page", "has_out", (F.lit(1.0) / F.col("n")).alias("pr")
+    ).localCheckpoint(eager=False)
+
     for it in range(iters):
-        dangling = (
-            ranks.join(sources, "page", "left_anti")
-            .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dm"))
+        # this aggregate is the round's only driver action; it also
+        # triggers the LAZY checkpoint of the current rank vector, so
+        # each round's ranks materialize exactly once (the r14 eager-cut
+        # + separate-agg layout executed un-cut rank plans up to three
+        # times per 2-round window — 97 scheduled jobs for 8 rounds,
+        # measured in OPTIMIZATION_r15.md; this layout schedules ~1 per
+        # round plus AQE stages)
+        dangling = ranks.filter(~F.col("has_out")).agg(
+            F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dm")
         )
         contribs = (
-            e_share.join(ranks, e_share.src == ranks.page)
+            e_share.join(
+                ranks.select("page", "pr"), e_share.src == F.col("page")
+            )
             .groupBy("dst")
             .agg(F.sum(F.col("pr") * F.col("share")).alias("contrib"))
         )
         scalars = F.broadcast(dangling.crossJoin(n_df))
         ranks = (
-            nodes.join(contribs, nodes.page == contribs.dst, "left")
+            nodes_f.join(contribs, nodes_f.page == contribs.dst, "left")
             .crossJoin(scalars)
             .select(
                 "page",
+                "has_out",
                 (
                     teleport / F.col("n")
                     + damping
@@ -209,14 +243,9 @@ def pagerank(
                     )
                 ).alias("pr"),
             )
+            .localCheckpoint(eager=False)
         )
-        # cut lineage every checkpoint_every rounds (and on the last):
-        # the plan between cuts stays shallow, and each eager cut is a
-        # scheduled job — fewer cuts is faster at toy scale, same
-        # asymptotics at cluster scale.
-        if (it + 1) % checkpoint_every == 0 or it + 1 == iters:
-            ranks = ranks.localCheckpoint()
-    return ranks
+    return ranks.select("page", "pr")
 
 
 def _pagerank_oracle(iters: int = PAGERANK_ITERS) -> str:

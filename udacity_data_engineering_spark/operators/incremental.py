@@ -242,6 +242,10 @@ def incremental_neardup(
             F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
         )
         .distinct()
+        # candidate pairs feed three consumers (both unions of cand_ids
+        # + the intersection join) and their lineage contains the whole
+        # banding + lake-probe DAG — cut so it executes once (r15)
+        .localCheckpoint(eager=False)
     )
 
     # (d) exact-jaccard verification: batch reps shingle themselves;
@@ -252,6 +256,8 @@ def incremental_neardup(
         .distinct()
     )
     lake_sub = lake_docs.join(cand_ids, id_col, "left_semi")
+    # batch-sized by contract (batch reps + candidate lake bodies), and
+    # read three times below — cut so the explosion runs once (r15)
     tok = shingle_sets(
         spread(
             reps.select(id_col, text_col).unionByName(
@@ -259,7 +265,7 @@ def incremental_neardup(
             )
         ),
         n=shingle_n,
-    )
+    ).localCheckpoint(eager=False)
     cnt = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     inter = (
         cand.join(tok.withColumnRenamed("doc_id", "doc_a"), "doc_a")
@@ -379,7 +385,12 @@ def incremental_simhash(
             "rep_id AS doc_id", "lo", "hi", "band_id", "band_key"
         ).withColumn("is_batch", F.lit(False))
     )
-    capped = in_cap_groups(uni, ["band_id", "band_key"], cap)
+    # both sides of the batch×lake cross below scan this frame; its
+    # lineage includes the signature computation + lake probe — cut so
+    # it executes once (r15)
+    capped = in_cap_groups(uni, ["band_id", "band_key"], cap).localCheckpoint(
+        eager=False
+    )
     cross = (
         capped.filter(F.col("is_batch"))
         .select("doc_id", "lo", "hi", "band_id", "band_key")

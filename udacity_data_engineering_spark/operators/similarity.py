@@ -732,7 +732,12 @@ def rep_verified_pairs(
             "rep_verified_pairs",
         )
     cand = minhash_rep_candidates(reps, cap=cap)
-    tok = shingle_sets(spread(reps))
+    # the exploded shingle table feeds THREE consumers (both sides of
+    # the intersection join + the per-doc counts); without a cut each
+    # re-runs the scan + shingle explosion (round-15 optimization —
+    # guide §5: reuse beats recompute here, the explosion is the
+    # family's hottest operator). Lazy: the first consumer materializes.
+    tok = shingle_sets(spread(reps)).localCheckpoint(eager=False)
     cnt = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     # intersection counts per candidate pair, then exact jaccard
     inter = (
