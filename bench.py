@@ -419,6 +419,21 @@ def main() -> None:
         "q_file_skipping",
         "q_bloom_file_index",
         "q_surrogate_keys",
+        # round-15 build additions, first benched in round 16 (VERDICT
+        # r15 item 3: the most expensive query in the repo,
+        # q_streaming_outer_join, had never been benched); their r16
+        # medians are the first baseline — recorded alongside the
+        # before/after probe numbers in OPTIMIZATION_r16.md
+        "q_streaming_stateful_mapstate",
+        "q_streaming_stateful_liststate",
+        "q_streaming_stateful_warmstart",
+        "q_streaming_outer_join",
+        "q_bloom_join",
+        "q_drift_psi",
+        "q_setops_all",
+        "q_recursive_cte",
+        "q_bitmap_distinct_sparse",
+        "q_file_skipping_combined",
     ):
         times = []
         for _ in range(REPS):  # 3 reps, matching BASELINE.md methodology

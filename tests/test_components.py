@@ -183,3 +183,36 @@ def test_long_chain_converges_fast_via_pointer_jumping(spark):
     rows = got.collect()
     assert len(rows) == 200
     assert {r.comp for r in rows} == {0}
+
+
+def test_reliable_checkpoint_flag_cuts_via_checkpoint_dir(
+    spark, tmp_path, monkeypatch
+):
+    """SPARK_GRAFT_RELIABLE_CHECKPOINT switches the loop lineage cuts
+    from executor-local localCheckpoint blocks to reliable checkpoints
+    in the named directory (cluster fault posture, round 16): the loop
+    must still converge to the same labels AND the checkpoint directory
+    must actually receive data."""
+    import os
+
+    from udacity_data_engineering_spark.operators.checkpointing import (
+        RELIABLE_CHECKPOINT_ENV,
+    )
+
+    ckpt = str(tmp_path / "reliable_ckpt")
+    monkeypatch.setenv(RELIABLE_CHECKPOINT_ENV, ckpt)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (5, 5)], "src long, dst long"
+    )
+    got = {
+        (r.id, r.comp)
+        for r in connected_components(edges, "src", "dst").collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (5, 5)}
+    # the reliable path really went through the checkpoint dir
+    written = [
+        os.path.join(dp, f)
+        for dp, _dn, fn in os.walk(ckpt)
+        for f in fn
+    ]
+    assert written, "no checkpoint data written to the reliable dir"

@@ -101,11 +101,72 @@ def charlm_score(
     scoring it against an add-one floor of the WRONG language's model
     would be exactly the cross-language judgment ``by`` exists to
     prevent. Callers route NULL-scored groups to a fallback (global
-    model, or hold out for a model refresh)."""
-    model = trigram_model(
-        model_docs if model_docs is not None else docs, text_col=text_col, by=by
-    )
+    model, or hold out for a model refresh).
+
+    SELF-scoring (``model_docs is None``) is single-pass (optimization
+    round 16, guide §2.3/§2.4): the corpus is exploded into trigrams
+    ONCE and counted per (doc, [by,] t); the model count c then falls
+    out of a window sum over the counted table (same trigram
+    partitioning the model groupBy would have used), so the plan has
+    one explosion subtree instead of three and no occurrence-sized
+    scoring join at all. The per-occurrence mean becomes the
+    k-weighted mean over distinct (doc, trigram) rows —
+    sum(k·ln(c+1))/sum(k) — algebraically identical to
+    avg-over-occurrences (summation order differs only within double
+    rounding noise, far below the 4-decimal serialization contract;
+    oracle-verified at sf0.001/0.01/0.1, see OPTIMIZATION_r16.md).
+    (N, V) totals ride the same pass: the row_number-designated first
+    row of each trigram group marks V, so totals reduce over the
+    doc-sized aggregate, never a corpus-sized one."""
     tkeys = [by] if by else []
+    if model_docs is None:
+        from pyspark.sql import Window
+
+        cnt = char_trigrams(
+            docs, id_col, text_col, keep_cols=(by,) if by else ()
+        ).groupBy("doc_id", *tkeys, "t").agg(F.count(F.lit(1)).alias("__k"))
+        w = Window.partitionBy(*tkeys, "t")
+        # model count + a one-row-per-trigram marker, one exchange on t
+        # ((doc_id, t) is unique post-count, so row_number is total)
+        withc = cnt.select(
+            "doc_id",
+            *tkeys,
+            "__k",
+            F.sum("__k").over(w).alias("__c"),
+            (
+                F.row_number().over(w.orderBy("doc_id")) == 1
+            ).cast("long").alias("__first"),
+        )
+        # doc-sized frame feeding TWO consumers (the totals broadcast and
+        # the output join): lazy lineage cut so the explosion + window
+        # execute exactly once — materialized by the broadcast build,
+        # one row per document, released with the DataFrame (the same
+        # within-query multi-consumer cut as similarity.rep_verified_pairs)
+        per_doc = withc.groupBy("doc_id", *tkeys).agg(
+            F.sum("__k").alias("n_trigrams"),
+            F.sum(F.col("__k") * F.log(F.col("__c") + 1)).alias("__wlp"),
+            F.sum("__first").alias("__v_part"),
+        ).localCheckpoint(eager=False)
+        totals = per_doc.groupBy(*tkeys).agg(
+            F.sum("n_trigrams").alias("__n_total"),
+            F.sum("__v_part").alias("__v"),
+        )
+        joined = (
+            per_doc.join(F.broadcast(totals), by)
+            if by
+            else per_doc.crossJoin(F.broadcast(totals))
+        )
+        return joined.select(
+            "doc_id",
+            *tkeys,
+            "n_trigrams",
+            F.round(
+                F.log(F.col("__n_total") + F.col("__v"))
+                - F.col("__wlp") / F.col("n_trigrams"),
+                4,
+            ).alias("cross_entropy"),
+        )
+    model = trigram_model(model_docs, text_col=text_col, by=by)
     totals = model.groupBy(*tkeys).agg(
         F.sum("c").alias("__n_total"), F.count(F.lit(1)).alias("__v")
     )

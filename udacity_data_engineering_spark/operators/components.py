@@ -88,14 +88,22 @@ def connected_components(
     round bound means hitting 25 signals pathological input (measured:
     mixed star/chain ensemble graph 6, a pure 199-edge path 9).
     """
+    from udacity_data_engineering_spark.operators.checkpointing import (
+        loop_checkpoint,
+    )
+
     # Materialize the raw edge projection ONCE: both the vertex set and
     # the canonical edge set derive from it, and the upstream pipeline
     # that produced the edges (for the survivor paths, the whole
     # candidates+verify DAG) must never execute twice (round-11 bench
     # regression: a second lineage execution doubled q_leakage_safe_split).
-    sym = edges.select(
-        F.col(src).alias("a"), F.col(dst).alias("b")
-    ).localCheckpoint(eager=False)
+    # All cuts in this loop go through loop_checkpoint: local by default,
+    # reliable when SPARK_GRAFT_RELIABLE_CHECKPOINT is set (round 16 —
+    # cluster fault posture; localCheckpoint blocks are executor-local).
+    sym = loop_checkpoint(
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b")),
+        eager=False,
+    )
     # every vertex that appears anywhere must come out labeled, even if
     # star collapses remove all its edges (or it only had self-loops);
     # derived lazily from the materialized sym — edge-sized, cheap
@@ -110,13 +118,13 @@ def connected_components(
     # aggregate per round) triggers materialization, so each round
     # schedules ONE job instead of two (eager checkpoint + separate
     # aggregate) — same lineage-cut semantics, half the scheduled jobs
-    e = (
+    e = loop_checkpoint(
         sym.filter(F.col("a") != F.col("b"))
         .select(
             F.greatest("a", "b").alias("x"), F.least("a", "b").alias("y")
         )
-        .distinct()
-        .localCheckpoint(eager=False)
+        .distinct(),
+        eager=False,
     )
     prev = None
     converged = e.isEmpty()
@@ -137,15 +145,15 @@ def connected_components(
         # small-star: all of u's (now all-smaller) neighbors hook onto
         # their minimum; u keeps one edge to it
         m2 = ls.groupBy("u").agg(F.min("v").alias("mn2"))
-        nxt = (
+        nxt = loop_checkpoint(
             ls.join(m2, "u")
             .select(F.col("v").alias("x"), F.col("mn2").alias("y"))
             .union(
                 m2.select(F.col("u").alias("x"), F.col("mn2").alias("y"))
             )
             .filter(F.col("x") != F.col("y"))
-            .distinct()
-            .localCheckpoint(eager=False)
+            .distinct(),
+            eager=False,
         )
         stats = nxt.agg(
             F.count(F.lit(1)).alias("c"),

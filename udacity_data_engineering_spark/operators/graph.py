@@ -169,6 +169,10 @@ def pagerank(
     sparser eager cadence, which re-executed un-cut rounds up to three
     times (round-15 optimization; measurements in OPTIMIZATION_r15.md).
     """
+    from udacity_data_engineering_spark.operators.checkpointing import (
+        loop_checkpoint,
+    )
+
     nodes = nodes.select(F.col(node).alias("page"))
     e = edges.select(
         F.col(src).alias("src"),
@@ -176,11 +180,18 @@ def pagerank(
         F.col(weight).cast("double").alias("w"),
     )
     outw = e.groupBy("src").agg(F.sum("w").alias("ow"))
-    # static across rounds: per-edge share of its source's rank
-    e_share = (
-        e.join(outw, "src")
-        .select("src", "dst", (F.col("w") / F.col("ow")).alias("share"))
-        .localCheckpoint()
+    # static across rounds: per-edge share of its source's rank.
+    # Lineage cuts in this function go through loop_checkpoint: local by
+    # default, reliable (checkpoint-dir) when
+    # SPARK_GRAFT_RELIABLE_CHECKPOINT is set — the cluster fault posture
+    # for long loops (round 16; localCheckpoint blocks are executor-
+    # local and non-replicated, so an executor loss mid-loop would
+    # otherwise kill the query).
+    e_share = loop_checkpoint(
+        e.join(outw, "src").select(
+            "src", "dst", (F.col("w") / F.col("ow")).alias("share")
+        ),
+        eager=True,
     )
     n_df = nodes.agg(F.count("*").cast("double").alias("n"))
     damping = F.lit(float(DAMPING_NUM))
@@ -202,12 +213,15 @@ def pagerank(
             "page",
             F.coalesce(F.col("__has_out"), F.lit(False)).alias("has_out"),
         )
-        .localCheckpoint()
     )
+    nodes_f = loop_checkpoint(nodes_f, eager=True)
 
-    ranks = nodes_f.crossJoin(F.broadcast(n_df)).select(
-        "page", "has_out", (F.lit(1.0) / F.col("n")).alias("pr")
-    ).localCheckpoint(eager=False)
+    ranks = loop_checkpoint(
+        nodes_f.crossJoin(F.broadcast(n_df)).select(
+            "page", "has_out", (F.lit(1.0) / F.col("n")).alias("pr")
+        ),
+        eager=False,
+    )
 
     for it in range(iters):
         # this aggregate is the round's only driver action; it also
@@ -228,7 +242,7 @@ def pagerank(
             .agg(F.sum(F.col("pr") * F.col("share")).alias("contrib"))
         )
         scalars = F.broadcast(dangling.crossJoin(n_df))
-        ranks = (
+        ranks = loop_checkpoint(
             nodes_f.join(contribs, nodes_f.page == contribs.dst, "left")
             .crossJoin(scalars)
             .select(
@@ -242,8 +256,8 @@ def pagerank(
                         + F.col("dm") / F.col("n")
                     )
                 ).alias("pr"),
-            )
-            .localCheckpoint(eager=False)
+            ),
+            eager=False,
         )
     return ranks.select("page", "pr")
 

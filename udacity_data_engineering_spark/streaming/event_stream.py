@@ -390,6 +390,14 @@ class scoped_shuffle_partitions:
             self.spark.conf.set(self.KEY, self._prev)
 
 
+#: Most recent StreamingQuery executed by run_available_now — an
+#: observability hook for measurement scripts (per-batch recentProgress
+#: breakdown, guide §1). The query object is already retained by the
+#: session's StreamingQueryManager until GC; keeping one reference adds
+#: nothing to the hot path.
+LAST_QUERY = None
+
+
 def run_available_now(
     stream_df: DataFrame,
     sink_table: str,
@@ -413,6 +421,8 @@ def run_available_now(
         .start()
     )
     q.awaitTermination()
+    global LAST_QUERY
+    LAST_QUERY = q
     record_streaming_plan(sink_table, q)
 
 

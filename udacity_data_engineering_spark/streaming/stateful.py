@@ -193,7 +193,13 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
             self._totals = handle.getValueState("totals", STATE_SCHEMA)
 
         def handleInputRows(self, key, rows, timerValues):
-            n, s = self._totals.get() if self._totals.exists() else (0, 0.0)
+            # one state read: get() returns None when the key has no
+            # state, so a separate exists() round-trip to the Python
+            # state server would double the read cost per key per batch
+            # (every state call is one full RPC — optimization round 16,
+            # guide §4 boundary-cost reduction)
+            cur = self._totals.get()
+            n, s = cur if cur is not None else (0, 0.0)
             for pdf in rows:
                 n += len(pdf)
                 s += float(pdf["value"].sum())
@@ -241,7 +247,10 @@ def running_user_totals_warmstart_tws(
             )
 
         def handleInputRows(self, key, rows, timerValues):
-            n, s = self._totals.get() if self._totals.exists() else (0, 0.0)
+            # single get() — None when absent — instead of exists()+get()
+            # (two state-server RPCs per key per batch; round 16, §4)
+            cur = self._totals.get()
+            n, s = cur if cur is not None else (0, 0.0)
             for pdf in rows:
                 n += len(pdf)
                 s += float(pdf["value"].sum())
@@ -319,20 +328,41 @@ def expiring_user_sessions_tws(events: DataFrame, ttl_seconds: int) -> DataFrame
         )
 
     class SessionProcessor(StatefulProcessor):
+        # State-server RPC budget (optimization round 16, guide §4):
+        # every ValueState/timer call is one full round-trip to the JVM
+        # state server through (here) a pure-Python protobuf runtime, so
+        # per-key-per-batch calls are the dominant TWS cost. This kernel
+        # holds the invariant "state exists ⟺ exactly one timer at
+        # ceil(last + ttl) is registered", which lets it
+        # - read state with ONE get() (None ⇒ absent; no exists() call),
+        # - DERIVE the previously registered timer from the prior
+        #   state's last_us instead of a listTimers() iterator RPC,
+        # - skip delete+register entirely when the expiry is unchanged.
+        # Was 6 state RPCs per key per batch; now 2-4.
         def init(self, handle: StatefulProcessorHandle) -> None:
             self._handle = handle
             self._sess = handle.getValueState("sess", TTL_STATE_SCHEMA)
 
         def handleInputRows(self, key, rows, timerValues):
-            pdf = pd.concat(list(rows), ignore_index=True)
+            first = next(rows, None)
+            if first is None:
+                return
+            rest = list(rows)
+            pdf = first if not rest else pd.concat([first, *rest], ignore_index=True)
             # event-time order within the batch; ties are gap-0, harmless
-            pdf = pdf.sort_values("ts")
+            # (stable sort == arrival order on ties, same as sorting an
+            # already-monotone frame, so the sort is skippable then)
+            if not pdf["ts"].is_monotonic_increasing:
+                pdf = pdf.sort_values("ts")
             ts_us = pdf["ts"].astype("int64") // 1000
             vals = pdf["value"].astype("float64")
-            if self._sess.exists():
-                start, last, n, s = self._sess.get()
+            cur = self._sess.get()
+            if cur is not None:
+                start, last, n, s = cur
+                prev_timer = -((last + ttl_us) // -1000)  # ceil ms
             else:
                 start = None
+                prev_timer = None
             for t, v in zip(ts_us, vals):
                 t = int(t)
                 if start is None:
@@ -345,15 +375,19 @@ def expiring_user_sessions_tws(events: DataFrame, ttl_seconds: int) -> DataFrame
                 s += float(v)
                 last = max(last, t)
             self._sess.update((start, last, n, s))
-            # exactly one live inactivity timer per key
-            for old in self._handle.listTimers():
-                self._handle.deleteTimer(old)
-            self._handle.registerTimer(-((last + ttl_us) // -1000))  # ceil ms
+            # exactly one live inactivity timer per key, re-registered
+            # only when the expiry actually moved
+            new_timer = -((last + ttl_us) // -1000)  # ceil ms
+            if new_timer != prev_timer:
+                if prev_timer is not None:
+                    self._handle.deleteTimer(prev_timer)
+                self._handle.registerTimer(new_timer)
 
         def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
-            if not self._sess.exists():
+            cur = self._sess.get()
+            if cur is None:
                 return
-            start, last, n, s = self._sess.get()
+            start, last, n, s = cur
             yield _session_frame(key[0], start, n, s)
             self._sess.clear()  # the eviction: quiet keys hold no state
 
@@ -414,6 +448,17 @@ def per_type_session_totals_tws(events: DataFrame, ttl_seconds: int) -> DataFram
     ttl_us = int(ttl_seconds) * 1_000_000
 
     class TypeMapProcessor(StatefulProcessor):
+        # State-server RPC budget (optimization round 16, guide §4): the
+        # r15 kernel paid containsKey+getValue+updateValue — THREE state
+        # RPCs — per input ROW, plus exists+get+listTimers per key. The
+        # MapState is still the cross-batch store (the surface this
+        # query exists to prove), but it is now accessed wholesale: ONE
+        # chunked iterator() read per key-batch into a local dict, the
+        # row loop runs RPC-free against the dict, and only the types
+        # touched this batch are written back (updateValue per dirty
+        # type; clear+rewrite when a session drained). Timer RPCs follow
+        # the same derive-don't-list discipline as SessionProcessor.
+        # Was 3·rows + ~6 RPCs per key per batch; now ~3 + dirty_types.
         def init(self, handle: StatefulProcessorHandle) -> None:
             self._handle = handle
             self._sess = handle.getValueState("sess", MAP_SESS_SCHEMA)
@@ -421,29 +466,44 @@ def per_type_session_totals_tws(events: DataFrame, ttl_seconds: int) -> DataFram
                 "types", "event_type string", "n long, s double"
             )
 
-        def _drain(self, user_id: int, start_us: int) -> pd.DataFrame:
-            entries = sorted(
-                (k[0], v[0], v[1]) for k, v in self._types.iterator()
-            )
-            self._types.clear()
+        @staticmethod
+        def _emit(user_id: int, start_us: int, counts: dict) -> pd.DataFrame:
+            entries = sorted(counts.items())
             return pd.DataFrame(
                 {
                     "user_id": [user_id] * len(entries),
                     "session_start": [pd.Timestamp(start_us, unit="us")]
                     * len(entries),
-                    "event_type": [e[0] for e in entries],
-                    "n_events": [e[1] for e in entries],
-                    "sum_value": [round(e[2], 2) for e in entries],
+                    "event_type": [typ for typ, _ in entries],
+                    "n_events": [nv[0] for _, nv in entries],
+                    "sum_value": [round(nv[1], 2) for _, nv in entries],
                 }
             )
 
         def handleInputRows(self, key, rows, timerValues):
-            pdf = pd.concat(list(rows), ignore_index=True).sort_values("ts")
+            first = next(rows, None)
+            if first is None:
+                return
+            rest = list(rows)
+            pdf = first if not rest else pd.concat([first, *rest], ignore_index=True)
+            if not pdf["ts"].is_monotonic_increasing:
+                pdf = pdf.sort_values("ts")
             ts_us = pdf["ts"].astype("int64") // 1000
-            if self._sess.exists():
-                start, last = self._sess.get()
+            cur = self._sess.get()
+            if cur is not None:
+                start, last = cur
+                prev_timer = -((last + ttl_us) // -1000)  # ceil ms
+                # whole live map in one chunked read; entries are bounded
+                # by the session's distinct event types (domain-bounded)
+                counts = {k[0]: (v[0], v[1]) for k, v in self._types.iterator()}
+                had_stored = bool(counts)
             else:
                 start = None
+                prev_timer = None
+                counts = {}
+                had_stored = False
+            drained = False
+            touched: set = set()
             for t, typ, v in zip(
                 ts_us, pdf["event_type"], pdf["value"].astype("float64")
             ):
@@ -451,27 +511,36 @@ def per_type_session_totals_tws(events: DataFrame, ttl_seconds: int) -> DataFram
                 if start is None:
                     start, last = t, t
                 elif t - last > ttl_us:
-                    # gap break on arrival: drain the map, emit, restart
-                    yield self._drain(key[0], start)
+                    # gap break on arrival: drain locally, emit, restart
+                    yield self._emit(key[0], start, counts)
+                    counts = {}
+                    touched = set()
+                    drained = True
                     start, last = t, t
-                cur = (
-                    self._types.getValue((typ,))
-                    if self._types.containsKey((typ,))
-                    else (0, 0.0)
-                )
-                self._types.updateValue((typ,), (cur[0] + 1, cur[1] + float(v)))
+                c = counts.get(typ, (0, 0.0))
+                counts[typ] = (c[0] + 1, c[1] + float(v))
+                touched.add(typ)
                 last = max(last, t)
             self._sess.update((start, last))
-            for old in self._handle.listTimers():
-                self._handle.deleteTimer(old)
-            self._handle.registerTimer(-((last + ttl_us) // -1000))  # ceil ms
+            if drained and had_stored:
+                self._types.clear()
+            for typ in touched:
+                self._types.updateValue((typ,), counts[typ])
+            new_timer = -((last + ttl_us) // -1000)  # ceil ms
+            if new_timer != prev_timer:
+                if prev_timer is not None:
+                    self._handle.deleteTimer(prev_timer)
+                self._handle.registerTimer(new_timer)
 
         def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
-            if not self._sess.exists():
+            cur = self._sess.get()
+            if cur is None:
                 return
-            start, _last = self._sess.get()
-            yield self._drain(key[0], start)
-            self._sess.clear()  # map already cleared in _drain
+            start, _last = cur
+            counts = {k[0]: (v[0], v[1]) for k, v in self._types.iterator()}
+            yield self._emit(key[0], start, counts)
+            self._types.clear()
+            self._sess.clear()  # the eviction: quiet keys hold no state
 
         def close(self) -> None:
             pass
@@ -492,6 +561,12 @@ LIST_OUTPUT_SCHEMA = (
     "user_id long, session_start timestamp, pos int, event_type string, "
     "ts timestamp"
 )
+#: FirstKProcessor's session ValueState: (start, last) plus the buffered
+#: entry COUNT — carrying n_buf here lets each batch know whether the
+#: K-prefix is full without iterating the ListState (one iterator RPC
+#: per key per batch saved; round-16 §4). The ListState remains the
+#: buffer of record — n_buf is derivable bookkeeping, never payload.
+LIST_SESS_SCHEMA = "start_us long, last_us long, n_buf int"
 
 
 def session_first_k_tws(events: DataFrame, ttl_seconds: int, k: int) -> DataFrame:
@@ -523,16 +598,24 @@ def session_first_k_tws(events: DataFrame, ttl_seconds: int, k: int) -> DataFram
     ttl_us = int(ttl_seconds) * 1_000_000
 
     class FirstKProcessor(StatefulProcessor):
+        # State-server RPC budget (optimization round 16, guide §4): the
+        # r15 kernel iterated the whole ListState every batch just to
+        # count it, and appendValue'd one RPC per buffered row. The
+        # ListState remains the buffer of record, but the session
+        # ValueState now carries n_buf (LIST_SESS_SCHEMA), batch
+        # appends go through ONE appendList call, and the list is read
+        # back only when a session actually drains. Timer RPCs follow
+        # the same derive-don't-list discipline as SessionProcessor.
+        # Was ~(5 + buffered_rows) RPCs per key per batch; now 2-5.
         def init(self, handle: StatefulProcessorHandle) -> None:
             self._handle = handle
-            self._sess = handle.getValueState("sess", MAP_SESS_SCHEMA)
+            self._sess = handle.getValueState("sess", LIST_SESS_SCHEMA)
             self._buf = handle.getListState(
                 "buf", "ts_us long, event_id long, event_type string"
             )
 
-        def _drain(self, user_id: int, start_us: int) -> pd.DataFrame:
-            entries = list(self._buf.get())  # already in arrival order
-            self._buf.clear()
+        @staticmethod
+        def _frame(user_id: int, start_us: int, entries: list) -> pd.DataFrame:
             return pd.DataFrame(
                 {
                     "user_id": [user_id] * len(entries),
@@ -545,36 +628,56 @@ def session_first_k_tws(events: DataFrame, ttl_seconds: int, k: int) -> DataFram
             )
 
         def handleInputRows(self, key, rows, timerValues):
-            pdf = pd.concat(list(rows), ignore_index=True).sort_values(
-                ["ts", "event_id"]
-            )
+            first = next(rows, None)
+            if first is None:
+                return
+            rest = list(rows)
+            pdf = first if not rest else pd.concat([first, *rest], ignore_index=True)
+            pdf = pdf.sort_values(["ts", "event_id"])
             ts_us = pdf["ts"].astype("int64") // 1000
-            if self._sess.exists():
-                start, last = self._sess.get()
-                n_buf = sum(1 for _ in self._buf.get())
+            cur = self._sess.get()
+            if cur is not None:
+                start, last, stored = cur
+                prev_timer = -((last + ttl_us) // -1000)  # ceil ms
             else:
-                start, n_buf = None, 0
+                start, stored = None, 0
+                prev_timer = None
+            pending: list = []  # this batch's appends, flushed once below
+            n_buf = stored
             for t, eid, typ in zip(ts_us, pdf["event_id"], pdf["event_type"]):
                 t = int(t)
                 if start is None:
                     start, last = t, t
                 elif t - last > ttl_us:
-                    yield self._drain(key[0], start)
-                    start, last, n_buf = t, t, 0
+                    # drain = stored prefix (read only now) + this
+                    # batch's pending entries, in arrival order
+                    entries = (list(self._buf.get()) if stored else []) + pending
+                    yield self._frame(key[0], start, entries)
+                    if stored:
+                        self._buf.clear()
+                    start, last, stored, n_buf = t, t, 0, 0
+                    pending = []
                 if n_buf < k:
-                    self._buf.appendValue((t, int(eid), typ))
+                    pending.append((t, int(eid), typ))
                     n_buf += 1
                 last = max(last, t)
-            self._sess.update((start, last))
-            for old in self._handle.listTimers():
-                self._handle.deleteTimer(old)
-            self._handle.registerTimer(-((last + ttl_us) // -1000))  # ceil ms
+            self._sess.update((start, last, n_buf))
+            if pending:
+                self._buf.appendList(pending)
+            new_timer = -((last + ttl_us) // -1000)  # ceil ms
+            if new_timer != prev_timer:
+                if prev_timer is not None:
+                    self._handle.deleteTimer(prev_timer)
+                self._handle.registerTimer(new_timer)
 
         def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
-            if not self._sess.exists():
+            cur = self._sess.get()
+            if cur is None:
                 return
-            start, _last = self._sess.get()
-            yield self._drain(key[0], start)
+            start, _last, _n_buf = cur
+            entries = list(self._buf.get())  # already in arrival order
+            yield self._frame(key[0], start, entries)
+            self._buf.clear()
             self._sess.clear()
 
         def close(self) -> None:

@@ -357,7 +357,7 @@ def lake_upsert_gate(lake_dir: str) -> "callable":
         FROM events
     """,
     doc="E14: the streaming LAKEHOUSE WRITER — a real multi-batch stream "
-    "(maxFilesPerTrigger=1 -> 4 micro-batches) upserted into a "
+    "(maxFilesPerTrigger=2 over 4 files -> 2 micro-batches) upserted into a "
     "hive-partitioned parquet lake via foreachBatch + merge_upsert, "
     "with at-least-once redelivery injected (every 7th event appears "
     "twice, possibly in different micro-batches). Each batch dedups on "
@@ -381,8 +381,12 @@ def q_streaming_lake_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     with scoped_shuffle_partitions(
         spark, feed_state_partitions(spark, feed_dir)
     ):
+        # 2 files per trigger -> 2 micro-batches (round 16: each batch
+        # pays a full lake MERGE rewrite + planning floor; redelivered
+        # rows still land across batch boundaries, the property under
+        # proof)
         q = (
-            stream_events(spark, feed_dir, max_files_per_trigger=1)
+            stream_events(spark, feed_dir, max_files_per_trigger=2)
             .writeStream.foreachBatch(lake_upsert_gate(lake_dir))
             .option("checkpointLocation", os.path.join(tmp, "ckpt"))
             .trigger(availableNow=True)
@@ -489,7 +493,7 @@ def dq_log_totals(spark: SparkSession, log_dir: str) -> DataFrame:
     """,
     doc="E14: CONTINUOUS data quality — the dq.check_suite constraint "
     "gate run per micro-batch inside foreachBatch (a real multi-batch "
-    "stream, maxFilesPerTrigger=1), each batch appending its (batch_id, "
+    "stream, maxFilesPerTrigger=2), each batch appending its (batch_id, "
     "check, violations, passed) report to a parquet DQ log — the "
     "monitor a 100 TB/day streaming ingest alerts from, at one "
     "conditional aggregate per batch. The feed carries deterministically "
@@ -534,8 +538,11 @@ def q_streaming_dq_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     with scoped_shuffle_partitions(
         spark, feed_state_partitions(spark, feed_dir)
     ):
+        # 2 files per trigger -> 2 micro-batches (round 16 batch-floor
+        # cut; the per-check totals are row-decomposable sums, so any
+        # batch split yields identical corpus totals)
         q = (
-            stream_events(spark, feed_dir, max_files_per_trigger=1)
+            stream_events(spark, feed_dir, max_files_per_trigger=2)
             .writeStream.foreachBatch(gate)
             .option("checkpointLocation", os.path.join(tmp, "ckpt"))
             .trigger(availableNow=True)
@@ -594,7 +601,7 @@ def edge_lake_gate(lake_dir: str) -> "callable":
     doc="E14/graph: STREAMING click-edge lake ingestion — the events "
     "feed staged as one file per user-hash bucket (whole user streams "
     "per micro-batch, the edge-extraction batch contract), consumed "
-    "maxFilesPerTrigger=1, each batch's edge DELTAS written idempotently "
+    "maxFilesPerTrigger=2, each batch's edge DELTAS written idempotently "
     "to batch_id=N (overwrite-on-replay, never append — the at-least-"
     "once lesson the round-10 DQ flake taught), then the merged lake "
     "view summed per (src, dst). Edges never cross users, so the "
@@ -622,8 +629,13 @@ def q_streaming_edge_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
     with scoped_shuffle_partitions(
         spark, feed_state_partitions(spark, feed_dir)
     ):
+        # 2 files per trigger -> 2 micro-batches (round 16 batch-floor
+        # cut): each file holds WHOLE user streams (hash-partitioned by
+        # user above), so any file grouping satisfies the edge-
+        # extraction batch contract, and the per-(src,dst) delta sums
+        # are batch-split-invariant
         q = (
-            stream_events(spark, feed_dir, max_files_per_trigger=1)
+            stream_events(spark, feed_dir, max_files_per_trigger=2)
             .writeStream.foreachBatch(edge_lake_gate(lake_dir))
             .option("checkpointLocation", os.path.join(tmp, "ckpt"))
             .trigger(availableNow=True)
@@ -657,7 +669,7 @@ def q_streaming_edge_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="E14: the CUSTOM arbitrary-state operator (applyInPandasWithState, "
     "streaming/stateful.py running_user_totals) executed as a REAL "
     "multi-batch stream: the events feed is split into 6 files consumed "
-    "one per micro-batch (maxFilesPerTrigger=1), so per-user state "
+    "two per micro-batch (3 batches), so per-user state "
     "genuinely carries across batches; update mode emits cumulative "
     "totals per user per batch, and the FINAL emission per user "
     "(max_by on the strictly-monotone n_events) equals the batch "
@@ -676,9 +688,11 @@ def q_streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_id = uuid.uuid4().hex[:12]
     tmp = tempfile.mkdtemp(prefix=f"stream_totals_{run_id}_")
     feed_dir = os.path.join(tmp, "feed")
-    # 6 files -> 6 micro-batches: the kernel must fold state across
-    # batches, not just within one (any batch split converges — the
-    # accumulator is associative — so the multiset is deterministic)
+    # 6 files, 2 per trigger -> 3 micro-batches: the kernel must fold
+    # state across batches, not just within one (any batch split
+    # converges — the accumulator is associative — so the multiset is
+    # deterministic; round 16 halved the batch count because each
+    # micro-batch pays a fixed planning + per-key-kernel floor, guide §1)
     ev.repartition(6).write.mode("overwrite").parquet(feed_dir)
 
     sink = f"stream_totals_sink_{run_id}"
@@ -688,7 +702,7 @@ def q_streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     # this to 1 partition measured 1.5-2x SLOWER (OPTIMIZATION_r15.md)
     run_available_now(
         running_user_totals(
-            stream_events(spark, feed_dir, max_files_per_trigger=1)
+            stream_events(spark, feed_dir, max_files_per_trigger=2)
         ),
         sink,
         os.path.join(tmp, "ckpt"),
@@ -724,7 +738,7 @@ def q_streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_streaming_stateful_totals, on Spark 4's transformWithStateInPandas "
     "— the successor arbitrary-state API (named ValueState on a handle, "
     "RocksDB state store; streaming/stateful.py running_user_totals_tws) "
-    "— executed as a real 6-micro-batch stream and hash-proven against "
+    "— executed as a real 3-micro-batch stream and hash-proven against "
     "the plain SQL aggregate. The TWS runtime is self-provisioned at "
     "query time (stateful.ensure_tws_runtime: protobuf shim on the "
     "driver's sys.path + addPyFile'd to workers + pure-Python protobuf "
@@ -751,6 +765,8 @@ def q_streaming_stateful_totals_tws(spark: SparkSession, sf_dir: str) -> DataFra
     run_id = uuid.uuid4().hex[:12]
     tmp = tempfile.mkdtemp(prefix=f"stream_tws_{run_id}_")
     feed_dir = os.path.join(tmp, "feed")
+    # 6 files, 2 per trigger -> 3 micro-batches (round 16: fewer batches
+    # = fewer per-key state-server round-trip rounds, same final state)
     ev.repartition(6).write.mode("overwrite").parquet(feed_dir)
 
     sink = f"stream_tws_sink_{run_id}"
@@ -761,7 +777,7 @@ def q_streaming_stateful_totals_tws(spark: SparkSession, sf_dir: str) -> DataFra
     with rocksdb_state_scope(spark):
         run_available_now(
             running_user_totals_tws(
-                stream_events(spark, feed_dir, max_files_per_trigger=1)
+                stream_events(spark, feed_dir, max_files_per_trigger=2)
             ),
             sink,
             os.path.join(tmp, "ckpt"),
@@ -787,16 +803,28 @@ def write_time_ordered_feed(
     tmp: str,
     ttl_seconds: int,
     sentinel_types: tuple[str, ...] = ("sentinel",),
+    n_buckets: int = 3,
 ) -> str:
     """Stage an events frame as strictly TIME-ORDERED micro-batch files:
-    6 equal-width ts buckets, one file per bucket, written sequentially
-    with increasing mtimes (the file stream consumes oldest-mtime first)
-    — so the watermark only ever moves forward and no event is late.
-    Equal timestamps land in the same bucket by construction. The
-    sentinel (user_id=-1, ts = max + ttl + 2 days) pushes the final
-    watermark past every open session's expiry: the availableNow no-data
-    final batch then fires all remaining timers — deterministic full
-    flush. Shared by every event-time-timer TWS query."""
+    ``n_buckets`` equal-width ts buckets, one file per bucket, written
+    sequentially with increasing mtimes (the file stream consumes
+    oldest-mtime first) — so the watermark only ever moves forward and
+    no event is late. Equal timestamps land in the same bucket by
+    construction. The sentinel (user_id=-1, ts = max + ttl + 2 days)
+    pushes the final watermark past every open session's expiry: the
+    availableNow no-data final batch then fires all remaining timers —
+    deterministic full flush. Shared by every event-time-timer TWS query.
+
+    ``n_buckets`` trades micro-batch count against batch size; the
+    output multiset is bucket-count-INVARIANT: a session the stream
+    closes by gap-on-arrival under a coarse bucketing is closed by the
+    event-time timer under a fine one (and vice versa), and both paths
+    emit the identical row. Default 3 (optimization round 16, guide
+    §1/§2: each micro-batch pays a fixed driver-planning + state-commit
+    floor, so halving the batch count halves that floor) — still a
+    genuine multi-batch stream whose state and timers cross batch
+    boundaries, which is the property the TWS queries exist to prove.
+    """
     feed_dir = os.path.join(tmp, "feed")
     os.makedirs(feed_dir)
     stats = ev.agg(
@@ -809,7 +837,8 @@ def write_time_ordered_feed(
     span = hi - lo + 1
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     bucketed = ev.withColumn(
-        "__b", F.floor((us - F.lit(lo)) * 6 / F.lit(span)).cast("int")
+        "__b",
+        F.floor((us - F.lit(lo)) * n_buckets / F.lit(span)).cast("int"),
     )
     sentinel_us = hi + ttl_seconds * 1_000_000 + 2 * 86_400 * 1_000_000
     # one far-future row per requested type: operators that split the
@@ -832,19 +861,30 @@ def write_time_ordered_feed(
     sentinel = parts[0]
     for p in parts[1:]:
         sentinel = sentinel.unionByName(p)
-    # ONE staging job for all six buckets (optimization round 15; was 6
-    # sequential coalesce(1) writes, each re-scanning + re-filtering the
-    # whole input — 7 jobs for 7 files). repartition("__b") hash-
-    # partitions by bucket, so every bucket's rows land in exactly one
-    # task, and partitionBy then writes exactly ONE file per bucket
-    # directory — the one-file-per-bucket contract (a bucket split
-    # across files could late-drop rows: the watermark set by the first
-    # file would precede the second file's older rows).
+    # The sentinel rides IN the last bucket's file (round 16): it is the
+    # newest timestamp by construction, so time-ordering holds, and the
+    # availableNow final no-data batch still evaluates timers at the
+    # sentinel-pushed watermark — one fewer micro-batch and one fewer
+    # staging job than a separate sentinel file, identical emissions
+    # (timer-path and gap-path emit the same row for a given session).
+    bucketed = bucketed.unionByName(
+        sentinel.withColumn(
+            "__b", F.lit(n_buckets - 1).cast("int")
+        )
+    )
+    # ONE staging job for all buckets (optimization round 15; was one
+    # sequential coalesce(1) write PER bucket, each re-scanning +
+    # re-filtering the whole input). repartition("__b") hash-partitions
+    # by bucket, so every bucket's rows land in exactly one task, and
+    # partitionBy then writes exactly ONE file per bucket directory —
+    # the one-file-per-bucket contract (a bucket split across files
+    # could late-drop rows: the watermark set by the first file would
+    # precede the second file's older rows).
     staged = os.path.join(tmp, "staged")
     bucketed.repartition("__b").write.partitionBy("__b").mode(
         "overwrite"
     ).parquet(staged)
-    for i in range(6):
+    for i in range(n_buckets):
         bdir = os.path.join(staged, f"__b={i}")
         if not os.path.isdir(bdir):
             continue  # empty time bucket: no file, one fewer micro-batch
@@ -855,15 +895,6 @@ def write_time_ordered_feed(
         dst = os.path.join(feed_dir, f"{i:02d}.parquet")
         os.replace(os.path.join(bdir, src), dst)
         os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
-    sent_dir = os.path.join(tmp, "sentinel_staged")
-    sentinel.coalesce(1).write.mode("overwrite").parquet(sent_dir)
-    src = next(
-        f for f in sorted(os.listdir(sent_dir))
-        if f.endswith(".parquet") and not f.startswith(("_", "."))
-    )
-    dst = os.path.join(feed_dir, "06.parquet")
-    os.replace(os.path.join(sent_dir, src), dst)
-    os.utime(dst, (1_000_000_006, 1_000_000_006))
     return feed_dir
 
 
@@ -896,8 +927,8 @@ def write_time_ordered_feed(
     "inactivity, with one named timer per key fired by watermark "
     "advance; handleExpiredTimer emits the final session and CLEARS the "
     "state, bounding state by currently-active users instead of "
-    "ever-seen users. Executed as a REAL 7-micro-batch stream: the feed "
-    "is split into 6 strictly time-ordered files (mtime-sequenced, one "
+    "ever-seen users. Executed as a REAL multi-batch stream: the feed "
+    "is split into 3 strictly time-ordered files (mtime-sequenced, one "
     "per trigger) plus a far-future sentinel that drives the watermark "
     "past every open session's expiry, so all sessions flush "
     "deterministically. Hash-proven against the batch gaps-and-islands "
@@ -999,7 +1030,7 @@ def q_streaming_stateful_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(count, sum), drained to one row per type when the session closes "
     "— by arrival gap or by the event-time TTL timer — then cleared, so "
     "state stays bounded by currently-active users x their in-session "
-    "type sets. Executed as a REAL 7-micro-batch stream (time-ordered "
+    "type sets. Executed as a REAL multi-batch stream (time-ordered "
     "mtime-sequenced feed + far-future sentinel flushing all timers) "
     "and hash-proven against the batch gaps-and-islands sessionization "
     "grouped by (user, session, event_type).",
@@ -1097,7 +1128,7 @@ def q_streaming_stateful_mapstate(spark: SparkSession, sf_dir: str) -> DataFrame
     "session buffers its FIRST THREE events in a ListState (bounded by "
     "K, not stream length), drained with 1-based positions when the "
     "session closes — by arrival gap or by the event-time TTL timer — "
-    "then cleared. Executed as a REAL 7-micro-batch stream (time-ordered "
+    "then cleared. Executed as a REAL multi-batch stream (time-ordered "
     "mtime-sequenced feed + far-future sentinel) and hash-proven against "
     "the batch gaps-and-islands row_number()<=3 prefix.",
     tags=("E14", "streaming", "pandas"),
@@ -1177,7 +1208,7 @@ def q_streaming_stateful_liststate(spark: SparkSession, sf_dir: str) -> DataFram
     doc="E14: transformWithState INITIAL STATE — the lambda-architecture "
     "bridge: history (even event_ids) is aggregated ONCE as a batch "
     "(user_id, n, s) frame and handed to the stream as initialState; "
-    "the stream then consumes only the post-cutoff events (odd ids, 4 "
+    "the stream then consumes only the post-cutoff events (odd ids, 2 "
     "real micro-batches) yet its final per-user emission equals the "
     "WHOLE-history aggregate — warm-started state instead of replaying "
     "100 TB of backlog. Hash-proven against the full-history SQL "
@@ -1211,6 +1242,7 @@ def q_streaming_stateful_warmstart(spark: SparkSession, sf_dir: str) -> DataFram
     run_id = uuid.uuid4().hex[:12]
     tmp = tempfile.mkdtemp(prefix=f"stream_warm_{run_id}_")
     feed_dir = os.path.join(tmp, "feed")
+    # 4 files, 2 per trigger -> 2 micro-batches (round 16 batch-floor cut)
     live.repartition(4).write.mode("overwrite").parquet(feed_dir)
 
     sink = f"stream_warm_sink_{run_id}"
@@ -1218,7 +1250,7 @@ def q_streaming_stateful_warmstart(spark: SparkSession, sf_dir: str) -> DataFram
     with rocksdb_state_scope(spark):
         run_available_now(
             running_user_totals_warmstart_tws(
-                stream_events(spark, feed_dir, max_files_per_trigger=1),
+                stream_events(spark, feed_dir, max_files_per_trigger=2),
                 initial,
             ),
             sink,
@@ -1293,16 +1325,24 @@ def q_streaming_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     sink = f"stream_oj_sink_{run_id}"
-    run_available_now(
-        signups_with_conversion(
-            stream_events(spark, feed_dir, max_files_per_trigger=1),
-            within="1 hour",
-            watermark="0 seconds",
-        ),
-        sink,
-        os.path.join(tmp, "ckpt"),
-        output_mode="append",
-    )
+    # JVM-state stream-stream join: FOUR state stores per shuffle
+    # partition per micro-batch, and AQE cannot coalesce stateful
+    # streaming plans — scope the state partitioning to the staged feed
+    # size exactly like the other JVM-state streaming queries (the r15
+    # scoping missed this query; optimization round 16, guide §2)
+    with scoped_shuffle_partitions(
+        spark, feed_state_partitions(spark, feed_dir)
+    ):
+        run_available_now(
+            signups_with_conversion(
+                stream_events(spark, feed_dir, max_files_per_trigger=1),
+                within="1 hour",
+                watermark="0 seconds",
+            ),
+            sink,
+            os.path.join(tmp, "ckpt"),
+            output_mode="append",
+        )
     out = (
         spark.table(sink)
         .filter(F.col("user_id") >= 0)  # drop the sentinels' own rows
