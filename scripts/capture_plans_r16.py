@@ -61,17 +61,53 @@ def main() -> None:
     manifest = all_queries()
     wanted = set(args.queries.split(",")) if args.queries else None
 
-    for name in BATCH:
-        if wanted and name not in wanted:
-            continue
-        df = manifest[name].fn(spark, args.sf)
+    # Spark 4: instances are pyspark.sql.classic.dataframe.DataFrame,
+    # which overrides the base class' methods — patch the classic class
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    def explain_to(df, path, header=""):
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
             df.explain("formatted")
-        path = os.path.join(args.plans_dir, f"{name}_{args.tag}.txt")
         with open(path, "w") as f:
+            if header:
+                f.write(header)
             f.write(buf.getvalue())
         print(f"wrote {path}", flush=True)
+
+    for name in BATCH:
+        if wanted and name not in wanted:
+            continue
+        explain_to(
+            manifest[name].fn(spark, args.sf),
+            os.path.join(args.plans_dir, f"{name}_{args.tag}.txt"),
+        )
+        # The r16 charlm plan cuts lineage at the doc-sized per_doc
+        # frame (localCheckpoint), so the final frame's explain shows a
+        # Scan ExistingRDD past the cut — which hides the explosion
+        # subtree the optimization is about. Capture a second artifact
+        # with lineage cuts DISABLED: it shows the true operator tree;
+        # note the per_doc subtree then prints under BOTH consumers
+        # (totals + output join) while the executed plan runs it once
+        # (that is what the cut is for).
+        real_lc = DataFrame.localCheckpoint
+        DataFrame.localCheckpoint = lambda self, *a, **k: self  # type: ignore
+        try:
+            explain_to(
+                manifest[name].fn(spark, args.sf),
+                os.path.join(
+                    args.plans_dir, f"{name}_{args.tag}_nocut.txt"
+                ),
+                header=(
+                    "# Captured with DataFrame.localCheckpoint disabled "
+                    "so the operator tree is visible.\n# The executed "
+                    "plan cuts at the doc-sized per_doc aggregate, so "
+                    "the subtree printed under both consumers below "
+                    "runs ONCE.\n",
+                )[0],
+            )
+        finally:
+            DataFrame.localCheckpoint = real_lc
 
     for name in STREAMING:
         if wanted and name not in wanted:
