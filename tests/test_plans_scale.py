@@ -9,6 +9,7 @@ Python eval nodes outside the two deliberate UDF paths.
 from __future__ import annotations
 
 import io
+import pytest
 from contextlib import redirect_stdout
 
 from pyspark.sql import functions as F
@@ -127,6 +128,8 @@ PYTHON_PATH_QUERIES = {
 }
 
 
+@pytest.mark.slow  # ~270 s registry-wide plan walk; PLAN_AUDIT.json's
+# committed stamp (test_plan_audit_stamp) drift-guards the same claim
 def test_no_python_eval_outside_udf_paths(spark, sf_dir):
     """Everything except the deliberate Python-path queries must stay
     JVM-side — a stray Python eval node is a 10-100x regression at scale.

@@ -6,10 +6,15 @@ from __future__ import annotations
 
 from datetime import datetime, timedelta, timezone
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+# round 16 driver-budget tier: property-based depth suite (~200 s): randomized identities over the
+# same operators the example-based suites and the oracle gate cover
+pytestmark = pytest.mark.slow
 
 SLOW = settings(
     max_examples=10,

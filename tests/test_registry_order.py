@@ -71,22 +71,20 @@ def test_window_oracle_coverage_never_regresses():
     still fails here."""
     qs = all_queries()
     no_oracle = {n for n in DRIVER_PRIORITY if not qs[n].oracle}
-    r15_deliberate = {
-        "q_bpe_tokenize",
-        "q_neardup_ensemble",
-        "q_ensemble_survivors",
-        "q_ivfpq_topk",
-        "q_pq_topk",
-        "q_semantic_dedup",
-        "q_neardup_drop_accounting",
-        # q_sample / q_sparkify_songplays / q_sequence_packing /
-        # q_sketch_rollup deferred to the r16 window: their slots went
-        # to the seven late-r15 operators
+    # Round 16 completes VERDICT r14 item 7: the four rows-only names
+    # deferred from the r15 window get their one record each; every
+    # other slot is oracled. After this window, zero registered
+    # rows-only queries remain never-driver-windowed.
+    r16_deliberate = {
+        "q_sample",
+        "q_sparkify_songplays",
+        "q_sequence_packing",
+        "q_sketch_rollup",
     }
-    assert no_oracle == r15_deliberate, (
-        "driver-window oracle coverage changed beyond the r15 deliberate "
-        f"set: unexpected rows-only = {sorted(no_oracle - r15_deliberate)}, "
-        f"missing from the scheduled set = {sorted(r15_deliberate - no_oracle)}"
+    assert no_oracle == r16_deliberate, (
+        "driver-window oracle coverage changed beyond the r16 deliberate "
+        f"set: unexpected rows-only = {sorted(no_oracle - r16_deliberate)}, "
+        f"missing from the scheduled set = {sorted(r16_deliberate - no_oracle)}"
     )
 
 

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import shutil
 
+import pytest
 from pyspark.sql import functions as F
 
 from udacity_data_engineering_spark.session import table
@@ -453,6 +454,9 @@ def _run_map(spark, feed_dir, ckpt, sink, ttl_seconds=86_400):
     return rows
 
 
+@pytest.mark.slow  # depth tier (~40-75 s); the default tier keeps
+# the intra-batch gap, buffer-prefix, ttl and parity tests on the
+# same kernels
 def test_mapstate_accumulates_per_type_across_batches(spark, tmp_path):
     """Map entries for a user must carry ACROSS micro-batches (the whole
     point of MapState) and drain one row per type when the timer fires."""
@@ -474,6 +478,9 @@ def test_mapstate_accumulates_per_type_across_batches(spark, tmp_path):
     ]
 
 
+@pytest.mark.slow  # depth tier (~40-75 s); the default tier keeps
+# the intra-batch gap, buffer-prefix, ttl and parity tests on the
+# same kernels
 def test_mapstate_eviction_clears_map(spark, tmp_path):
     """After the timer drains+clears the map, a returning user starts a
     fresh EMPTY map — counts must not leak from the evicted session."""
@@ -584,6 +591,9 @@ def test_liststate_buffers_prefix_across_batches(spark, tmp_path):
     ]
 
 
+@pytest.mark.slow  # depth tier (~40-75 s); the default tier keeps
+# the intra-batch gap, buffer-prefix, ttl and parity tests on the
+# same kernels
 def test_liststate_gap_drains_and_rebuffers(spark, tmp_path):
     """An intra-stream gap must drain the buffer and start a fresh one —
     the second session's prefix is buffered from scratch."""

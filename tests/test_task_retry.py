@@ -1,3 +1,5 @@
+
+import pytest
 """Task-retry determinism: results (and sink contents) must be identical
 when tasks fail and are recomputed — the everyday failure mode at 100 TB
 (preemption, OOM-kills, node loss). Runs in a subprocess because retries
@@ -98,6 +100,11 @@ from udacity_data_engineering_spark.testing import (
     chaos_fail_first_attempt,
     row_multiset,
 )
+
+# round 16 driver-budget tier: task-retry chaos suite (~90 s) — kills
+# tasks mid-query to prove idempotence; depth tier, the sinks it drives
+# are also oracle-gated
+pytestmark = pytest.mark.slow
 
 spark = (
     SparkSession.builder.master("local[8, 2]")  # maxFailures=2: one retry

@@ -126,8 +126,17 @@ def connected_components(
         .distinct(),
         eager=False,
     )
-    prev = None
-    converged = e.isEmpty()
+    # One aggregate replaces the old isEmpty() gate AND seeds the round-0
+    # fingerprint (round 16): an input that is already a star forest now
+    # converges one round earlier (its first round's fingerprint can
+    # match), and the empty check rides the same job.
+    stats0 = e.agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+    ).first()
+    prev = (stats0["c"], stats0["sx"], stats0["sy"])
+    converged = stats0["c"] == 0
     for _ in range(max_iter):
         if converged:
             break
@@ -161,7 +170,12 @@ def connected_components(
             F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
         ).first()
         cur = (stats["c"], stats["sx"], stats["sy"])
-        if cur == prev and nxt.exceptAll(e).isEmpty() and e.exceptAll(nxt).isEmpty():
+        # exact two-sided confirmation in ONE scheduled job (round 16;
+        # was two sequential exceptAll().isEmpty() driver actions)
+        if (
+            cur == prev
+            and nxt.exceptAll(e).union(e.exceptAll(nxt)).isEmpty()
+        ):
             converged = True
         prev = cur
         e = nxt

@@ -58,94 +58,86 @@ def register(
 # after these. A name listed here but not registered is a hard error (catches
 # renames going stale).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # Round-15 rotation (executes the queue recorded in the r14 ledger):
-    # six §2A parity anchors; the THREE new r15 provables; the three
-    # queries whose behavior changed this round (ADVICE fixes / feed
-    # refactor) so their new hashes land the same round; the three
-    # round-trips whose oracles have NEVER been driver-hash-verified
-    # (oracles postdate their r1 rows-only records — VERDICT r14 item 1);
-    # the 14 remaining r1-stale TPC-H shapes + the 8-name r5 batch
-    # (closing the entire "newest driver record predates its oracle"
-    # class); the ELEVEN rows-only queries that have never appeared in
-    # any driver window (VERDICT r14 item 7 — a rows-only record each);
-    # and two family anchors.
+    # Round-16 rotation (executes the queue recorded in the r15 ledger,
+    # plus the round-16 optimization re-proofs): six §2A parity anchors;
+    # the FOURTEEN queries whose implementation changed in the r16
+    # optimization round (charlm single-pass reformulation, TWS kernel
+    # RPC folding + feed batching, outer-join state scoping, foreachBatch
+    # batch-count cuts, pagerank loop_checkpoint) so their fresh hashes
+    # land the same round; the four rows-only names deferred from r15;
+    # the r6-stale batch (newest driver record round 5/6); the twelve
+    # family anchors rotated out in r15 (restores E3/E4/E9/... window
+    # coverage — the r15 window plus CORRECTNESS_r15 left E3 uncovered,
+    # which tests/test_registry_order.py caught at round-16 start); one
+    # E12 oracled anchor; and the five stalest r7 names.
     "q_scan_count",  # 2A.6 parquet scan + 2A.22 count
     "q_dateparts",  # 2A.14/11/13 datetime parts + events nanos shim
     "q_join_multikey",  # 2A.17 3-key composite equi-join
     "q_sql_entry",  # 2A.15/16/18 temp view + SQL + aliasing
     "q_parquet_partitioned",  # 2A.20 hive sink + pruned re-read
     "q_sparkify_songplays_nat",  # the reference's whole program, hash-proven
-    # --- new r15 operators: first driver proofs ---
-    "q_bitmap_distinct_sparse",  # dictionary-encoded exact distinct
-    "q_streaming_stateful_mapstate",  # TWS per-key collection state
-    "q_file_skipping_combined",  # unified manifest+bloom pruning
-    "q_streaming_stateful_liststate",  # TWS bounded ordered buffer
-    "q_streaming_stateful_warmstart",  # TWS initial-state warm start
-    "q_bloom_join",  # bloom-prefiltered equi-join
-    "q_drift_psi",  # sketch-warehouse drift monitor
-    "q_setops_all",  # bag-semantics INTERSECT/EXCEPT ALL
-    "q_streaming_outer_join",  # watermarked stream-stream LEFT OUTER
-    "q_recursive_cte",  # WITH RECURSIVE frontier iteration
-    # --- changed in r15 (ADVICE fixes): re-prove ---
-    "q_event_paths",  # NULL-ordering contract made explicit
-    "q_surrogate_keys",  # pinned range partitioning + FS bootstrap
-    # --- oracles never driver-hash-verified (r1 rows-only records) ---
-    "q_csv_roundtrip",
-    "q_orc_roundtrip",
-    "q_compact_small_files",
-    # --- stalest re-proofs: last driver-checked round 1 ---
-    "q_important_parts",  # TPC-H Q11 shape
-    "q_join_anti",  # E7 anti join
-    "q_join_outer",  # E7 outer join
-    "q_market_share",  # Q8 shape
-    "q_min_cost_supplier",  # Q2 shape
-    "q_ngram_jaccard",  # exact near-dup ground truth
-    "q_order_priority",  # Q4 shape
-    "q_priority_shipclass",  # Q12 shape
-    "q_product_profit",  # Q9 shape
-    "q_promo_revenue",  # Q14 shape
-    "q_returned_items",  # Q10 shape
-    "q_small_qty_revenue",  # Q17 shape
-    "q_top_supplier",  # Q15 shape
-    "q_waiting_suppliers",  # Q21 shape
-    # --- the r5 batch: last driver-checked round 5 ---
-    "q_dedup_fullrow",
-    "q_doc_dedup_survivors",
-    "q_doc_fingerprint",
-    "q_epoch_to_ts_udf",
-    "q_gopher_rules",
-    "q_join_semi",
-    "q_sparkify_time",
-    "q_sparkify_users",
-    # --- rows-only, never in any driver window: one record each (four
-    # of the original eleven — q_sample, q_sparkify_songplays,
-    # q_sequence_packing, q_sketch_rollup — are deferred to the r16
-    # window per VERDICT r14 item 7's "across r15/r16" allowance; their
-    # slots went to the seven late-r15 operators so no registration
-    # leaves this round unscheduled) ---
-    "q_bpe_tokenize",
-    "q_neardup_ensemble",
-    "q_ensemble_survivors",
-    "q_ivfpq_topk",
-    "q_pq_topk",
-    "q_semantic_dedup",
-    "q_neardup_drop_accounting",
+    # --- changed in the r16 optimization round: re-prove same round ---
+    "q_charlm_score",  # single-pass counted-explosion reformulation
+    "q_charlm_by_lang",
+    "q_charlm_lang_filter",
+    "q_streaming_stateful_ttl",  # TWS RPC folding + 3-bucket feed
+    "q_streaming_stateful_mapstate",
+    "q_streaming_stateful_liststate",
+    "q_streaming_stateful_warmstart",
+    "q_streaming_stateful_totals_tws",
+    "q_streaming_stateful_totals",
+    "q_streaming_outer_join",  # feed-scoped state partitions
+    "q_streaming_lake_upsert",  # 2 micro-batches
+    "q_streaming_dq_monitor",
+    "q_streaming_edge_lake",
+    "q_pagerank",  # loop_checkpoint wrapper on the iteration cuts
+    # --- rows-only, deferred from r15 (VERDICT r14 item 7) ---
+    "q_sample",
+    "q_sparkify_songplays",
+    "q_sequence_packing",
+    "q_sketch_rollup",
+    # --- stalest re-proofs: newest driver record round 5/6 ---
+    "q_tumbling_agg",
+    "q_asof_forward",
+    "q_limit",
+    "q_parquet_roundtrip",
+    "q_project",
+    "q_salted_agg",
+    "q_scan_glob",
+    "q_text_tokens",
+    "q_vocab_topk",
+    # --- family anchors rotated out in r15 (all driver-proven r14) ---
+    "q_parts_supplier_cnt",
+    "q_rollup",
+    "q_topn",
+    "q_setops",
+    "q_json_extract",
+    "q_window_rank",
+    "q_stratified_fixed_k",
+    "q_session_window",
+    "q_doc_dedup",
+    "q_cluster_centroids",
+    "q_multimodal_decode",
+    "q_ngram_jaccard",  # E12 oracled anchor (oracle_only ground truth)
+    # --- next-stalest batch (round 7) ---
+    "q_doc_chunks",
+    "q_incremental_dedup",
+    "q_math_funcs",
+    "q_null_handling",
+    "q_pack_offsets",
 )
-# Rotation ledger after this window: never-driver-checked SQL-oracled
-# names = 0 AND no SQL-oracled query's newest driver record predates its
-# oracle (the csv/orc/compact trio was the last of that class) AND
-# never-windowed rows-only names down from 11 to 4. Queue for r16:
-# (a) the four deferred rows-only names q_sample, q_sparkify_songplays,
-# q_sequence_packing, q_sketch_rollup;
-# (b) q_streaming_stateful_ttl (its feed writer was factored out in r15
-# — sweep-verified, deserves a fresh driver hash); (c) the r6 batch
-# (q_scan_glob, q_project, q_project_rename, q_filter_eq, q_limit,
-# q_parquet_roundtrip, q_text_tokens, q_salted_agg, q_tumbling_agg and
-# peers); (d) the family anchors rotated out in r15
-# (q_parts_supplier_cnt, q_rollup, q_topn, q_setops, q_json_extract,
-# q_window_rank, q_stratified_fixed_k, q_session_window, q_doc_dedup,
-# q_cluster_centroids, q_multimodal_decode,
-# q_streaming_stateful_totals_tws — all driver-proven r14).
+# Rotation ledger after this window: every family E1-E15 + physical/
+# sampling/corpus/embeddings is covered IN-WINDOW (not just via history);
+# never-windowed rows-only names down from 4 to 0. r17 queue:
+# (a) the remaining r7-stale names (q_ngram_counts, q_sliding_window,
+# q_string_funcs, q_temperature_mix) and the r8 batch
+# (q_curation_pipeline, q_dedup_best_survivors, q_knn_join,
+# q_length_bucket_batches, q_stratified_mix, q_streaming_session,
+# q_substring_doc_flags, q_substring_dupes_winnowed, q_token_budget_mix);
+# (b) the family anchors rotated out in r16 (q_bitmap_distinct_sparse,
+# q_file_skipping_combined, q_bloom_join, q_drift_psi, q_setops_all,
+# q_recursive_cte, q_event_paths, q_surrogate_keys, the csv/orc/compact
+# trio, the 14 TPC-H shapes, the r5 batch — all driver-proven r15).
 
 
 def all_queries() -> dict[str, Query]:
