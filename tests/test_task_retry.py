@@ -1,5 +1,3 @@
-
-import pytest
 """Task-retry determinism: results (and sink contents) must be identical
 when tasks fail and are recomputed — the everyday failure mode at 100 TB
 (preemption, OOM-kills, node loss). Runs in a subprocess because retries
@@ -16,6 +14,13 @@ aborted attempt's output behind.
 import subprocess
 import sys
 from pathlib import Path
+
+import pytest
+
+# round 16 driver-budget tier: task-retry chaos suite (~90 s) — kills
+# tasks mid-query to prove idempotence; depth tier, the sinks it drives
+# are also oracle-gated
+pytestmark = pytest.mark.slow
 
 CHILD = r"""
 import tempfile
@@ -100,11 +105,6 @@ from udacity_data_engineering_spark.testing import (
     chaos_fail_first_attempt,
     row_multiset,
 )
-
-# round 16 driver-budget tier: task-retry chaos suite (~90 s) — kills
-# tasks mid-query to prove idempotence; depth tier, the sinks it drives
-# are also oracle-gated
-pytestmark = pytest.mark.slow
 
 spark = (
     SparkSession.builder.master("local[8, 2]")  # maxFailures=2: one retry
