@@ -101,6 +101,48 @@ class rocksdb_state_scope:
                 self.spark.conf.set(key, prev)
 
 
+def _vectorized_boot_base():
+    """Build — per call, so cloudpickle captures it BY VALUE — a mixin
+    whose ``__setstate__`` installs the vectorized TWS serializer patch
+    (uds_tws_serializer_patch.py, shipped to workers by
+    ensure_tws_runtime via ``sc.addPyFile``) while the kernel is being
+    UNPICKLED in the worker. That is the only hook early enough: the
+    worker adds python-includes to sys.path, unpickles the UDF
+    (read_udfs — where ``__setstate__`` fires), and only then creates
+    the serializer's ``load_stream`` generator, so a class-level patch
+    applied here reaches the very first micro-batch. A module-level
+    mixin would pickle by REFERENCE and break unpickling under the
+    external driver, where this package is not importable on workers —
+    the same constraint that shapes ensure_tws_runtime itself.
+
+    The patch only changes HOW input chunks are built (sliced from the
+    Arrow-backed frame instead of rebuilt row-by-row through
+    namedtuples); if the shipped module cannot be imported (e.g. the
+    driver-side PRE_INIT worker, which sees no addPyFile includes) or
+    refuses to patch an unexpected pyspark, the stock serializer keeps
+    running and results are identical either way."""
+
+    class _VectorizedTwsBoot:
+        def __getstate__(self):
+            state = dict(self.__dict__)
+            # never pickle an empty state: pickle skips __setstate__
+            # entirely for falsy state, and the bootstrap must run
+            state["_uds_tws_boot"] = True
+            return state
+
+        def __setstate__(self, state):
+            state.pop("_uds_tws_boot", None)
+            try:
+                import uds_tws_serializer_patch
+
+                uds_tws_serializer_patch.install()
+            except Exception:
+                pass
+            self.__dict__.update(state)
+
+    return _VectorizedTwsBoot
+
+
 def ensure_tws_runtime(spark) -> bool:
     """Make ``google.protobuf`` importable in the DRIVER and the Python
     WORKERS of an already-running session — the self-provisioning twin
@@ -164,6 +206,16 @@ def ensure_tws_runtime(spark) -> bool:
             z.write(shim_init, "google/__init__.py")
         sc.addPyFile(zpath)
         sc._tws_shim_shipped = True  # addPyFile twice would warn/fail
+    # ship the vectorized TWS serializer patch the same way: the worker
+    # puts python-includes on sys.path BEFORE unpickling UDFs, so the
+    # kernels' __setstate__ bootstrap (_vectorized_boot_base) can import
+    # it under its bare name and patch load_stream before the first
+    # micro-batch is deserialized (guide §4 — removes the stock
+    # per-row itertuples/DataFrame(rows) boundary cost)
+    patch_src = Path(__file__).resolve().parent / "uds_tws_serializer_patch.py"
+    if patch_src.exists() and not getattr(sc, "_uds_tws_patch_shipped", False):
+        sc.addPyFile(str(patch_src))
+        sc._uds_tws_patch_shipped = True
     return True
 
 
@@ -188,7 +240,7 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
         StatefulProcessorHandle,
     )
 
-    class TotalsProcessor(StatefulProcessor):
+    class TotalsProcessor(_vectorized_boot_base(), StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
             self._totals = handle.getValueState("totals", STATE_SCHEMA)
 
@@ -237,7 +289,7 @@ def running_user_totals_warmstart_tws(
         StatefulProcessorHandle,
     )
 
-    class WarmTotalsProcessor(StatefulProcessor):
+    class WarmTotalsProcessor(_vectorized_boot_base(), StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
             self._totals = handle.getValueState("totals", STATE_SCHEMA)
 
@@ -327,7 +379,7 @@ def expiring_user_sessions_tws(events: DataFrame, ttl_seconds: int) -> DataFrame
             }
         )
 
-    class SessionProcessor(StatefulProcessor):
+    class SessionProcessor(_vectorized_boot_base(), StatefulProcessor):
         # State-server RPC budget (optimization round 16, guide §4):
         # every ValueState/timer call is one full round-trip to the JVM
         # state server through (here) a pure-Python protobuf runtime, so
@@ -447,7 +499,7 @@ def per_type_session_totals_tws(events: DataFrame, ttl_seconds: int) -> DataFram
 
     ttl_us = int(ttl_seconds) * 1_000_000
 
-    class TypeMapProcessor(StatefulProcessor):
+    class TypeMapProcessor(_vectorized_boot_base(), StatefulProcessor):
         # State-server RPC budget (optimization round 16, guide §4): the
         # r15 kernel paid containsKey+getValue+updateValue — THREE state
         # RPCs — per input ROW, plus exists+get+listTimers per key. The
@@ -597,7 +649,7 @@ def session_first_k_tws(events: DataFrame, ttl_seconds: int, k: int) -> DataFram
 
     ttl_us = int(ttl_seconds) * 1_000_000
 
-    class FirstKProcessor(StatefulProcessor):
+    class FirstKProcessor(_vectorized_boot_base(), StatefulProcessor):
         # State-server RPC budget (optimization round 16, guide §4): the
         # r15 kernel iterated the whole ListState every batch just to
         # count it, and appendValue'd one RPC per buffered row. The
