@@ -466,16 +466,23 @@ def scrub_duplicate_spans(
     windows. ``scrubbed`` is the surviving text (original word order);
     docs shorter than ``n`` words pass through untouched.
 
-    Shape: the span table aggregates once on the digest (partial-agg
-    groupBy carrying (fp -> min doc)), joins back to non-keeper window
-    occurrences, expands each flagged window to its ``n`` covered word
-    positions (a bounded explode: flagged-windows x n rows, deduped to
-    covered positions), anti-joins the doc's word-position table, and
-    reassembles with one ordered per-doc aggregate. Nothing carries
-    text wider than a word past the first split; coverage expansion is
-    linear in flagged windows, not in corpus size."""
-    from pyspark.sql.window import Window  # noqa: F401 (parity with siblings)
-
+    Shape (optimization round 16, guide §2.3/§2.4 — shuffle spans, not
+    words): the span table aggregates once on the digest (partial-agg
+    groupBy carrying (fp -> min doc)) and joins back to non-keeper
+    window occurrences; the flagged window STARTS then collapse to one
+    array row per affected document (one flagged-row-sized exchange),
+    and the scrub itself is per-row array algebra on the doc's split
+    words — coverage expansion via flatten(sequence), kept positions
+    via hash-based array_except (order-preserving over the ascending
+    position sequence), reassembly via element_at. The round-15 shape
+    instead posexploded every document into word rows, left-joined the
+    exploded covered positions and re-collected per doc — three
+    word-count-sized exchanges (covered distinct, word join, final
+    collect_list) that this formulation removes outright; nothing
+    word-level is ever shuffled now, and the only per-word work is the
+    one split every formulation needs. Measured same-session: the
+    word-level tail was ~half the query's warm wall
+    (scripts/scrub_profile_r16.py; OPTIMIZATION_r16.md)."""
     spans = span_position_fingerprints(docs, n=n)
     keepers = spans.groupBy("fp").agg(
         F.min("doc_id").alias("__keeper"),
@@ -486,42 +493,37 @@ def scrub_duplicate_spans(
         .filter(F.col("doc_id") != F.col("__keeper"))
         .select("doc_id", "pos")
     )
-    covered = (
-        flagged.select(
-            "doc_id",
-            F.explode(
-                F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
-            ).alias("pos"),
-        )
-        .distinct()
-        .withColumn("__cut", F.lit(True))
+    # one array row per affected doc: flagged window starts -> covered
+    # positions (start..start+n-1 each, deduped); bounded by doc length
+    covered = flagged.groupBy("doc_id").agg(
+        F.array_distinct(
+            F.flatten(
+                F.transform(
+                    F.collect_list("pos"),
+                    lambda p: F.sequence(p, p + F.lit(n - 1)),
+                )
+            )
+        ).alias("__cov")
     )
-    words = spread(docs).select(
-        "doc_id",
-        F.posexplode(F.split(F.col("text"), " ")).alias("pos0", "w"),
-    ).withColumn("pos", F.col("pos0") + 1)
-    marked = words.join(covered, ["doc_id", "pos"], "left")
-    return marked.groupBy("doc_id").agg(
-        F.sum(F.when(F.col("__cut").isNull(), 1).otherwise(0))
-        .cast("int")
-        .alias("n_kept"),
-        F.sum(F.when(F.col("__cut").isNotNull(), 1).otherwise(0))
-        .cast("int")
-        .alias("n_removed"),
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.when(
-                            F.col("__cut").isNull(),
-                            F.struct(F.col("pos"), F.col("w")),
-                        )
-                    )
-                ),
-                lambda s: s.w,
-            ),
-        ).alias("scrubbed"),
+    base = spread(docs).select(
+        "doc_id", F.split(F.col("text"), " ").alias("__w")
+    )
+    pos = F.sequence(F.lit(1), F.size("__w"))
+    # covered starts never exceed len - n + 1, so __cov stays within
+    # 1..len and kept-count arithmetic below is exact
+    cov = F.coalesce(F.col("__cov"), F.array().cast("array<int>"))
+    kept = F.array_except(pos, cov)
+    return (
+        base.join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size(kept).cast("int").alias("n_kept"),
+            (F.size(F.col("__w")) - F.size(kept)).cast("int").alias("n_removed"),
+            F.concat_ws(
+                " ",
+                F.transform(kept, lambda p: F.element_at(F.col("__w"), p)),
+            ).alias("scrubbed"),
+        )
     )
 
 
